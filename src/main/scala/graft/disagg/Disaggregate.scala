@@ -1,0 +1,189 @@
+package graft.disagg
+
+import java.sql.Timestamp
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+// Row shapes for the many-series mode. Top-level and public: Catalyst's
+// generated encoder classes live outside this package and cannot touch
+// private case classes.
+case class KeyedLow(series_id: Long, ts: Timestamp, value: Double)
+case class KeyedHigh(series_id: Long, ts: Timestamp, values: Array[Double])
+case class KeyedOut(series_id: Long, ts: Timestamp, value: Double)
+
+/** Spark-facing temporal disaggregation API — the engine's equivalent of the
+  * reference's single public entry point `disaggregate_series`
+  * (/root/reference/tsdisagg/ts_disagg.py:302-472).
+  *
+  * Two execution shapes:
+  *  - [[series]]: one series. The frame is tiny (n = O(10^3)); it is collected
+  *    once, the Breeze kernel runs on the driver, and the result is returned
+  *    as a DataFrame. Spark's job here is I/O + validation pushdown, not the
+  *    O(n^3) solve.
+  *  - [[manySeries]]: millions of independent series keyed by an id column.
+  *    Both inputs are co-partitioned by the key via `groupByKey.cogroup`
+  *    (ONE shuffle each, then embarrassingly parallel kernels inside
+  *    executors; no driver collect) — this is the 100 TB design: scale comes
+  *    from series-parallelism, never from distributing one series' linear
+  *    algebra (SURVEY.md §7.8).
+  */
+object Disaggregate {
+
+  final case class Params(
+      targetFreq: Option[String] = None,
+      targetColumn: Option[String] = None,
+      aggFunc: String = "sum",
+      method: String = "denton-cholette",
+      criterion: String = "proportional",
+      h: Int = 1,
+      optimizerMethod: String = "nelder-mead",
+      verbose: Boolean = false,
+      lowFreq: Option[String] = None,
+      highFreq: Option[String] = None)
+
+  private[graft] def toLocalDate(v: Any): LocalDate = v match {
+    case t: Timestamp => t.toInstant.atZone(ZoneOffset.UTC).toLocalDate
+    case d: java.sql.Date => d.toLocalDate
+    case d: LocalDate => d
+    case i: java.time.Instant => i.atZone(ZoneOffset.UTC).toLocalDate
+    case other => throw new IllegalArgumentException(s"Unsupported time value $other")
+  }
+
+  private def toTimestamp(d: LocalDate): Timestamp =
+    Timestamp.from(d.atStartOfDay(ZoneOffset.UTC).toInstant)
+
+  /** Collect a (tsCol, value...) DataFrame into a sorted in-memory TsFrame.
+    * Validation mirrors ts_disagg.py:216-231 (message text pinned by the
+    * reference's error-path tests).
+    */
+  private[graft] def collectTsFrame(df: DataFrame, tsCol: String, role: String): TsFrame = {
+    val schema = df.schema
+    val tsField = schema.fields.find(_.name == tsCol)
+    val isTime = tsField.exists(f => f.dataType match {
+      case TimestampType | DateType | TimestampNTZType => true
+      case _ => false
+    })
+    if (!isTime)
+      DisaggCore.fail(s"No datetime index found on the dataframe passed as argument to $role.")
+    val valueCols = schema.fields.filter(_.name != tsCol).map(_.name).toIndexedSeq
+    val rows = df
+      .select((col(tsCol) +: valueCols.map(c => col(c).cast(DoubleType))): _*)
+      .orderBy(col(tsCol))
+      .collect()
+    val ts = rows.map(r => toLocalDate(r.get(0))).toIndexedSeq
+    val data = valueCols.indices.map { j =>
+      rows.map(r => if (r.isNullAt(j + 1)) Double.NaN else r.getDouble(j + 1))
+    }
+    TsFrame(ts, valueCols, data)
+  }
+
+  /** Single-series disaggregation: DataFrame in, DataFrame(ts, <target>) out. */
+  def series(
+      lowFreqDf: DataFrame,
+      highFreqDf: Option[DataFrame] = None,
+      tsCol: String = "ts",
+      params: Params = Params()): DataFrame = {
+    val spark = lowFreqDf.sparkSession
+    val out = seriesOutput(lowFreqDf, highFreqDf, tsCol, params)
+    toDataFrame(spark, out, tsCol)
+  }
+
+  /** Like [[series]] but returning the full result (optimizer diagnostics,
+    * rho/sigma/beta estimates, dropped dates) — the `return_optim_res=True`
+    * surface (ts_disagg.py:469-471).
+    */
+  def seriesOutput(
+      lowFreqDf: DataFrame,
+      highFreqDf: Option[DataFrame] = None,
+      tsCol: String = "ts",
+      params: Params = Params()): DisaggOutput = {
+    val low = collectTsFrame(lowFreqDf, tsCol, "low_freq_df")
+    val high = highFreqDf.map(collectTsFrame(_, tsCol, "high_freq_df"))
+    DisaggCore.run(low, high, params.targetFreq, params.targetColumn, params.aggFunc,
+      params.method, params.criterion, params.h, params.optimizerMethod, params.verbose,
+      params.lowFreq, params.highFreq)
+  }
+
+  private[graft] def toDataFrame(spark: SparkSession, out: DisaggOutput, tsCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(tsCol, TimestampType, nullable = false),
+      StructField(out.name, DoubleType, nullable = false)))
+    val rows = out.ts.zip(out.values).map { case (d, v) => Row(toTimestamp(d), v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  // ---------------------------------------------------------------- manySeries
+
+  /** Disaggregate many independent series in one distributed pass.
+    *
+    * `low`: (seriesCol, tsCol, valueCol); `high` (optional): (seriesCol,
+    * tsCol, indicatorCols...). Each side shuffles ONCE on the series key;
+    * the per-series kernel (tiny dense solves) runs inside `cogroup` tasks,
+    * so throughput scales linearly with executors and no O(n^2) matrix ever
+    * crosses the wire. Series whose kernel fails (bad calendar, singular
+    * system) are skipped — at pipeline scale one poisoned series must not
+    * kill the job.
+    */
+  def manySeries(
+      low: DataFrame,
+      high: Option[DataFrame],
+      seriesCol: String = "series_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      indicatorCols: Seq[String] = Seq("indicator"),
+      params: Params = Params()): DataFrame = {
+    val spark = low.sparkSession
+    import spark.implicits._
+
+    val lowDs: Dataset[KeyedLow] = low.select(
+      col(seriesCol).cast(LongType).as("series_id"),
+      col(tsCol).cast(TimestampType).as("ts"),
+      col(valueCol).cast(DoubleType).as("value")).as[KeyedLow]
+
+    val highDs: Dataset[KeyedHigh] = high match {
+      case Some(hdf) => hdf.select(
+        col(seriesCol).cast(LongType).as("series_id"),
+        col(tsCol).cast(TimestampType).as("ts"),
+        array(indicatorCols.map(c => col(c).cast(DoubleType)): _*).as("values")).as[KeyedHigh]
+      case None => spark.emptyDataset[KeyedHigh]
+    }
+
+    val hasHigh = high.isDefined
+    val indNames = indicatorCols.toIndexedSeq
+    val p = params
+
+    val out = lowDs.groupByKey(_.series_id).cogroup(highDs.groupByKey(_.series_id)) {
+      (key, lowIt, highIt) =>
+        val lowRows = lowIt.toArray.sortBy(_.ts.getTime)
+        if (lowRows.isEmpty) Iterator.empty
+        else {
+          val lowFrame = TsFrame(
+            lowRows.map(r => toLocalDate(r.ts)).toIndexedSeq,
+            IndexedSeq(valueCol),
+            IndexedSeq(lowRows.map(_.value)))
+          val highFrame: Option[TsFrame] = if (!hasHigh) None else {
+            val hr = highIt.toArray.sortBy(_.ts.getTime)
+            if (hr.isEmpty) None
+            else Some(TsFrame(
+              hr.map(r => toLocalDate(r.ts)).toIndexedSeq,
+              indNames,
+              indNames.indices.map(j => hr.map(_.values(j)))))
+          }
+          try {
+            val res = DisaggCore.run(lowFrame, highFrame, p.targetFreq, None, p.aggFunc,
+              p.method, p.criterion, p.h, p.optimizerMethod, verbose = false,
+              p.lowFreq, p.highFreq)
+            res.ts.zip(res.values).iterator.map { case (d, v) =>
+              KeyedOut(key, toTimestamp(d), v)
+            }
+          } catch {
+            case _: Exception => Iterator.empty
+          }
+        }
+    }
+    out.toDF(seriesCol, tsCol, valueCol)
+  }
+}

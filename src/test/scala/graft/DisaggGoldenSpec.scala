@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.disagg.{DisaggCore, TsFrame}
+
+/** End-to-end golden parity vs R `tempdisagg` outputs — the reference's own
+  * correctness corpus (/root/reference/tests/test_disaggregation.py:142-363).
+  * Tolerances mirror the reference: assert_frame_equal rtol ~1e-5 for the
+  * main cases, rtol 1e-3 for the two backcasting regressions.
+  */
+class DisaggGoldenSpec extends AnyFunSuite {
+  import Fixtures._
+
+  test("denton A->Q (R_output_denton.csv, test:306-317)") {
+    val want = rValues("R_output_denton.csv")
+    val out = DisaggCore.run(salesA, None, method = "denton", aggFunc = "sum")
+    assert(out.ts.length == 144)
+    assert(out.ts.head == java.time.LocalDate.parse("1975-01-01"))
+    assert(out.ts.last == java.time.LocalDate.parse("2010-10-01"))
+    assertAllClose(out.values, want, 1e-5, "denton")
+  }
+
+  test("denton-cholette A->Q (R_output_denton_cholette.csv, test:319-331)") {
+    val want = rValues("R_output_denton_cholette.csv")
+    val out = DisaggCore.run(salesA, None, method = "denton-cholette", aggFunc = "sum")
+    assertAllClose(out.values, want, 1e-5, "denton-cholette")
+  }
+
+  test("denton-cholette with indicator (R_output_denton_cholette_w_indicator.csv, test:333-347)") {
+    val want = rValues("R_output_denton_cholette_w_indicator.csv")
+    val out = DisaggCore.run(salesA, Some(exportsQ), method = "denton-cholette", aggFunc = "sum")
+    assert(out.ts.length == 158)
+    assertAllClose(out.values, want, 1e-5, "denton-cholette w/ indicator")
+  }
+
+  test("chow-lin A->Q, powell (R_output_chow_lin.csv, test:175-189)") {
+    val want = rValues("R_output_chow_lin.csv")
+    val out = DisaggCore.run(salesA, Some(withConstant(exportsQ)),
+      method = "chow-lin", aggFunc = "sum", optimizerMethod = "powell")
+    assertAllClose(out.values, want, 1e-5, "chow-lin")
+  }
+
+  test("chow-lin two indicators, l-bfgs-b (R_output_chow_lin_two_indicator.csv, test:265-281)") {
+    val want = rValues("R_output_chow_lin_two_indicator.csv")
+    val both = TsFrame(exportsQ.ts, IndexedSeq("exports", "imports", "constant"),
+      IndexedSeq(exportsQ.data(0), importsQ.data(0), Array.fill(exportsQ.nRows)(1.0)))
+    val out = DisaggCore.run(salesA, Some(both),
+      method = "chow-lin", aggFunc = "sum", optimizerMethod = "l-bfgs-b")
+    assertAllClose(out.values, want, 1e-5, "chow-lin 2 indicators")
+  }
+
+  test("chow-lin with inferred low frequency (test_chow_lin_no_freq, test:283-304)") {
+    // identical inputs, but the engine must infer YS-JAN / QS-OCT itself —
+    // DisaggCore always infers unless a hint is passed, so this doubles as
+    // the inference-path golden; the output grid must be QS-OCT.
+    val want = rValues("R_output_chow_lin_two_indicator.csv")
+    val both = TsFrame(exportsQ.ts, IndexedSeq("exports", "imports", "constant"),
+      IndexedSeq(exportsQ.data(0), importsQ.data(0), Array.fill(exportsQ.nRows)(1.0)))
+    val out = DisaggCore.run(salesA, Some(both), method = "chow-lin", aggFunc = "sum")
+    assertAllClose(out.values, want, 1e-5, "chow-lin no-freq")
+    assert(graft.time.Frequency.infer(out.ts).map(_.name) == Some("QS-OCT"))
+  }
+
+  test("litterman A->M, nelder-mead (R_output_litterman_A_to_M.csv, test:349-363)") {
+    val want = rValues("R_output_litterman_A_to_M.csv")
+    val out = DisaggCore.run(salesA, Some(withConstant(exportsM, "Constant")),
+      method = "litterman", aggFunc = "sum", optimizerMethod = "nelder-mead")
+    assert(out.ts.length == 474)
+    assertAllClose(out.values, want, 1e-5, "litterman")
+  }
+
+  test("chow-lin Q->M backcasting, agg first (R_Output_chow-lin_QtoM_2.csv, test:191-222)") {
+    val want = singleCol("R_Output_chow-lin_QtoM_2.csv")
+    val (lowTs, lowV) = datedValues("AL_Quarterly_Data_Modified.csv")
+    val (highTs, highV) = datedValues("AL_Monthly_Data_Modified_Shorter.csv")
+    val low = frame(lowTs, "Value" -> lowV)
+    val high = TsFrame(highTs, IndexedSeq("Value_m", "intercept"),
+      IndexedSeq(highV, Array.fill(highV.length)(1.0)))
+    val out = DisaggCore.run(low, Some(high),
+      method = "chow-lin", aggFunc = "first", optimizerMethod = "powell")
+    assert(out.ts.length == want.length)
+    assertAllClose(out.values, want, 1e-3, "chow-lin QtoM backcast")
+  }
+
+  test("chow-lin A->Q backcasting + optimizer success (AL_A_to_Q_expected.csv, test:224-263)") {
+    // expected file is `index,value` with "1995 Q2"-style periods; values are
+    // already in time order, which is all the comparison needs
+    val in = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/tsdisagg/AL_A_to_Q_expected.csv"))
+    val want = try in.getLines().toVector.tail.map(_.split(",")(1).toDouble).toArray
+      finally in.close()
+    val (lowTs, lowV) = datedValues("AL_Annual_Data_Shorter.csv")
+    val (highTs, highV) = datedValues("AL_Quarterly_Data_Modified.csv")
+    val low = frame(lowTs, "value" -> lowV)
+    val high = TsFrame(highTs, IndexedSeq("Value", "intercept"),
+      IndexedSeq(highV, Array.fill(highV.length)(1.0)))
+    val out = DisaggCore.run(low, Some(high),
+      method = "chow-lin", aggFunc = "first", optimizerMethod = "powell")
+    assert(out.optim.exists(_.success))
+    assert(out.values.length == want.length)
+    assertAllClose(out.values, want, 1e-3, "chow-lin AtoQ backcast")
+  }
+
+  test("error paths pin the reference's messages (test:366-475)") {
+    val dailyTs = (0 until 3).map(i => java.time.LocalDate.parse("2020-01-01").plusDays(i.toLong))
+    val daily = frame(dailyTs, "data" -> Array(1.0, 2.0, 3.0))
+    val nanLow = frame(dailyTs, "data" -> Array(1.0, Double.NaN, 3.0))
+
+    val e1 = intercept[IllegalArgumentException](
+      DisaggCore.run(nanLow, Some(daily), method = "denton", aggFunc = "sum"))
+    assert(e1.getMessage.contains("low_freq_df has missing values"))
+
+    val e2 = intercept[IllegalArgumentException](
+      DisaggCore.run(daily, Some(nanLow), method = "denton", aggFunc = "sum"))
+    assert(e2.getMessage.contains("high_freq_df has missing values"))
+
+    val lateTs = (0 until 3).map(i => java.time.LocalDate.parse("2021-01-01").plusDays(i.toLong))
+    val e3 = intercept[IllegalArgumentException](
+      DisaggCore.run(daily, Some(frame(lateTs, "data" -> Array(1.0, 2.0, 3.0))),
+        method = "denton", aggFunc = "sum"))
+    assert(e3.getMessage.contains("is after start date found on low frequency data"))
+
+    val e4 = intercept[IllegalArgumentException](
+      DisaggCore.run(daily, Some(daily), method = "denton", aggFunc = "sum",
+        targetFreq = Some("MS")))
+    assert(e4.getMessage.contains("User provided target_freq does not match"))
+
+    val irregular = frame(IndexedSeq("2020-01-01", "2020-03-04", "2020-12-06")
+      .map(java.time.LocalDate.parse), "data" -> Array(1.0, 2.0, 3.0))
+    val monthly = frame(Fixtures.freqDates("2020-01-01", "MS", 3), "data" -> Array(1.0, 2.0, 3.0))
+    val e5 = intercept[IllegalArgumentException](
+      DisaggCore.run(monthly, Some(irregular), method = "denton", aggFunc = "sum"))
+    assert(e5.getMessage.contains(
+      "Indicator data high_freq_df does not have a valid time index"))
+
+    val quarterly = frame(Fixtures.freqDates("2020-01-01", "QS", 3), "data" -> Array(1.0, 2.0, 3.0))
+    val e6 = intercept[IllegalArgumentException](
+      DisaggCore.run(quarterly, None, method = "litterman", aggFunc = "sum"))
+    assert(e6.getMessage.contains("high_freq_df can only be None"))
+
+    val e7 = intercept[IllegalArgumentException](
+      DisaggCore.run(quarterly, None, method = "bogus", aggFunc = "sum"))
+    assert(e7.getMessage.contains("Method should be one of"))
+
+    val e8 = intercept[IllegalArgumentException](
+      DisaggCore.run(quarterly, None, method = "denton", aggFunc = "median"))
+    assert(e8.getMessage.contains("agg_func should be one of"))
+  }
+}
