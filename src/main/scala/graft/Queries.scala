@@ -1,24 +1,429 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** The operator inventory (SURVEY.md §2) + LLM-pipeline extensions, each as a
-  * named query over the driver's parquet tables with (where SQL-expressible)
-  * a DuckDB-equivalent oracle statement.
+import graft.disagg.Disaggregate
+
+/** The operator inventory (SURVEY.md §2.A) + temporal-disaggregation surface
+  * + LLM-pipeline extensions, each as a named query over the driver's parquet
+  * tables, with a DuckDB-equivalent oracle statement where the semantics are
+  * ANSI-SQL-expressible (the t2 gate replays the oracle and hash-compares).
   *
-  * Determinism rules (the driver hash-compares values after sorting columns
-  * by name): every aggregate is either integer-exact or routed through
-  * DECIMAL casts so Spark and DuckDB sum identically; every query ends in an
-  * explicit ORDER BY on a unique key; every computed column is aliased
-  * identically on both sides.
+  * Determinism rules (hash compare across two engines):
+  *  - double aggregations go through per-row DECIMAL(18,4) casts (exact for
+  *    this corpus: all money/quantity columns carry <=2 decimals, so no
+  *    engine-dependent half-up/half-even rounding can fire), summed exactly,
+  *    then cast back to double;
+  *  - every query ends in an explicit ORDER BY on a unique key;
+  *  - computed columns are aliased identically on both sides, and integer
+  *    functions are cast so Spark and DuckDB agree on types.
   */
 object Queries {
 
-  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map()
+  /** Exact sum of a double column: per-row decimal cast, exact decimal sum,
+    * result as double.
+    */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
-  val oracles: Map[String, String] = Map()
+  // ------------------------------------------------------------------ A-layer
+
+  /** A1/A3/A4/A11: parquet scan with projection + predicate pushdown, sort,
+    * limit.
+    */
+  private def scanProjectFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .where(col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+        col("l_quantity") < 10)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val scanProjectFilterSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 10
+      |ORDER BY l_orderkey, l_linenumber
+      |LIMIT 100""".stripMargin
+
+  /** A2/A5: projection + canonical rename (the make_names_from_frequencies
+    * analogue).
+    */
+  private def renameProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("yearly_revenue"))
+      .orderBy(col("o_orderkey"))
+      .limit(50)
+
+  private val renameProjectionSql =
+    """SELECT o_orderkey, o_totalprice AS yearly_revenue
+      |FROM orders ORDER BY o_orderkey LIMIT 50""".stripMargin
+
+  /** A7: calendar period-key assignment (year / quarter / month,
+    * anchor-free), the `to_period` analogue.
+    */
+  private def periodKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        date_trunc("quarter", col("o_orderdate")).as("quarter_start"))
+      .orderBy(col("o_orderkey"))
+
+  private val periodKeysSql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  date_trunc('quarter', o_orderdate) AS quarter_start
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** A8 (sum/mean): grouped aggregation by calendar year — the action of the
+    * conversion matrix C.
+    */
+  private def groupAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("mean_qty"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("y"))
+
+  private val groupAggSql =
+    """SELECT CAST(year(l_shipdate) AS INT) AS y,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_qty,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY y""".stripMargin
+
+  /** A8 (first/last): time-ordered first/last observation per period, with a
+    * unique tiebreak — the C-matrix `first`/`last` fill semantics.
+    */
+  private def groupFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val wAsc = Window.partitionBy(year(col("o_orderdate")))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wDesc = Window.partitionBy(year(col("o_orderdate")))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    o.select(year(col("o_orderdate")).as("y"), col("o_totalprice"),
+        row_number().over(wAsc).as("rn_a"), row_number().over(wDesc).as("rn_d"))
+      .groupBy(col("y"))
+      .agg(
+        max(when(col("rn_a") === 1, col("o_totalprice"))).as("first_price"),
+        max(when(col("rn_d") === 1, col("o_totalprice"))).as("last_price"))
+      .orderBy(col("y"))
+  }
+
+  private val groupFirstLastSql =
+    """WITH ranked AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y, o_totalprice,
+      |    row_number() OVER (PARTITION BY year(o_orderdate)
+      |                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_a,
+      |    row_number() OVER (PARTITION BY year(o_orderdate)
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+      |  FROM orders)
+      |SELECT y,
+      |  max(CASE WHEN rn_a = 1 THEN o_totalprice END) AS first_price,
+      |  max(CASE WHEN rn_d = 1 THEN o_totalprice END) AS last_price
+      |FROM ranked GROUP BY y ORDER BY y""".stripMargin
+
+  /** A9: incomplete-group suppression — keep only years whose high-frequency
+    * (monthly) group is complete, the `HAVING count = factor` rule.
+    */
+  private def havingComplete(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .agg(countDistinct(month(col("l_shipdate"))).as("n_months"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .where(col("n_months") === 12)
+      .orderBy(col("y"))
+
+  private val havingCompleteSql =
+    """SELECT CAST(year(l_shipdate) AS INT) AS y,
+      |  count(DISTINCT month(l_shipdate)) AS n_months,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 1
+      |HAVING count(DISTINCT month(l_shipdate)) = 12 ORDER BY y""".stripMargin
+
+  /** A10: calendar-spine synthesis (sequence + explode) — the
+    * make_companion_index analogue on the data's own span.
+    */
+  private def sequenceSpine(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(date_trunc("month", min(col("l_shipdate"))).as("lo"),
+        date_trunc("month", max(col("l_shipdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("ts"))
+      .orderBy(col("ts"))
+
+  private val sequenceSpineSql =
+    """SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS ts
+      |FROM (SELECT date_trunc('month', min(l_shipdate)) AS lo,
+      |             date_trunc('month', max(l_shipdate)) AS hi
+      |      FROM lineitem)
+      |ORDER BY ts""".stripMargin
+
+  /** A6: the full-outer time-equi-join aligning a low-frequency series onto
+    * the high-frequency grid (nulls are the NaN fill pattern).
+    */
+  private def outerJoinAlign(s: SparkSession, dir: String): DataFrame = {
+    val low = t(s, dir, "orders")
+      .groupBy(date_trunc("year", col("o_orderdate")).as("ts"))
+      .agg(dsum(col("o_totalprice")).as("yearly_revenue"))
+    val high = t(s, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ts"))
+      .agg(dsum(col("l_extendedprice")).as("monthly_gross"))
+    low.join(high, Seq("ts"), "full_outer").orderBy(col("ts"))
+  }
+
+  private val outerJoinAlignSql =
+    """WITH low AS (
+      |  SELECT date_trunc('year', o_orderdate) AS ts,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS yearly_revenue
+      |  FROM orders GROUP BY 1),
+      |high AS (
+      |  SELECT date_trunc('month', l_shipdate) AS ts,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS monthly_gross
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(low.ts, high.ts) AS ts, yearly_revenue, monthly_gross
+      |FROM low FULL OUTER JOIN high ON low.ts = high.ts
+      |ORDER BY ts""".stripMargin
+
+  /** A12: null-drop after alignment — recovering the low-frequency rows from
+    * the merged frame.
+    */
+  private def dropnaRecoverLow(s: SparkSession, dir: String): DataFrame =
+    outerJoinAlign(s, dir)
+      .where(col("yearly_revenue").isNotNull)
+      .select(col("ts"), col("yearly_revenue"))
+      .orderBy(col("ts"))
+
+  private val dropnaRecoverLowSql =
+    """WITH low AS (
+      |  SELECT date_trunc('year', o_orderdate) AS ts,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS yearly_revenue
+      |  FROM orders GROUP BY 1),
+      |high AS (
+      |  SELECT date_trunc('month', l_shipdate) AS ts,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS monthly_gross
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COALESCE(low.ts, high.ts) AS ts, yearly_revenue
+      |FROM low FULL OUTER JOIN high ON low.ts = high.ts
+      |WHERE yearly_revenue IS NOT NULL
+      |ORDER BY ts""".stripMargin
+
+  /** A13: resample — quarterly `first`-style re-aggregation of a monthly
+    * series (the tests' `.resample("QS").first()` pattern).
+    */
+  private def resampleQuarter(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ts"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val w = Window.partitionBy(date_trunc("quarter", col("ts")))
+      .orderBy(col("ts").asc)
+    monthly
+      .select(date_trunc("quarter", col("ts")).as("qs"), col("qty"),
+        row_number().over(w).as("rn"))
+      .groupBy(col("qs"))
+      .agg(max(when(col("rn") === 1, col("qty"))).as("first_qty"),
+        dsum(col("qty")).as("sum_qty"))
+      .orderBy(col("qs"))
+  }
+
+  private val resampleQuarterSql =
+    """WITH monthly AS (
+      |  SELECT date_trunc('month', l_shipdate) AS ts,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |  FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT date_trunc('quarter', ts) AS qs, qty,
+      |    row_number() OVER (PARTITION BY date_trunc('quarter', ts)
+      |                       ORDER BY ts ASC) AS rn
+      |  FROM monthly)
+      |SELECT qs, max(CASE WHEN rn = 1 THEN qty END) AS first_qty,
+      |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM ranked GROUP BY qs ORDER BY qs""".stripMargin
+
+  /** A4: the validation aggregates the prepare step relies on (span + null
+    * audit).
+    */
+  private def validationStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").agg(
+      min(col("o_orderdate")).as("start_ts"),
+      max(col("o_orderdate")).as("end_ts"),
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null"))
+
+  private val validationStatsSql =
+    """SELECT min(o_orderdate) AS start_ts, max(o_orderdate) AS end_ts,
+      |  count(*) AS n_rows,
+      |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_null
+      |FROM orders""".stripMargin
+
+  // -------------------------------------------------- disaggregation surface
+
+  private def lowYearly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("year", col("o_orderdate")).as("ts"))
+      .agg(sum("o_totalprice").as("revenue"))
+
+  private def highMonthly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ts"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lx"))
+      .withColumn("constant", lit(1.0))
+
+  private def disaggChowLin(s: SparkSession, dir: String): DataFrame =
+    Disaggregate.series(lowYearly(s, dir), Some(highMonthly(s, dir)),
+      params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum"))
+
+  private def disaggLitterman(s: SparkSession, dir: String): DataFrame =
+    Disaggregate.series(lowYearly(s, dir), Some(highMonthly(s, dir)),
+      params = Disaggregate.Params(method = "litterman", aggFunc = "sum"))
+
+  private def disaggDenton(s: SparkSession, dir: String): DataFrame =
+    Disaggregate.series(lowYearly(s, dir), None,
+      params = Disaggregate.Params(method = "denton", aggFunc = "sum",
+        targetFreq = Some("QS")))
+
+  private def disaggDentonCholette(s: SparkSession, dir: String): DataFrame =
+    Disaggregate.series(lowYearly(s, dir), None,
+      params = Disaggregate.Params(method = "denton-cholette", aggFunc = "sum",
+        targetFreq = Some("QS")))
+
+  /** Many-series mode: one yearly revenue series per order priority,
+    * disaggregated in parallel inside executors (the 100 TB shape).
+    */
+  private def disaggManySeries(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "orders")
+      .withColumn("series_id",
+        (dense_rank().over(Window.orderBy(col("o_orderpriority"))) - 1).cast(LongType))
+      .groupBy(col("series_id"), date_trunc("year", col("o_orderdate")).as("ts"))
+      .agg(sum("o_totalprice").as("value"))
+    Disaggregate.manySeries(keyed, None,
+      params = Disaggregate.Params(method = "denton-cholette", aggFunc = "sum",
+        targetFreq = Some("QS")))
+      .orderBy(col("series_id"), col("ts"))
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  /** Token counting over `documents` (whitespace tokenization). */
+  private def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  private val textTokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS n_chars_measured
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: structural ratios a pretraining pipeline filters on.
+    * All ratios are exact-integer divisions, so cross-engine doubles agree.
+    */
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("len"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        (length(col("text")).cast(DoubleType) /
+          size(split(trim(col("text")), "\\s+"))).as("chars_per_token"),
+        (length(regexp_replace(col("text"), "[a-z ]", "")).cast(DoubleType) /
+          length(col("text"))).as("nonalpha_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val textQualitySql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS len,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS DOUBLE) /
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token,
+      |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
+      |    length(text) AS nonalpha_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 of the normalized text (exact-dup key). */
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val textFingerprintSql =
+    """SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact deduplication: fingerprint groups with canonical representative
+    * (hash-groupBy — one shuffle on the digest, the at-scale shape).
+    */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(lower(trim(col("text")))).as("fingerprint"))
+      .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fingerprint"))
+
+  private val dedupExactSql =
+    """SELECT md5(lower(trim(text))) AS fingerprint,
+      |  min(doc_id) AS canonical_doc, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  // ------------------------------------------------------------------ export
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_scan_project_filter" -> scanProjectFilter _,
+    "a5_rename_projection" -> renameProjection _,
+    "a7_period_keys" -> periodKeys _,
+    "a8_group_agg" -> groupAgg _,
+    "a8_group_first_last" -> groupFirstLast _,
+    "a9_having_complete" -> havingComplete _,
+    "a10_sequence_spine" -> sequenceSpine _,
+    "a6_outer_join_align" -> outerJoinAlign _,
+    "a12_dropna_recover_low" -> dropnaRecoverLow _,
+    "a13_resample_quarter" -> resampleQuarter _,
+    "a4_validation_stats" -> validationStats _,
+    "disagg_chow_lin_y2m" -> disaggChowLin _,
+    "disagg_litterman_y2m" -> disaggLitterman _,
+    "disagg_denton_y2q" -> disaggDenton _,
+    "disagg_denton_cholette_y2q" -> disaggDentonCholette _,
+    "disagg_many_series" -> disaggManySeries _,
+    "text_token_count" -> textTokenCount _,
+    "text_quality" -> textQuality _,
+    "text_fingerprint" -> textFingerprint _,
+    "dedup_exact" -> dedupExact _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_scan_project_filter" -> scanProjectFilterSql,
+    "a5_rename_projection" -> renameProjectionSql,
+    "a7_period_keys" -> periodKeysSql,
+    "a8_group_agg" -> groupAggSql,
+    "a8_group_first_last" -> groupFirstLastSql,
+    "a9_having_complete" -> havingCompleteSql,
+    "a10_sequence_spine" -> sequenceSpineSql,
+    "a6_outer_join_align" -> outerJoinAlignSql,
+    "a12_dropna_recover_low" -> dropnaRecoverLowSql,
+    "a13_resample_quarter" -> resampleQuarterSql,
+    "a4_validation_stats" -> validationStatsSql,
+    "text_token_count" -> textTokenCountSql,
+    "text_quality" -> textQualitySql,
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_exact" -> dedupExactSql
+    // disagg_* entries intentionally omitted: ML estimation / KKT solves are
+    // not ANSI-SQL-expressible — driver records rows-only checks
+  )
 }
