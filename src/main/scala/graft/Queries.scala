@@ -382,6 +382,104 @@ object Queries {
       |  min(doc_id) AS canonical_doc, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  // ------------------------------------------------- LLM-pipeline extensions
+
+  import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"))
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"))
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"))
+
+  private val dedupNgramJaccardSql =
+    """WITH sh AS (
+      |  SELECT doc_id, source, list_distinct(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, source,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), threshold = 0.9)
+
+  private def simCosineBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)
+
+  private val simCosineBruteSql =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * q.qv[i]))
+      |    / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+      |     * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
+      |FROM e, q WHERE e.vec_id != 0
+      |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  private def simCosineIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scores = TextOps.langIdScores(col("text"))
+    d.select((col("doc_id") +: TextOps.langId(col("text")).as("lang_pred") +:
+      scores.map { case (l, c) => c.cast(DoubleType).as(s"score_$l") }): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val textLangIdSql: String = {
+    def occ(m: String): String = {
+      val esc = m.replace("'", "''")
+      s"(length(p) - length(replace(p, '$esc', ''))) / ${m.length}"
+    }
+    val scoreExprs = TextOps.langProfiles.map { case (lang, ms) =>
+      s"${ms.map(occ).mkString(" + ")} AS score_$lang"
+    }.mkString(",\n    ")
+    val maxExpr = TextOps.langProfiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+    val caseExpr = TextOps.langProfiles.map { case (lang, _) =>
+      s"WHEN score_$lang = m THEN '$lang'"
+    }.mkString("CASE ", " ", " END")
+    val scoreCols = TextOps.langProfiles.map(p => s"CAST(score_${p._1} AS DOUBLE) AS score_${p._1}").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    $scoreExprs
+       |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)),
+       |m AS (SELECT *, $maxExpr AS m FROM s)
+       |SELECT doc_id, $caseExpr AS lang_pred, $scoreCols
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("fingerprint64"))
+      .orderBy(col("doc_id"))
+
+  private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaTable(t(s, dir, "documents")))
+
+  private def streamWindowCounts(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.windowedEventCounts(s, dir)
+
+  private val streamWindowCountsSql =
+    """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   // ------------------------------------------------------------------ export
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -404,7 +502,17 @@ object Queries {
     "text_token_count" -> textTokenCount _,
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
-    "dedup_exact" -> dedupExact _
+    "dedup_exact" -> dedupExact _,
+    "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "sim_cosine_brute" -> simCosineBrute _,
+    "sim_cosine_ivf" -> simCosineIvf _,
+    "text_lang_id" -> textLangId _,
+    "text_rolling_fingerprint" -> textRollingFingerprint _,
+    "multimodal_features" -> multimodalFeatures _,
+    "stream_window_counts" -> streamWindowCounts _
   )
 
   val oracles: Map[String, String] = Map(
@@ -422,8 +530,15 @@ object Queries {
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
-    "dedup_exact" -> dedupExactSql
-    // disagg_* entries intentionally omitted: ML estimation / KKT solves are
-    // not ANSI-SQL-expressible — driver records rows-only checks
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "sim_cosine_brute" -> simCosineBruteSql,
+    "text_lang_id" -> textLangIdSql,
+    "stream_window_counts" -> streamWindowCountsSql
+    // intentionally rows-only (not ANSI-SQL-expressible): disagg_* (ML
+    // estimation / KKT solves), dedup_minhash_lsh + dedup_simhash +
+    // text_rolling_fingerprint (xxhash64 has no DuckDB equivalent),
+    // dedup_embedding_cosine + sim_cosine_ivf (IVF bucket assignment),
+    // multimodal_features (stubbed decoder behind mapPartitions)
   )
 }

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large text corpora, each built map-first so
+  * the only shuffles are the ones the algorithm fundamentally needs:
+  *
+  *  - exact:      one shuffle on the content digest (hash-groupBy);
+  *  - minhash:    signatures are computed per-row with codegen'd higher-order
+  *                functions (no explode of shingles across rows!), then ONE
+  *                shuffle on (band, bandKey) produces candidate buckets, and
+  *                candidate pairs are verified with an exact Jaccard join —
+  *                at 100 TB the band shuffle moves ~k*8 bytes/doc, not text;
+  *  - simhash:    64-bit signature per row, banded into 16-bit keys, verified
+  *                by Hamming distance (bit_count(xor)) — constant bytes/doc;
+  *  - ngram:      exact 3-gram Jaccard within a blocking key, for
+  *                oracle-checkable ground truth on candidate subsets.
+  *
+  * Everything is seeded deterministically; no RNG at runtime.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Distinct word n-gram shingles as array<string> (contextual units for
+    * near-dup detection).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** k-permutation MinHash signature of a shingle array: seed-salted
+    * xxhash64 per permutation, folded with array_min — all codegen'd, zero
+    * shuffles, O(k * |shingles|) per row.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { p =>
+      array_min(transform(shingleCol, s => xxhash64(lit(p), s)))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * @param numHashes signature length k
+    * @param bands     LSH bands b (rows per band r = k/b); a pair sharing any
+    *                  band bucket becomes a candidate
+    * @param threshold exact-Jaccard verification threshold on shingle sets
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // ONE shuffle: (band, bandKey) buckets; docs stay as ids + shingle sets
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * r + 1, r)).as("key"))
+      }: _*)).as("bk"))
+
+    val candidates = banded
+      .select(col("bk.band"), col("bk.key"), struct(col("doc_id"), col("sh")).as("d"))
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("d")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    // exact verification on the shingle sets carried through the bucket
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash of the token multiset: per-bit majority vote over
+    * xxhash64(token). Expressed with codegen'd higher-order functions —
+    * for each bit, count tokens with the bit set vs total, emit the bit when
+    * votes are positive. Per-row, no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val n = size(hs)
+    (0 until 64).map { b =>
+      val ones = size(filter(hs, h => h.bitwiseAND(lit(1L << b)) =!= lit(0L)))
+      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-duplicate pairs: 4 bands of 16 bits for candidate
+    * generation (any identical band → candidate), Hamming <= maxHamming via
+    * bit_count(xor) for verification.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 6): DataFrame = {
+    val withSig = docs.select(col(idCol).as("doc_id"),
+      simhash64(col(textCol)).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+    banded
+      .select(col("bk.band"), col("bk.key"), struct(col("doc_id"), col("sig")).as("d"))
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("d")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard over a bounded candidate set (same `source`
+    * blocking key) — the oracle-checkable ground-truth variant; O(B^2) per
+    * block, so only usable where blocks are small.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      blockCol: String = "source",
+      threshold: Double = 0.5): DataFrame = {
+    // inverted-index formulation: explode shingles, equi-join on
+    // (block, shingle), count common shingles per pair, then
+    // J = c / (|A| + |B| - c). Pairs sharing no shingle never materialize,
+    // so the cost is driven by genuine overlap, not by O(B^2) array
+    // intersections — and every operator (explode, shuffle join, count
+    // aggregate) stays inside whole-stage codegen, unlike array_intersect
+    // on higher-order-function results.
+    val ex = docs.select(col(blockCol).as("blk"), col("doc_id"),
+        shingles(col("text")).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .select(col("blk"), col("doc_id"), col("n"), explode(col("sh")).as("s"))
+    val a = ex.select(col("blk"), col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val b = ex.select(col("blk"), col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    a.join(b, Seq("blk", "s"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-duplicates within IVF buckets (see
+    * Similarity.assignBuckets): exact cosine, but only inside a bucket —
+    * the at-scale shape where the cross join is bounded per bucket.
+    */
+  def embeddingCosinePairs(
+      embeddings: DataFrame,
+      nBuckets: Int = 16,
+      threshold: Double = 0.95): DataFrame = {
+    val assigned = Similarity.assignBuckets(embeddings, nBuckets)
+    val a = assigned.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, "bucket")
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

