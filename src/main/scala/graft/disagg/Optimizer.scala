@@ -44,11 +44,12 @@ object Optimizer {
     var best = nelderMeadOnce(f, x0, lower, upper, xatol, fatol, maxIter)
     var restarts = 0
     var improved = true
-    while (improved && restarts < 4) {
+    while (improved && restarts < 3) {
       val next = nelderMeadOnce(f, best.x, lower, upper, xatol, fatol, maxIter)
       // relative threshold: a restart that only grinds out noise-level
-      // improvement means the incumbent was already converged
-      improved = next.fval < best.fval - math.max(1e-10, math.abs(best.fval) * 1e-10)
+      // improvement means the incumbent was already converged (the restart
+      // exists to recover from boundary-collapsed simplices, not to polish)
+      improved = next.fval < best.fval - math.max(1e-9, math.abs(best.fval) * 1e-9)
       if (next.fval < best.fval) best = next
       restarts += 1
     }

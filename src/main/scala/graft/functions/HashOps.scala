@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** Sketch expressions over pre-hashed token/shingle arrays (array<long>).
+  *
+  * The naive formulation — k separate `array_min(transform(...))` columns, or
+  * 64 `size(filter(...))` bit votes — pays interpreted-lambda dispatch per
+  * ELEMENT per permutation/bit (~38M boxed calls on a 5k-doc corpus). These
+  * expressions make one eval call per ROW and run tight JVM loops inside:
+  * the per-element work is primitive long arithmetic. CodegenFallback is
+  * deliberate — the win is loop locality, and one boxed call per row is
+  * noise next to k*|array| per row.
+  */
+
+/** k-permutation MinHash signature: sig[p] = min over h in child of
+  * XXH64(h, seed=p). Input array<long> (pre-hashed shingles), output
+  * array<long> of length k.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var p = 0
+      while (p < k) {
+        val m = XXH64.hashLong(h, p)
+        if (m < sig(p)) sig(p) = m
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over pre-hashed tokens: per-bit majority vote. Input
+  * array<long>, output long.
+  */
+case class SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Tokenize -> n-gram -> distinct in one native pass (array<string> out).
+  * Equivalent to array_distinct(transform(sequence(...), slice/concat_ws))
+  * over split(trim(lower(text))), which costs hundreds of interpreted
+  * expression evals per row; this is one eval and a tight loop. ASCII-safe
+  * lower-casing matches Spark's `lower` on this corpus.
+  */
+case class NgramShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val text = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split("\\s+")
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    } else {
+      out.add(toks.mkString(" "))
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) {
+      arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashOps {
+  /** Distinct word n-gram shingles straight from a text column. */
+  def ngramShingles(text: Column, n: Int): Column =
+    Bridge.column(NgramShingles(Bridge.expression(text), n))
+
+  /** MinHash signature of an array<long> of element hashes. */
+  def minhashSig(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(hashes), k))
+
+  /** SimHash of an array<long> of token hashes. */
+  def simhash(hashes: Column): Column =
+    Bridge.column(SimHash(Bridge.expression(hashes)))
+}

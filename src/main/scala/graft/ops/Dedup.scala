@@ -25,26 +25,40 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Distinct word n-gram shingles as array<string> (contextual units for
-    * near-dup detection).
+  /** Distinct word n-gram shingles from a MATERIALIZED token-array column.
+    *
+    * `toks` must be a plain column reference (project `tokens(text)` first):
+    * an expression subtree referenced inside a higher-order-function lambda
+    * is re-evaluated per element, so passing `split(...)` directly would
+    * re-split the whole text for every shingle position — O(|tokens|^2)
+    * per row (measured ~1 ms/doc on the 5k corpus before this split).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - n + 1),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
-  }
 
-  /** k-permutation MinHash signature of a shingle array: seed-salted
-    * xxhash64 per permutation, folded with array_min — all codegen'd, zero
-    * shuffles, O(k * |shingles|) per row.
+  /** Distinct word n-gram shingles straight from text — one native pass
+    * (graft.functions.NgramShingles), value-equal to the HOF formulation.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.HashOps.ngramShingles(text, n)
+
+  /** docs -> (idCol as doc_id, sh). */
+  def withShingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+
+  /** k-permutation MinHash signature of a shingle array. Each shingle STRING
+    * is hashed once (xxhash64 over its bytes); the k permutations re-hash
+    * only the resulting 8-byte long inside a native one-pass expression
+    * (graft.functions.MinHashSig) — O(|shingles|) string work +
+    * O(k*|shingles|) primitive long work, no interpreted lambdas.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map { p =>
-      array_min(transform(shingleCol, s => xxhash64(lit(p), s)))
-    }: _*)
+    graft.functions.HashOps.minhashSig(
+      transform(shingleCol, s => xxhash64(s)), k)
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -62,32 +76,35 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val withSh = withShingles(docs, idCol, textCol)
+    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // ONE shuffle: (band, bandKey) buckets; docs stay as ids + shingle sets
+    // ONE narrow shuffle: only (band, bandKey, doc_id) flows — shingle
+    // arrays are NOT shipped through the 16-way band explode; they are
+    // joined back for the (small) candidate set afterwards
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * r + 1, r)).as("key"))
       }: _*)).as("bk"))
 
-    val candidates = banded
-      .select(col("bk.band"), col("bk.key"), struct(col("doc_id"), col("sh")).as("d"))
+    val candidatePairs = banded
+      .select(col("bk.band"), col("bk.key"), col("doc_id"))
       .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("d")).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    // exact verification on the shingle sets carried through the bucket
-    candidates
+    // exact verification: join shingle sets back for the candidates only
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidatePairs
+      .join(shA, "doc_a")
+      .join(shB, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
@@ -97,18 +114,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: per-bit majority vote over
-    * xxhash64(token). Expressed with codegen'd higher-order functions —
-    * for each bit, count tokens with the bit set vs total, emit the bit when
-    * votes are positive. Per-row, no shuffle.
+    * xxhash64(token), evaluated in one native pass
+    * (graft.functions.SimHash). Per-row, no shuffle.
     */
-  def simhash64(text: Column): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
-    val n = size(hs)
-    (0 until 64).map { b =>
-      val ones = size(filter(hs, h => h.bitwiseAND(lit(1L << b)) =!= lit(0L)))
-      when(ones * 2 > n, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.HashOps.simhash(transform(tokens(text), t => xxhash64(t)))
 
   /** SimHash near-duplicate pairs: 4 bands of 16 bits for candidate
     * generation (any identical band → candidate), Hamming <= maxHamming via

@@ -27,13 +27,12 @@ object Similarity {
   /** array<float> -> array<double>, the working type for all math. */
   def asDouble(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via the native codegen'd expressions (graft.functions.VectorOps)
+    * — bit-equal to the HOF `aggregate(zip_with(...))` fold (left-to-right
+    * summation) but inside WholeStageCodegen instead of interpreted lambdas.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.cosine(a, b)
 
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -58,14 +57,16 @@ object Similarity {
     val e = prepared(embeddings)
     val cents = e.where(col("vec_id") < nBuckets)
       .select(col("vec_id").as("bucket"), col("v").as("cv"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("bucket").asc)
+    // broadcast nested-loop against the tiny centroid table (map-side), then
+    // argmax per vector via max_by — one partial-aggregating shuffle, no
+    // window sort; ties break to the lowest bucket id via (sim, -bucket)
     e.crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("bucket"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("bucket"), col("v")),
+          struct(col("sim"), -col("bucket"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.bucket").as("bucket"))
   }
 
   /** IVF-style ANN: probe the `nProbe` centroid buckets closest to the
