@@ -109,34 +109,28 @@ object Queries {
 
   /** A8 (first/last): time-ordered first/last observation per period, with a
     * unique tiebreak — the C-matrix `first`/`last` fill semantics.
+    *
+    * Expressed as min_by/max_by PARTIAL aggregates over a single packed
+    * (epoch-seconds, orderkey) bigint order key — map-side combinable, so a
+    * skewed/huge calendar partition never needs the full window sort a
+    * row_number() formulation would force (the difference between a scan
+    * and a sort-per-year at 100 TB).
     */
   private def groupFirstLast(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val wAsc = Window.partitionBy(year(col("o_orderdate")))
-      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-    val wDesc = Window.partitionBy(year(col("o_orderdate")))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    o.select(year(col("o_orderdate")).as("y"), col("o_totalprice"),
-        row_number().over(wAsc).as("rn_a"), row_number().over(wDesc).as("rn_d"))
-      .groupBy(col("y"))
+    val key = col("o_orderdate").cast(TimestampType).cast(LongType) * lit(1000000000L) + col("o_orderkey")
+    o.groupBy(year(col("o_orderdate")).as("y"))
       .agg(
-        max(when(col("rn_a") === 1, col("o_totalprice"))).as("first_price"),
-        max(when(col("rn_d") === 1, col("o_totalprice"))).as("last_price"))
+        min_by(col("o_totalprice"), key).as("first_price"),
+        max_by(col("o_totalprice"), key).as("last_price"))
       .orderBy(col("y"))
   }
 
   private val groupFirstLastSql =
-    """WITH ranked AS (
-      |  SELECT CAST(year(o_orderdate) AS INT) AS y, o_totalprice,
-      |    row_number() OVER (PARTITION BY year(o_orderdate)
-      |                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_a,
-      |    row_number() OVER (PARTITION BY year(o_orderdate)
-      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
-      |  FROM orders)
-      |SELECT y,
-      |  max(CASE WHEN rn_a = 1 THEN o_totalprice END) AS first_price,
-      |  max(CASE WHEN rn_d = 1 THEN o_totalprice END) AS last_price
-      |FROM ranked GROUP BY y ORDER BY y""".stripMargin
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  arg_min(o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey) AS first_price,
+      |  arg_max(o_totalprice, CAST(epoch(o_orderdate) AS BIGINT) * 1000000000 + o_orderkey) AS last_price
+      |FROM orders GROUP BY 1 ORDER BY y""".stripMargin
 
   /** A9: incomplete-group suppression — keep only years whose high-frequency
     * (monthly) group is complete, the `HAVING count = factor` rule.
@@ -227,16 +221,14 @@ object Queries {
     * series (the tests' `.resample("QS").first()` pattern).
     */
   private def resampleQuarter(s: SparkSession, dir: String): DataFrame = {
+    // monthly ts is unique after the first aggregation, so `first` per
+    // quarter is a plain min_by partial aggregate — no window sort
     val monthly = t(s, dir, "lineitem")
       .groupBy(date_trunc("month", col("l_shipdate")).as("ts"))
       .agg(dsum(col("l_quantity")).as("qty"))
-    val w = Window.partitionBy(date_trunc("quarter", col("ts")))
-      .orderBy(col("ts").asc)
     monthly
-      .select(date_trunc("quarter", col("ts")).as("qs"), col("qty"),
-        row_number().over(w).as("rn"))
-      .groupBy(col("qs"))
-      .agg(max(when(col("rn") === 1, col("qty"))).as("first_qty"),
+      .groupBy(date_trunc("quarter", col("ts")).as("qs"))
+      .agg(min_by(col("qty"), col("ts")).as("first_qty"),
         dsum(col("qty")).as("sum_qty"))
       .orderBy(col("qs"))
   }
@@ -245,15 +237,11 @@ object Queries {
     """WITH monthly AS (
       |  SELECT date_trunc('month', l_shipdate) AS ts,
       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
-      |  FROM lineitem GROUP BY 1),
-      |ranked AS (
-      |  SELECT date_trunc('quarter', ts) AS qs, qty,
-      |    row_number() OVER (PARTITION BY date_trunc('quarter', ts)
-      |                       ORDER BY ts ASC) AS rn
-      |  FROM monthly)
-      |SELECT qs, max(CASE WHEN rn = 1 THEN qty END) AS first_qty,
+      |  FROM lineitem GROUP BY 1)
+      |SELECT date_trunc('quarter', ts) AS qs,
+      |  arg_min(qty, ts) AS first_qty,
       |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-      |FROM ranked GROUP BY qs ORDER BY qs""".stripMargin
+      |FROM monthly GROUP BY 1 ORDER BY qs""".stripMargin
 
   /** A4: the validation aggregates the prepare step relies on (span + null
     * audit).
@@ -475,6 +463,12 @@ object Queries {
   private def streamWindowCounts(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.windowedEventCounts(s, dir)
 
+  private def sessionizeEvents(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionizeBatch(s, dir)
+
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionizeStream(s, dir)
+
   private val streamWindowCountsSql =
     """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -512,7 +506,9 @@ object Queries {
     "text_lang_id" -> textLangId _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "multimodal_features" -> multimodalFeatures _,
-    "stream_window_counts" -> streamWindowCounts _
+    "stream_window_counts" -> streamWindowCounts _,
+    "sessionize_events" -> sessionizeEvents _,
+    "stream_sessionize" -> streamSessionize _
   )
 
   val oracles: Map[String, String] = Map(
@@ -534,11 +530,14 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "sim_cosine_brute" -> simCosineBruteSql,
     "text_lang_id" -> textLangIdSql,
-    "stream_window_counts" -> streamWindowCountsSql
+    "stream_window_counts" -> streamWindowCountsSql,
+    "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql
     // intentionally rows-only (not ANSI-SQL-expressible): disagg_* (ML
     // estimation / KKT solves), dedup_minhash_lsh + dedup_simhash +
     // text_rolling_fingerprint (xxhash64 has no DuckDB equivalent),
     // dedup_embedding_cosine + sim_cosine_ivf (IVF bucket assignment),
-    // multimodal_features (stubbed decoder behind mapPartitions)
+    // multimodal_features (stubbed decoder behind mapPartitions),
+    // stream_sessionize (flatMapGroupsWithState; value-equality to the
+    // SQL-checkable sessionize_events is asserted in OpsSpec)
   )
 }

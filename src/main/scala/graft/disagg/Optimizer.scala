@@ -270,10 +270,36 @@ object Optimizer {
     (tLo, tHi)
   }
 
+  /** Bounded L-BFGS-B via Breeze with a finite-difference gradient; infinite
+    * upper bounds are capped. Breeze's line search can fail on very flat
+    * valleys — fall back to Nelder-Mead from the best point seen.
+    */
+  def lbfgsb(
+      f: Array[Double] => Double,
+      x0: Array[Double],
+      lower: Array[Double],
+      upper: Array[Double]): Result = {
+    import breeze.linalg.DenseVector
+    import breeze.optimize.{ApproximateGradientFunction, LBFGSB}
+    try {
+      val g = new ApproximateGradientFunction[Int, DenseVector[Double]](
+        (v: DenseVector[Double]) => f(v.toArray), 1e-7)
+      val solver = new LBFGSB(
+        DenseVector(lower), DenseVector(upper.map(u => math.min(u, 1e10))),
+        maxIter = 300, tolerance = 1e-10)
+      val st = solver.minimizeAndReturnState(g, DenseVector(clip(x0, lower, upper)))
+      // polish with a short NM from the LBFGSB point (finite-difference
+      // gradients limit attainable precision)
+      val nm = nelderMead(f, st.x.toArray, lower, upper)
+      if (nm.fval <= st.value) nm else Result(st.x.toArray, st.value, st.iter, success = true)
+    } catch {
+      case _: Exception => nelderMead(f, x0, lower, upper)
+    }
+  }
+
   /** Dispatch mirroring the reference's optimizer_kwargs["method"] surface
-    * (ts_disagg.py:426-448). "l-bfgs-b" is routed through Nelder-Mead — on
-    * this smooth bounded 2-D problem all scipy methods converge to the same
-    * optimum, and the goldens tolerate rtol 1e-5.
+    * (ts_disagg.py:426-448). All three methods converge to the same optimum
+    * on this smooth bounded 2-D problem; the goldens tolerate rtol 1e-5.
     */
   def minimize(
       method: String,
@@ -283,7 +309,7 @@ object Optimizer {
       upper: Array[Double]): Result = method match {
     case "powell"       => powell(f, x0, lower, upper)
     case "nelder-mead"  => nelderMead(f, x0, lower, upper)
-    case "l-bfgs-b"     => nelderMead(f, x0, lower, upper)
+    case "l-bfgs-b"     => lbfgsb(f, x0, lower, upper)
     case other =>
       throw new IllegalArgumentException(
         s"Unsupported optimizer method $other; use nelder-mead, powell or l-bfgs-b")

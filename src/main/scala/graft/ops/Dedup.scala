@@ -73,7 +73,8 @@ object Dedup {
       textCol: String = "text",
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val withSh = withShingles(docs, idCol, textCol)
@@ -93,7 +94,11 @@ object Dedup {
       .select(col("bk.band"), col("bk.key"), col("doc_id"))
       .groupBy(col("band"), col("key"))
       .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
+      // mega-buckets are giant exact-dup clusters: at corpus scale the
+      // O(|bucket|^2) pair explosion inside one task is the failure mode,
+      // and dedup_exact already collapses those clusters in linear time —
+      // so LSH skips buckets past the cap rather than detonating
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(col("ids")).as("doc_a"), col("ids"))
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
@@ -128,7 +133,8 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      maxBucket: Int = 256): DataFrame = {
     val withSig = docs.select(col(idCol).as("doc_id"),
       simhash64(col(textCol)).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),
@@ -140,7 +146,7 @@ object Dedup {
       .select(col("bk.band"), col("bk.key"), struct(col("doc_id"), col("sig")).as("d"))
       .groupBy(col("band"), col("key"))
       .agg(collect_list(col("d")).as("ds"))
-      .where(size(col("ds")) > 1)
+      .where(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(col("ds")).as("a"), col("ds"))
       .select(col("a"), explode(col("ds")).as("b"))
       .where(col("a.doc_id") < col("b.doc_id"))

