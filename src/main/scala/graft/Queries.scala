@@ -290,6 +290,27 @@ object Queries {
       params = Disaggregate.Params(method = "denton-cholette", aggFunc = "sum",
         targetFreq = Some("QS")))
 
+  /** agg_func variants: quarterly mean price disaggregated to monthly under
+    * `mean` consistency (chow-lin), and yearly series under `first`
+    * consistency (denton-cholette, no indicator).
+    */
+  private def disaggMeanQ2M(s: SparkSession, dir: String): DataFrame = {
+    val lowQ = t(s, dir, "orders")
+      .groupBy(date_trunc("quarter", col("o_orderdate")).as("ts"))
+      .agg(avg("o_totalprice").as("avg_price"))
+    val highM = t(s, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ts"))
+      .agg(avg(col("l_extendedprice")).as("lx"))
+      .withColumn("constant", lit(1.0))
+    Disaggregate.series(lowQ, Some(highM),
+      params = Disaggregate.Params(method = "chow-lin", aggFunc = "mean"))
+  }
+
+  private def disaggFirstY2Q(s: SparkSession, dir: String): DataFrame =
+    Disaggregate.series(lowYearly(s, dir), None,
+      params = Disaggregate.Params(method = "denton-cholette", aggFunc = "first",
+        targetFreq = Some("QS")))
+
   /** Many-series mode: one yearly revenue series per order priority,
     * disaggregated in parallel inside executors (the 100 TB shape).
     */
@@ -493,6 +514,8 @@ object Queries {
     "disagg_denton_y2q" -> disaggDenton _,
     "disagg_denton_cholette_y2q" -> disaggDentonCholette _,
     "disagg_many_series" -> disaggManySeries _,
+    "disagg_mean_q2m" -> disaggMeanQ2M _,
+    "disagg_first_y2q" -> disaggFirstY2Q _,
     "text_token_count" -> textTokenCount _,
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
