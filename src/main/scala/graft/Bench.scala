@@ -18,7 +18,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // driver-side kernel microbenchmarks at the reference's own problem
+    // sizes — directly comparable to the BASELINE.md rows
+    val kernels = try KernelBench.run().map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}") catch { case _: Throwable => "{}" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kernels_ms":$kernels,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

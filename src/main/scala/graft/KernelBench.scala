@@ -1,0 +1,95 @@
+package graft
+
+import java.time.LocalDate
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+
+import graft.disagg.{DisaggCore, Kernels, TsFrame}
+import graft.time.Frequency
+
+/** Driver-side kernel microbenchmarks at the REFERENCE's own problem sizes,
+  * so BENCH output is directly comparable to BASELINE.md:
+  *
+  *   - denton / denton-cholette A->Q end-to-end at n=144 (36 years)
+  *     [baseline: 15.9 / 15.8 ms]
+  *   - chow-lin objective, single evaluation at n=158, k=2
+  *     [baseline: 0.9 ms]
+  *   - litterman objective, single evaluation at n=474, k=2
+  *     [baseline: 24.0 ms]
+  *
+  * Synthetic deterministic series (no RNG). Median of `reps` after a JIT
+  * warmup.
+  */
+object KernelBench {
+
+  private def syntheticLow(nYears: Int): TsFrame = {
+    val ts = Frequency.parseValidated("YS").nDatesFrom(LocalDate.of(1975, 1, 1), nYears)
+    val v = Array.tabulate(nYears)(i => 100.0 + 10.0 * math.sin(i * 0.7) + i)
+    TsFrame(ts, IndexedSeq("y"), IndexedSeq(v))
+  }
+
+  private def syntheticHigh(freq: String, start: LocalDate, n: Int, k: Int): TsFrame = {
+    val ts = Frequency.parseValidated(freq).nDatesFrom(start, n)
+    val cols = (0 until k).map {
+      case 0 => "x0" -> Array.tabulate(n)(i => 50.0 + 5.0 * math.sin(i * 0.3) + 0.2 * i)
+      case j => s"x$j" -> Array.fill(n)(1.0)
+    }
+    TsFrame(ts, cols.map(_._1).toIndexedSeq, cols.map(_._2).toIndexedSeq)
+  }
+
+  private def medianMs(reps: Int)(body: => Unit): Double = {
+    body // warmup
+    val times = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e6
+    }
+    times.sorted.apply(reps / 2)
+  }
+
+  /** name -> median milliseconds. */
+  def run(reps: Int = 5): Seq[(String, Double)] = {
+    val low36 = syntheticLow(36)
+
+    val dentonMs = medianMs(reps) {
+      DisaggCore.run(low36, None, method = "denton", aggFunc = "sum")
+    }
+    val dcMs = medianMs(reps) {
+      DisaggCore.run(low36, None, method = "denton-cholette", aggFunc = "sum")
+    }
+
+    // chow-lin objective at the exports_q shape: n=158 quarterly, k=2
+    val highQ = syntheticHigh("QS", LocalDate.of(1972, 1, 1), 158, 2)
+    val lowQ = syntheticLow(36)
+    val prepQ = DisaggCore.prepareInputs(lowQ, Some(highQ), None, "chow-lin")
+    val cQ = DisaggCore.buildConversionMatrix(prepQ.low.ts, prepQ.lowFreq,
+      prepQ.high.ts, prepQ.factor, "sum")
+    val maskQ = (0 until cQ.rows).filter(i => (0 until cQ.cols).exists(j => cQ(i, j) != 0.0))
+    val cQk = DenseMatrix.tabulate(maskQ.length, cQ.cols)((i, j) => cQ(maskQ(i), j))
+    val yQ = DenseVector(maskQ.map(lowQ.data(0)).toArray)
+    val xQ = DenseMatrix.tabulate(158, 2)((i, j) => highQ.data(j)(i))
+    val chowLinEvalMs = medianMs(reps) {
+      Kernels.negLogLikObjective(0.8, 0.8, yQ, xQ, cQk, Kernels.ChowLinCov)
+    }
+
+    // litterman objective at the exports_m shape: n=474 monthly, k=2
+    val highM = syntheticHigh("MS", LocalDate.of(1972, 1, 1), 474, 2)
+    val lowM = syntheticLow(39)
+    val prepM = DisaggCore.prepareInputs(lowM, Some(highM), None, "litterman")
+    val cM = DisaggCore.buildConversionMatrix(prepM.low.ts, prepM.lowFreq,
+      prepM.high.ts, prepM.factor, "sum")
+    val maskM = (0 until cM.rows).filter(i => (0 until cM.cols).exists(j => cM(i, j) != 0.0))
+    val cMk = DenseMatrix.tabulate(maskM.length, cM.cols)((i, j) => cM(maskM(i), j))
+    val yM = DenseVector(maskM.map(lowM.data(0)).toArray)
+    val xM = DenseMatrix.tabulate(474, 2)((i, j) => highM.data(j)(i))
+    val littermanEvalMs = medianMs(reps) {
+      Kernels.negLogLikObjective(0.8, 0.8, yM, xM, cMk, Kernels.LittermanCov)
+    }
+
+    Seq(
+      "denton_a2q_n144_ms" -> dentonMs,
+      "denton_cholette_a2q_n144_ms" -> dcMs,
+      "chowlin_objective_eval_n158_ms" -> chowLinEvalMs,
+      "litterman_objective_eval_n474_ms" -> littermanEvalMs)
+  }
+}

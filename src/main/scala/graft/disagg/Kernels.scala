@@ -41,7 +41,13 @@ object Kernels {
     */
   def chowLinCovariance(rho: Double, sigmaSq: Double, n: Int): DenseMatrix[Double] = {
     val scale = sigmaSq / (1.0 - rho * rho)
-    DenseMatrix.tabulate(n, n)((i, j) => math.pow(rho, math.abs(i - j)) * scale)
+    // Toeplitz: precompute the scaled power ladder once (n multiplications)
+    // instead of n^2 math.pow calls
+    val pow = new Array[Double](n)
+    var i = 0
+    var acc = scale
+    while (i < n) { pow(i) = acc; acc *= rho; i += 1 }
+    DenseMatrix.tabulate(n, n)((i, j) => pow(math.abs(i - j)))
   }
 
   /** Litterman random-walk-AR(1) covariance
