@@ -315,9 +315,12 @@ object Queries {
     * disaggregated in parallel inside executors (the 100 TB shape).
     */
   private def disaggManySeries(s: SparkSession, dir: String): DataFrame = {
+    // series id from the priority's leading digit ('1-URGENT' -> 1): a
+    // per-row projection — the dense_rank-over-global-Window alternative
+    // funnels the whole table through ONE task at scale
     val keyed = t(s, dir, "orders")
       .withColumn("series_id",
-        (dense_rank().over(Window.orderBy(col("o_orderpriority"))) - 1).cast(LongType))
+        split(col("o_orderpriority"), "-").getItem(0).cast(LongType))
       .groupBy(col("series_id"), date_trunc("year", col("o_orderdate")).as("ts"))
       .agg(sum("o_totalprice").as("value"))
     Disaggregate.manySeries(keyed, None,

@@ -289,17 +289,14 @@ object DisaggCore {
           Kernels.negLogLikObjective(params(0), params(1), y, x, c, kind)
         val res = Optimizer.minimize(
           optimizerMethod, obj, Array(0.8, 0.8),
-          lower = Array(1e-5, 1e-5), upper = Array(1.0 - 1e-5, 1e10))
+          lower = Array(1e-5, 1e-5), upper = Array(1.0 - 1e-5, 1e300))
         optim = Some(res)
         val rho = res.x(0)
         val sigmaSq = res.x(1)
         rhoOut = Some(rho); sigmaOut = Some(sigmaSq)
         val prod = Kernels.covProducts(kind, rho, sigmaSq, n, c)
         val beta = Kernels.glsBetaHatFromCsct(prod.csct, y, x, c)
-        val sInvX = Kernels.sigmaInv(kind, rho, sigmaSq, x)
-        val xtsx = x.t * sInvX
-        val invM = xtsx \ DenseMatrix.eye[Double](xtsx.rows)
-        val stdBeta = DenseVector.tabulate(invM.rows)(i => math.sqrt(invM(i, i)))
+        val stdBeta = Kernels.glsStdErrors(kind, rho, sigmaSq, x)
         betaOut = Some(beta.toArray); stdOut = Some(stdBeta.toArray)
         if (verbose)
           Report.printRegressionReport(target, y, x, merged.columns.filterNot(_ == merged.columns(targetIdx)),

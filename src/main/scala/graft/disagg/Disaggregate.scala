@@ -48,6 +48,7 @@ object Disaggregate {
     case t: Timestamp => t.toInstant.atZone(ZoneOffset.UTC).toLocalDate
     case d: java.sql.Date => d.toLocalDate
     case d: LocalDate => d
+    case dt: java.time.LocalDateTime => dt.toLocalDate // TIMESTAMP_NTZ external type
     case i: java.time.Instant => i.atZone(ZoneOffset.UTC).toLocalDate
     case other => throw new IllegalArgumentException(s"Unsupported time value $other")
   }
@@ -157,31 +158,35 @@ object Disaggregate {
 
     val out = lowDs.groupByKey(_.series_id).cogroup(highDs.groupByKey(_.series_id)) {
       (key, lowIt, highIt) =>
-        val lowRows = lowIt.toArray.sortBy(_.ts.getTime)
-        if (lowRows.isEmpty) Iterator.empty
-        else {
-          val lowFrame = TsFrame(
-            lowRows.map(r => toLocalDate(r.ts)).toIndexedSeq,
-            IndexedSeq(valueCol),
-            IndexedSeq(lowRows.map(_.value)))
-          val highFrame: Option[TsFrame] = if (!hasHigh) None else {
-            val hr = highIt.toArray.sortBy(_.ts.getTime)
-            if (hr.isEmpty) None
-            else Some(TsFrame(
-              hr.map(r => toLocalDate(r.ts)).toIndexedSeq,
-              indNames,
-              indNames.indices.map(j => hr.map(_.values(j)))))
-          }
-          try {
+        // the ENTIRE per-series pipeline sits inside the try: a malformed
+        // series (null timestamps, ragged indicators, bad calendar) is
+        // skipped — at pipeline scale one poisoned series must not kill
+        // the job
+        try {
+          val lowRows = lowIt.toArray.filter(_.ts != null).sortBy(_.ts.getTime)
+          if (lowRows.isEmpty) Iterator.empty
+          else {
+            val lowFrame = TsFrame(
+              lowRows.map(r => toLocalDate(r.ts)).toIndexedSeq,
+              IndexedSeq(valueCol),
+              IndexedSeq(lowRows.map(_.value)))
+            val highFrame: Option[TsFrame] = if (!hasHigh) None else {
+              val hr = highIt.toArray.filter(_.ts != null).sortBy(_.ts.getTime)
+              if (hr.isEmpty) None
+              else Some(TsFrame(
+                hr.map(r => toLocalDate(r.ts)).toIndexedSeq,
+                indNames,
+                indNames.indices.map(j => hr.map(_.values(j)))))
+            }
             val res = DisaggCore.run(lowFrame, highFrame, p.targetFreq, None, p.aggFunc,
               p.method, p.criterion, p.h, p.optimizerMethod, verbose = false,
               p.lowFreq, p.highFreq)
             res.ts.zip(res.values).iterator.map { case (d, v) =>
               KeyedOut(key, toTimestamp(d), v)
             }
-          } catch {
-            case _: Exception => Iterator.empty
           }
+        } catch {
+          case _: Exception => Iterator.empty
         }
     }
     out.toDF(seriesCol, tsCol, valueCol)

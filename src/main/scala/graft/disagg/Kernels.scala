@@ -221,9 +221,12 @@ object Kernels {
     -logLikelihood(nl, prod.csct, ul)
   }
 
-  /** GLS standard errors `sqrt(diag((X' S^-1 X)^-1))` (ts_disagg.py:452-455). */
-  def glsStdErrors(sigma: DenseMatrix[Double], x: DenseMatrix[Double]): DenseVector[Double] = {
-    val sInvX = sigma \ x
+  /** GLS standard errors `sqrt(diag((X' S^-1 X)^-1))` (ts_disagg.py:452-455),
+    * using the structure-aware S^-1 application for each covariance family.
+    */
+  def glsStdErrors(kind: MlCov, rho: Double, sigmaSq: Double,
+      x: DenseMatrix[Double]): DenseVector[Double] = {
+    val sInvX = sigmaInv(kind, rho, sigmaSq, x)
     val xtsx = x.t * sInvX
     val invM = xtsx \ DenseMatrix.eye[Double](xtsx.rows)
     DenseVector.tabulate(invM.rows)(i => math.sqrt(invM(i, i)))

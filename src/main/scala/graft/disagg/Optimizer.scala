@@ -254,8 +254,8 @@ object Optimizer {
   private def feasibleSegment(
       x: Array[Double], dir: Array[Double],
       lower: Array[Double], upper: Array[Double]): (Double, Double) = {
-    var tLo = -1e10
-    var tHi = 1e10
+    var tLo = -1e300
+    var tHi = 1e300
     var k = 0
     while (k < x.length) {
       if (dir(k) > 0) {
@@ -285,7 +285,7 @@ object Optimizer {
       val g = new ApproximateGradientFunction[Int, DenseVector[Double]](
         (v: DenseVector[Double]) => f(v.toArray), 1e-7)
       val solver = new LBFGSB(
-        DenseVector(lower), DenseVector(upper.map(u => math.min(u, 1e10))),
+        DenseVector(lower), DenseVector(upper.map(u => math.min(u, 1e12))),
         maxIter = 300, tolerance = 1e-10)
       val st = solver.minimizeAndReturnState(g, DenseVector(clip(x0, lower, upper)))
       // polish with a short NM from the LBFGSB point (finite-difference

@@ -96,7 +96,11 @@ object Report {
 
     val ul = y - c * (x * DenseVector(beta))
     val yMean = breeze.stats.mean(y)
-    val ssRes = breeze.stats.variance(ul)
+    // reference mixes conventions (ts_disagg.py:188): np.var(ul) is the
+    // POPULATION variance, (y - y.mean()).var() is pandas' SAMPLE variance
+    val nl = ul.length
+    val ulMean = breeze.stats.mean(ul)
+    val ssRes = breeze.linalg.sum((ul - ulMean).map(v => v * v)) / nl
     val ssTot = breeze.stats.variance(y - yMean)
     val r2 = 1.0 - ssRes / ssTot
     val adjR2 = 1.0 - (1.0 - r2) * (nObs - 1.0) / (nObs - k - 1.0)

@@ -28,6 +28,15 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_sig requires array<bigint> of element hashes, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val n = xs.numElements()
@@ -57,6 +66,15 @@ case class SimHash(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash requires array<bigint> of token hashes, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(a: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -96,6 +114,15 @@ case class NgramShingles(child: Expression, n: Int)
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shingles requires a string column, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(a: Any): Any = {
     val text = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]

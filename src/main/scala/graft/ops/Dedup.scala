@@ -77,7 +77,10 @@ object Dedup {
       maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // the shingle table feeds three consumers (signature pass + both sides
+    // of the verification join); persist so the corpus is shingled once
     val withSh = withShingles(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
 
     // ONE narrow shuffle: only (band, bandKey, doc_id) flows — shingle

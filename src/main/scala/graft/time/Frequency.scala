@@ -90,12 +90,7 @@ final case class Frequency(
     * end-anchored: last (business) day of such a month.
     */
   def isOnOffset(d: LocalDate): Boolean = {
-    val monthOk = cls match {
-      case FreqClass.Monthly   => true
-      case FreqClass.Quarterly => ((d.getMonthValue - anchorOrDefault) % 3 + 3) % 3 == 0
-      case FreqClass.Yearly    => d.getMonthValue == anchorOrDefault
-    }
-    monthOk && {
+    anchorMonthOk(d.getMonthValue) && {
       val ym = YearMonth.of(d.getYear, d.getMonthValue)
       if (isStart) {
         val first = LocalDate.of(d.getYear, d.getMonthValue, 1)
@@ -119,47 +114,38 @@ final case class Frequency(
       if (business) Calendar.rollWeekendBack(last) else last
     }
 
-  /** All on-offset dates in [start, end] inclusive — the `pd.date_range`
-    * equivalent (rolls `start` forward to the first on-offset date).
+  /** Is `m` a valid month for this frequency's anchor? (shared by the date
+    * iterator and isOnOffset).
     */
-  def dateRange(start: LocalDate, end: LocalDate): IndexedSeq[LocalDate] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[LocalDate]
-    var ym = YearMonth.of(start.getYear, start.getMonthValue)
-    // align to an anchor-compatible month
-    def monthOk(m: YearMonth): Boolean = cls match {
-      case FreqClass.Monthly   => true
-      case FreqClass.Quarterly => ((m.getMonthValue - anchorOrDefault) % 3 + 3) % 3 == 0
-      case FreqClass.Yearly    => m.getMonthValue == anchorOrDefault
-    }
-    while (!monthOk(ym)) ym = ym.plusMonths(1)
-    var d = dateInMonth(ym)
-    while (d.isBefore(start)) { ym = ym.plusMonths(stepMonths); d = dateInMonth(ym) }
-    while (!d.isAfter(end)) {
-      buf += d
-      ym = ym.plusMonths(stepMonths)
-      d = dateInMonth(ym)
-    }
-    buf.toIndexedSeq
+  private def anchorMonthOk(month: Int): Boolean = cls match {
+    case FreqClass.Monthly   => true
+    case FreqClass.Quarterly => ((month - anchorOrDefault) % 3 + 3) % 3 == 0
+    case FreqClass.Yearly    => month == anchorOrDefault
   }
 
-  def nDatesFrom(start: LocalDate, n: Int): IndexedSeq[LocalDate] = {
-    val buf = scala.collection.mutable.ArrayBuffer.empty[LocalDate]
+  /** Infinite stream of on-offset dates, starting at the first one >= start
+    * (the `pd.date_range` roll-forward rule). Single source of truth for all
+    * spine generation.
+    */
+  def onOffsetFrom(start: LocalDate): Iterator[LocalDate] = {
     var ym = YearMonth.of(start.getYear, start.getMonthValue)
-    def monthOk(m: YearMonth): Boolean = cls match {
-      case FreqClass.Monthly   => true
-      case FreqClass.Quarterly => ((m.getMonthValue - anchorOrDefault) % 3 + 3) % 3 == 0
-      case FreqClass.Yearly    => m.getMonthValue == anchorOrDefault
-    }
-    while (!monthOk(ym)) ym = ym.plusMonths(1)
+    while (!anchorMonthOk(ym.getMonthValue)) ym = ym.plusMonths(1)
     var d = dateInMonth(ym)
     while (d.isBefore(start)) { ym = ym.plusMonths(stepMonths); d = dateInMonth(ym) }
-    while (buf.size < n) {
-      buf += d
-      ym = ym.plusMonths(stepMonths)
-      d = dateInMonth(ym)
-    }
-    buf.toIndexedSeq
+    val first = d
+    val firstYm = ym
+    Iterator.iterate((first, firstYm)) { case (_, m) =>
+      val nm = m.plusMonths(stepMonths)
+      (dateInMonth(nm), nm)
+    }.map(_._1)
   }
+
+  /** All on-offset dates in [start, end] inclusive. */
+  def dateRange(start: LocalDate, end: LocalDate): IndexedSeq[LocalDate] =
+    onOffsetFrom(start).takeWhile(!_.isAfter(end)).toIndexedSeq
+
+  def nDatesFrom(start: LocalDate, n: Int): IndexedSeq[LocalDate] =
+    onOffsetFrom(start).take(n).toIndexedSeq
 }
 
 object Frequency {
