@@ -329,6 +329,32 @@ object Queries {
       .orderBy(col("series_id"), col("ts"))
   }
 
+  /** Many-series with indicators: per-priority yearly revenue disaggregated
+    * monthly by chow-lin against per-priority monthly lineitem revenue. Both
+    * sides cogroup on the series key; the lineitem->orders key join
+    * broadcasts the order dimension.
+    */
+  private def disaggManySeriesChowLin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"),
+      split(col("o_orderpriority"), "-").getItem(0).cast(LongType).as("series_id"),
+      col("o_orderdate"), col("o_totalprice"))
+    val low = o.groupBy(col("series_id"),
+        date_trunc("year", col("o_orderdate")).as("ts"))
+      .agg(sum("o_totalprice").as("value"))
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(o.select(col("o_orderkey"), col("series_id"))),
+        col("l_orderkey") === col("o_orderkey"))
+    val high = li.groupBy(col("series_id"),
+        date_trunc("month", col("l_shipdate")).as("ts"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lx"))
+      .withColumn("constant", lit(1.0))
+    Disaggregate.manySeries(low, Some(high),
+      indicatorCols = Seq("lx", "constant"),
+      params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum"))
+      .orderBy(col("series_id"), col("ts"))
+  }
+
   // ----------------------------------------------------------- text analysis
 
   /** Token counting over `documents` (whitespace tokenization). */
@@ -518,6 +544,7 @@ object Queries {
     "disagg_denton_cholette_y2q" -> disaggDentonCholette _,
     "disagg_many_series" -> disaggManySeries _,
     "disagg_mean_q2m" -> disaggMeanQ2M _,
+    "disagg_many_chowlin" -> disaggManySeriesChowLin _,
     "disagg_first_y2q" -> disaggFirstY2Q _,
     "text_token_count" -> textTokenCount _,
     "text_quality" -> textQuality _,

@@ -55,7 +55,11 @@ object StreamingOps {
     q.processAllAvailable()
     q.stop()
     spark.table(name)
-      .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+      // NTZ like every other emitted time column: the oracle's DuckDB
+      // timestamps are naive, and a UTC-adjusted parquet annotation would
+      // make a string/driver-side compare see "+00:00" on one side only
+      .select(col("w.start").cast("timestamp_ntz").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("day"), col("event_type"))
   }
 

@@ -73,7 +73,8 @@ class OpsSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .orderBy("day", "event_type")
