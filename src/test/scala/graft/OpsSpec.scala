@@ -113,6 +113,30 @@ class OpsSpec extends AnyFunSuite {
     assert(feats.count() == docs.count())
   }
 
+  test("native NgramShingles equals the declarative HOF formulation") {
+    val native = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val hof = docs
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks")).as("sh"))
+    val joined = native.as("a").join(hof.as("b"), "doc_id")
+      .where(col("a.sh") =!= col("b.sh"))
+    assert(joined.count() == 0, "native shingles diverge from HOF semantics")
+  }
+
+  test("IVF buckets as a partition column prune the scan (the at-scale layout)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_buckets").toString
+    ops.Similarity.assignBuckets(embeddings, 8)
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val reread = spark.read.parquet(tmp).where(col("bucket").isin(1, 3))
+    val plan = reread.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("bucket#") || plan.contains("bucket IN")),
+      s"expected partition pruning in:\n${plan.take(800)}")
+    val full = spark.read.parquet(tmp).count()
+    val pruned = reread.count()
+    assert(pruned < full && pruned > 0)
+  }
+
   test("lang-id emits only profile languages and is stable") {
     val preds = docs.select(TextOps.langId(col("text")).as("l"))
       .groupBy("l").count().collect().map(_.getString(0)).toSet
