@@ -259,6 +259,88 @@ object Queries {
       |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_null
       |FROM orders""".stripMargin
 
+  /** Corpus-level aggregation breadth: exact distinct counts + totals. */
+  private def corpusStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(size(split(trim(col("text")), "\\s+")).cast(LongType)).as("total_tokens"),
+      sum(col("n_chars")).as("total_chars"))
+
+  private val corpusStatsSql =
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT source) AS n_sources,
+      |  sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+      |  sum(n_chars) AS total_chars
+      |FROM documents""".stripMargin
+
+  /** Join-type breadth: semi (orders with lineitems in 1996) and anti
+    * (orders with none).
+    */
+  private def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li96 = t(s, dir, "lineitem")
+      .where(year(col("l_shipdate")) === 1996)
+      .select(col("l_orderkey"))
+    val semi = o.join(li96, o("o_orderkey") === li96("l_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .select(lit("semi").as("kind"), col("n"), col("revenue"))
+    val anti = o.join(li96, o("o_orderkey") === li96("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .select(lit("anti").as("kind"), col("n"), col("revenue"))
+    semi.unionAll(anti).orderBy(col("kind"))
+  }
+
+  private val semiAntiJoinSql =
+    """WITH li96 AS (
+      |  SELECT DISTINCT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1996)
+      |SELECT 'semi' AS kind, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM li96)
+      |UNION ALL
+      |SELECT 'anti' AS kind, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM li96)
+      |ORDER BY kind""".stripMargin
+
+  /** Set-operation breadth: months present in lineitem but not orders, and
+    * the intersection.
+    */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val lm = t(s, dir, "lineitem")
+      .select(date_trunc("month", col("l_shipdate")).as("m")).distinct()
+    val om = t(s, dir, "orders")
+      .select(date_trunc("month", col("o_orderdate")).as("m")).distinct()
+    val onlyL = lm.except(om).select(lit("lineitem_only").as("kind"), col("m"))
+    val both = lm.intersect(om).select(lit("both").as("kind"), col("m"))
+    onlyL.unionAll(both).orderBy(col("kind"), col("m"))
+  }
+
+  private val setOpsSql =
+    """WITH lm AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS m FROM lineitem),
+      |om AS (SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders)
+      |SELECT 'lineitem_only' AS kind, m FROM (SELECT m FROM lm EXCEPT SELECT m FROM om)
+      |UNION ALL
+      |SELECT 'both' AS kind, m FROM (SELECT m FROM lm INTERSECT SELECT m FROM om)
+      |ORDER BY kind, m""".stripMargin
+
+  /** Hierarchical aggregation breadth: rollup over (year, quarter). */
+  private def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("y").asc_nulls_first, col("q").asc_nulls_first)
+
+  private val rollupRevenueSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM orders GROUP BY ROLLUP (1, 2)
+      |ORDER BY y ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin
+
   // -------------------------------------------------- disaggregation surface
 
   private def lowYearly(s: SparkSession, dir: String): DataFrame =
@@ -538,6 +620,10 @@ object Queries {
     "a12_dropna_recover_low" -> dropnaRecoverLow _,
     "a13_resample_quarter" -> resampleQuarter _,
     "a4_validation_stats" -> validationStats _,
+    "agg_corpus_stats" -> corpusStats _,
+    "join_semi_anti" -> semiAntiJoin _,
+    "set_ops_months" -> setOps _,
+    "rollup_revenue" -> rollupRevenue _,
     "disagg_chow_lin_y2m" -> disaggChowLin _,
     "disagg_litterman_y2m" -> disaggLitterman _,
     "disagg_denton_y2q" -> disaggDenton _,
@@ -576,6 +662,10 @@ object Queries {
     "a12_dropna_recover_low" -> dropnaRecoverLowSql,
     "a13_resample_quarter" -> resampleQuarterSql,
     "a4_validation_stats" -> validationStatsSql,
+    "agg_corpus_stats" -> corpusStatsSql,
+    "join_semi_anti" -> semiAntiJoinSql,
+    "set_ops_months" -> setOpsSql,
+    "rollup_revenue" -> rollupRevenueSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
