@@ -102,6 +102,26 @@ class DisaggGoldenSpec extends AnyFunSuite {
     assertAllClose(out.values, want, 1e-3, "chow-lin AtoQ backcast")
   }
 
+  test("additive criterion preserves aggregation consistency (no golden exists)") {
+    // the R goldens only exercise criterion=proportional; the additive path
+    // (ts_disagg.py:157-158 — no diag scaling) is pinned by the defining
+    // invariant C y_hat = y instead
+    for (method <- Seq("denton", "denton-cholette")) {
+      val out = DisaggCore.run(salesA, None, method = method,
+        aggFunc = "sum", criterion = "additive")
+      val yearly = out.values.grouped(4).map(_.sum).toArray
+      val want = salesA.data(0)
+      assertAllClose(yearly, want, 1e-8, s"additive $method roll-up")
+    }
+  }
+
+  test("h=2 differencing order runs and preserves consistency") {
+    val out = DisaggCore.run(salesA, None, method = "denton-cholette",
+      aggFunc = "sum", h = 2)
+    val yearly = out.values.grouped(4).map(_.sum).toArray
+    assertAllClose(yearly, salesA.data(0), 1e-8, "h=2 roll-up")
+  }
+
   test("error paths pin the reference's messages (test:366-475)") {
     val dailyTs = (0 until 3).map(i => java.time.LocalDate.parse("2020-01-01").plusDays(i.toLong))
     val daily = frame(dailyTs, "data" -> Array(1.0, 2.0, 3.0))

@@ -1,0 +1,38 @@
+import duckdb, json, glob, os, sys
+import pandas as pd
+sf = '/root/testdata/sf0.01'
+out = '/root/repo/target/verify_out'
+con = duckdb.connect()
+for tbl in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')")
+oracles = json.load(open(f'{out}/oracle_sql.json'))
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+for name, sql in sorted(oracles.items()):
+    try:
+        want = con.execute(sql).fetchdf()
+        got = pd.read_parquet(f'{out}/{name}')
+        w, g = norm(want), norm(got)
+        status = 'OK'
+        if list(w.columns) != list(g.columns):
+            status = f'COLS want={list(w.columns)} got={list(g.columns)}'
+        elif len(w) != len(g):
+            status = f'ROWS want={len(w)} got={len(g)}'
+        else:
+            for c in w.columns:
+                wv, gv = w[c], g[c]
+                if str(wv.dtype).startswith('datetime') or str(gv.dtype).startswith('datetime'):
+                    wv = pd.to_datetime(wv).astype('datetime64[us]').astype('int64'); gv = pd.to_datetime(gv).astype('datetime64[us]').astype('int64')
+                try:
+                    same = (wv.fillna(-999).values == gv.fillna(-999).values).all()
+                except Exception:
+                    same = (wv.astype(str).values == gv.astype(str).values).all()
+                if not same:
+                    diffs = (wv.fillna(-999).values != gv.fillna(-999).values).sum()
+                    status = f'VALUES col={c} ndiff={diffs} want0={wv.iloc[0]} got0={gv.iloc[0]}'
+                    break
+        print(f'{name:26s} {status}')
+    except Exception as e:
+        print(f'{name:26s} ERROR {type(e).__name__}: {str(e)[:140]}')
