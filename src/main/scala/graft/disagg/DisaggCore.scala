@@ -217,7 +217,8 @@ object DisaggCore {
       optimizerMethod: String = "nelder-mead",
       verbose: Boolean = false,
       lowFreqHint: Option[String] = None,
-      highFreqHint: Option[String] = None): DisaggOutput = {
+      highFreqHint: Option[String] = None,
+      optimizerOptions: Optimizer.Options = Optimizer.Options()): DisaggOutput = {
 
     if (!Seq("denton", "denton-cholette", "chow-lin", "litterman").contains(method))
       fail(s"Method should be one of 'denton', 'denton-cholette', 'chow-lin', 'litterman'. Got $method.")
@@ -289,7 +290,8 @@ object DisaggCore {
           Kernels.negLogLikObjective(params(0), params(1), y, x, c, kind)
         val res = Optimizer.minimize(
           optimizerMethod, obj, Array(0.8, 0.8),
-          lower = Array(1e-5, 1e-5), upper = Array(1.0 - 1e-5, 1e300))
+          lower = Array(1e-5, 1e-5), upper = Array(1.0 - 1e-5, 1e300),
+          opts = optimizerOptions)
         optim = Some(res)
         val rho = res.x(0)
         val sigmaSq = res.x(1)

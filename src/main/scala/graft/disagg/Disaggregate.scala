@@ -42,7 +42,8 @@ object Disaggregate {
       optimizerMethod: String = "nelder-mead",
       verbose: Boolean = false,
       lowFreq: Option[String] = None,
-      highFreq: Option[String] = None)
+      highFreq: Option[String] = None,
+      optimizerOptions: Optimizer.Options = Optimizer.Options())
 
   private[graft] def toLocalDate(v: Any): LocalDate = v match {
     case t: Timestamp => t.toInstant.atZone(ZoneOffset.UTC).toLocalDate
@@ -105,7 +106,7 @@ object Disaggregate {
     val high = highFreqDf.map(collectTsFrame(_, tsCol, "high_freq_df"))
     DisaggCore.run(low, high, params.targetFreq, params.targetColumn, params.aggFunc,
       params.method, params.criterion, params.h, params.optimizerMethod, params.verbose,
-      params.lowFreq, params.highFreq)
+      params.lowFreq, params.highFreq, params.optimizerOptions)
   }
 
   private[graft] def toDataFrame(spark: SparkSession, out: DisaggOutput, tsCol: String): DataFrame = {

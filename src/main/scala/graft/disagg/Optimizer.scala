@@ -16,6 +16,14 @@ object Optimizer {
 
   final case class Result(x: Array[Double], fval: Double, nIter: Int, success: Boolean)
 
+  /** The optimizer_kwargs surface (ts_disagg.py:426-448): tolerance and
+    * iteration knobs forwarded to whichever method runs.
+    */
+  final case class Options(
+      maxIter: Int = 2000,
+      xatol: Double = 1e-9,
+      fatol: Double = 1e-13)
+
   private def clip(x: Array[Double], lo: Array[Double], hi: Array[Double]): Array[Double] = {
     val out = new Array[Double](x.length)
     var i = 0
@@ -306,9 +314,10 @@ object Optimizer {
       f: Array[Double] => Double,
       x0: Array[Double],
       lower: Array[Double],
-      upper: Array[Double]): Result = method match {
-    case "powell"       => powell(f, x0, lower, upper)
-    case "nelder-mead"  => nelderMead(f, x0, lower, upper)
+      upper: Array[Double],
+      opts: Options = Options()): Result = method match {
+    case "powell"       => powell(f, x0, lower, upper, xtol = opts.xatol, maxIter = math.min(opts.maxIter, 500))
+    case "nelder-mead"  => nelderMead(f, x0, lower, upper, opts.xatol, opts.fatol, opts.maxIter)
     case "l-bfgs-b"     => lbfgsb(f, x0, lower, upper)
     case other =>
       throw new IllegalArgumentException(
