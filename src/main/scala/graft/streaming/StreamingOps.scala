@@ -26,7 +26,17 @@ object StreamingOps {
     * value-identical to the equivalent GROUP BY date_trunc('day', ts) batch
     * query, which is exactly what the DuckDB oracle replays.
     */
-  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** Run `body` with a reduced shuffle-partition count: streaming state
+    * stores cost per-partition setup, and these bounded demo streams don't
+    * need the batch layer's parallelism.
+    */
+  private def withStreamingPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
     // rejects; read it as raw nanos and rebuild a microsecond timestamp
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -123,7 +133,7 @@ object StreamingOps {
     * (asserted in OpsSpec); on an unbounded stream the same code keeps
     * running with watermark-driven timeouts.
     */
-  def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = withStreamingPartitions(spark, 8) {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
