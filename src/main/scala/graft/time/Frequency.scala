@@ -191,26 +191,31 @@ object Frequency {
     if (dates.length < 3) return None
     val allFirst = dates.forall(_.getDayOfMonth == 1)
     val allLast = dates.forall(d => d.getDayOfMonth == YearMonth.from(d).lengthOfMonth)
-    if (!allFirst && !allLast) return None
+    // business variants: every date is the first/last WEEKDAY of its month
+    val allFirstBiz = !allFirst &&
+      dates.forall(d => d == Calendar.rollWeekendForward(d.withDayOfMonth(1)))
+    val allLastBiz = !allLast &&
+      dates.forall(d => d == Calendar.rollWeekendBack(
+        d.withDayOfMonth(YearMonth.from(d).lengthOfMonth)))
+    if (!allFirst && !allLast && !allFirstBiz && !allLastBiz) return None
     val monthDiffs = dates.sliding(2).map { case Seq(a, b) =>
       (b.getYear - a.getYear) * 12 + (b.getMonthValue - a.getMonthValue)
     }.toSeq
     val step = monthDiffs.head
     if (!monthDiffs.forall(_ == step)) return None
-    // For last-of-month runs each date must be the end of its own month and
-    // spacing consistent; same for first-of-month (checked above).
-    val isStart = allFirst
+    val isStart = allFirst || allFirstBiz
+    val business = allFirstBiz || allLastBiz
     val m0 = dates.head.getMonthValue
     step match {
-      case 1 => Some(Frequency(FreqClass.Monthly, isStart, business = false, None))
+      case 1 => Some(Frequency(FreqClass.Monthly, isStart, business, None))
       case 3 =>
         val anchor = (m0 % 3) match {
           case 1 => 10 // OCT
           case 2 => 11 // NOV
           case 0 => 12 // DEC
         }
-        Some(Frequency(FreqClass.Quarterly, isStart, business = false, Some(anchor)))
-      case 12 => Some(Frequency(FreqClass.Yearly, isStart, business = false, Some(m0)))
+        Some(Frequency(FreqClass.Quarterly, isStart, business, Some(anchor)))
+      case 12 => Some(Frequency(FreqClass.Yearly, isStart, business, Some(m0)))
       case _ => None
     }
   }

@@ -72,6 +72,28 @@ class FrequencySpec extends AnyFunSuite {
       LocalDate.parse("2020-12-06"))) == None)
   }
 
+  test("inference recognizes business-calendar runs (BMS/BME)") {
+    // generate via the printer/generator itself, then round-trip through infer
+    for (tok <- Seq("BMS", "BME", "BQS-JAN", "BYS-MAR")) {
+      val f = Frequency.parseValidated(tok)
+      val run = f.nDatesFrom(LocalDate.parse("2019-05-07"), 8)
+      val inferred = Frequency.infer(run)
+      assert(inferred.isDefined, s"$tok run should infer: $run")
+      assert(inferred.get.cls == f.cls && inferred.get.isStart == f.isStart,
+        s"$tok inferred ${inferred.get.name}")
+      // a run where every month-edge lands on a weekday is indistinguishable
+      // from the non-business alias (pandas behaves the same); business must
+      // be inferred exactly when some date is weekend-shifted
+      val shifted =
+        if (f.isStart) run.exists(_.getDayOfMonth != 1)
+        else run.exists(d => d.getDayOfMonth != java.time.YearMonth.from(d).lengthOfMonth)
+      assert(inferred.get.business == shifted, s"$tok: business=$shifted expected")
+    }
+    // a plain first-of-month run must NOT look like business
+    val ms = Frequency.parseValidated("MS").nDatesFrom(LocalDate.parse("2019-05-01"), 6)
+    assert(Frequency.infer(ms).map(_.name) == Some("MS"))
+  }
+
   test("date ranges: anchored quarters and month-ends") {
     val qs = Frequency.parseValidated("QS-OCT")
     val r = qs.dateRange(LocalDate.parse("1975-01-01"), LocalDate.parse("1975-12-31"))
