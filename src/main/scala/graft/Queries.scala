@@ -583,6 +583,12 @@ object Queries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-level MinHash-union sketch (typed Aggregator): estimated
+    * Jaccard similarity between per-language sub-corpora.
+    */
+  private def corpusSimilarity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.corpusSimilarity(t(s, dir, "documents"))
+
   private def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -644,6 +650,7 @@ object Queries {
     "sim_cosine_ivf" -> simCosineIvf _,
     "text_lang_id" -> textLangId _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
+    "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "stream_window_counts" -> streamWindowCounts _,
     "sessionize_events" -> sessionizeEvents _,

@@ -137,6 +137,17 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned < full && pruned > 0)
   }
 
+  test("corpus minhash-union sketch: diagonal ~1, symmetric bounds, mergeable") {
+    val sim = ops.Sketches.corpusSimilarity(docs).collect()
+    val self = sim.filter(r => r.getString(0) == r.getString(1))
+    assert(self.nonEmpty && self.forall(_.getDouble(2) == 1.0),
+      "a corpus is identical to itself")
+    assert(sim.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // shared synthetic vocabulary -> cross-language corpora overlap heavily
+    val cross = sim.filter(r => r.getString(0) != r.getString(1))
+    assert(cross.nonEmpty && cross.forall(_.getDouble(2) > 0.0))
+  }
+
   test("lang-id emits only profile languages and is stable") {
     val preds = docs.select(TextOps.langId(col("text")).as("l"))
       .groupBy("l").count().collect().map(_.getString(0)).toSet
