@@ -598,6 +598,22 @@ object Queries {
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaTable(t(s, dir, "documents")))
 
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.mediaTable(t(s, dir, "documents")))
+      .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
+
+  /** HLL-style approximate distinct vs exact, with relative error — the
+    * sketch is engine-specific so the check is rows-only, but the exact
+    * column keeps it honest.
+    */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.events(s, dir) // nanos-safe events read
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+          col("exact_users"))
+
   private def streamWindowCounts(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.windowedEventCounts(s, dir)
 
@@ -652,6 +668,8 @@ object Queries {
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
+    "multimodal_frames" -> multimodalFrames _,
+    "agg_approx_distinct" -> approxDistinct _,
     "stream_window_counts" -> streamWindowCounts _,
     "sessionize_events" -> sessionizeEvents _,
     "stream_sessionize" -> streamSessionize _

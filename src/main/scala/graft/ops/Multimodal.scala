@@ -50,6 +50,42 @@ object Multimodal {
       byte_mean = if (payload.nonEmpty) payload.map(b => (b & 0xFF).toDouble).sum / payload.length else 0.0,
       feature_dim = 64)
 
+  /** Frame sampling: split the payload into fixed-size chunks ("frames" —
+    * stand-ins for video frames) and keep every `stride`-th one. The explode
+    * happens lazily per row, so output size is bounded by payload/chunk/stride
+    * and no full frame set ever materializes per task.
+    */
+  def frameSample(media: DataFrame, chunkBytes: Int = 32, stride: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        payload.grouped(chunkBytes).zipWithIndex
+          .filter(_._2 % stride == 0)
+          .map { case (chunk, idx) => (id, idx, chunk.length, chunk) }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Resize stub: normalize payloads to a fixed byte length (truncate or
+    * zero-pad) — the shape of an image-resize stage: fixed-dimension output
+    * rows regardless of input size.
+    */
+  def resizeStub(media: DataFrame, targetBytes: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast(LongType), col("media"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val out = java.util.Arrays.copyOf(payload, targetBytes)
+        (id, out.length, out)
+      }
+      .toDF("doc_id", "n_bytes", "media")
+      .orderBy(col("doc_id"))
+  }
+
   /** Partition-batched decode: binary in, typed features out. `parallelism`
     * decouples decode tasks from the scan layout (decoders are CPU-bound;
     * at scale this is sized to cores, not to file splits).
