@@ -259,6 +259,41 @@ object Queries {
       |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_null
       |FROM orders""".stripMargin
 
+  /** As-of join: each click annotated with the most recent preceding error
+    * of the same user (graft.ops.AsOfJoin — union + carry-forward window;
+    * DuckDB's native ASOF JOIN replays it).
+    */
+  private def asofClickError(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.streaming.StreamingOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+    val errors = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts_us").as("err_ts_us"))
+    graft.ops.AsOfJoin.asOf(
+      clicks.withColumnRenamed("ts_us", "ts_us").withColumn("ts_key", col("ts_us")),
+      errors.withColumnRenamed("err_ts_us", "ts_key"),
+      keyCol = "user_id", tsCol = "ts_key",
+      payloadCols = Seq("err_id"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("asof_err_id"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  private val asofClickErrorSql =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_ts_us FROM events
+      |  WHERE event_type = 'error')
+      |SELECT c.user_id, c.event_id, c.ts_us, e.err_id AS asof_err_id
+      |FROM clicks c ASOF LEFT JOIN errors e
+      |  ON c.user_id = e.user_id AND c.ts_us >= e.err_ts_us
+      |ORDER BY c.user_id, c.ts_us, c.event_id""".stripMargin
+
   /** Corpus-level aggregation breadth: exact distinct counts + totals. */
   private def corpusStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").agg(
@@ -643,6 +678,7 @@ object Queries {
     "a13_resample_quarter" -> resampleQuarter _,
     "a4_validation_stats" -> validationStats _,
     "agg_corpus_stats" -> corpusStats _,
+    "join_asof_click_error" -> asofClickError _,
     "join_semi_anti" -> semiAntiJoin _,
     "set_ops_months" -> setOps _,
     "rollup_revenue" -> rollupRevenue _,
@@ -688,6 +724,7 @@ object Queries {
     "a13_resample_quarter" -> resampleQuarterSql,
     "a4_validation_stats" -> validationStatsSql,
     "agg_corpus_stats" -> corpusStatsSql,
+    "join_asof_click_error" -> asofClickErrorSql,
     "join_semi_anti" -> semiAntiJoinSql,
     "set_ops_months" -> setOpsSql,
     "rollup_revenue" -> rollupRevenueSql,
