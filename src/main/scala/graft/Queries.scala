@@ -624,6 +624,16 @@ object Queries {
   private def corpusSimilarity(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.corpusSimilarity(t(s, dir, "documents"))
 
+  /** Skew-safe token frequencies (two-stage salted aggregation). */
+  private def textTokenFrequencies(s: SparkSession, dir: String): DataFrame =
+    TextOps.saltedTokenFrequencies(t(s, dir, "documents"))
+
+  private val textTokenFrequenciesSql =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
+
   private def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -702,6 +712,7 @@ object Queries {
     "sim_cosine_ivf" -> simCosineIvf _,
     "text_lang_id" -> textLangId _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
+    "text_token_frequencies" -> textTokenFrequencies _,
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
@@ -735,6 +746,7 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "sim_cosine_brute" -> simCosineBruteSql,
     "text_lang_id" -> textLangIdSql,
+    "text_token_frequencies" -> textTokenFrequenciesSql,
     "stream_window_counts" -> streamWindowCountsSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql
     // intentionally rows-only (not ANSI-SQL-expressible): disagg_* (ML

@@ -50,6 +50,27 @@ object TextOps {
     }.getField("lang")
   }
 
+  /** Token frequencies via TWO-STAGE SALTED aggregation: hot tokens (corpus
+    * stopwords) would concentrate a plain groupBy('token) on few reducers;
+    * salting by hash(doc_id) % nSalts spreads each token's updates over
+    * nSalts partial groups, and a second (tiny) aggregation folds the
+    * partials. Results are exactly the direct groupBy's — this is the skew
+    * pattern, demonstrated where it's checkable.
+    */
+  def saltedTokenFrequencies(
+      docs: DataFrame, topK: Int = 50, nSalts: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("token"))
+    toks
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(nSalts.toLong)))
+      .groupBy(col("token"), col("salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col("token"))
+      .agg(sum(col("partial")).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Rolling polynomial fingerprint of the token stream (Rabin-Karp shape):
     * fold tokens with h = (h*31 + xxhash64(token) mod p) mod m. Modular
     * arithmetic keeps the fold inside Long range (Spark 4 runs ANSI mode, so

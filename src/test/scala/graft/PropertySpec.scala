@@ -131,6 +131,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("generate -> infer round-trips class/anchor-cycle for non-business aliases") {
+    val tokenGen = for {
+      base <- Gen.oneOf("Y", "Q", "M")
+      suffix <- Gen.oneOf("E", "S")
+      month <- Gen.oneOf(months)
+      y <- Gen.choose(1950, 2020)
+      m <- Gen.choose(1, 12)
+    } yield (if (base == "M") base + suffix else s"$base$suffix-$month",
+      LocalDate.of(y, m, 1))
+    for ((tok, start) <- samples(tokenGen, 150)) {
+      val f = Frequency.parseValidated(tok)
+      val run = f.nDatesFrom(start, 6)
+      val inferred = Frequency.infer(run)
+      assert(inferred.isDefined, s"$tok from $start: $run")
+      val g = inferred.get
+      assert(g.cls == f.cls && g.isStart == f.isStart && !g.business,
+        s"$tok inferred ${g.name}")
+      // the inferred anchor must regenerate the same run
+      assert(g.nDatesFrom(run.head, 6) == run, s"$tok: ${g.name} regenerates differently")
+    }
+  }
+
   test("frequency parse/print round-trip on random valid tokens") {
     val tokenGen = for {
       prefix <- Gen.oneOf("", "B")

@@ -88,22 +88,34 @@ monthly.index = monthly.index.to_timestamp()
 monthly.index.freq = monthly.index.inferred_freq
 high = monthly.to_frame('lx').assign(constant=1.0)
 
+quarterly = orders.groupby(orders.o_orderdate.dt.to_period('Q'))['o_totalprice'].mean()
+quarterly.index = quarterly.index.to_timestamp()
+quarterly.index.freq = quarterly.index.inferred_freq
+lowq = quarterly.to_frame('avg_price')
+li_avg = lineitem.groupby(lineitem.l_shipdate.dt.to_period('M'))['l_extendedprice'].mean()
+li_avg.index = li_avg.index.to_timestamp()
+li_avg.index.freq = li_avg.index.inferred_freq
+high_avg = li_avg.to_frame('lx').assign(constant=1.0)
+
 cases = [
-    ('denton', 'disagg_denton_y2q', None),
-    ('denton-cholette', 'disagg_denton_cholette_y2q', None),
-    ('chow-lin', 'disagg_chow_lin_y2m', high),
-    ('litterman', 'disagg_litterman_y2m', high),
+    ('denton', 'sum', 'disagg_denton_y2q', low, None),
+    ('denton-cholette', 'sum', 'disagg_denton_cholette_y2q', low, None),
+    ('chow-lin', 'sum', 'disagg_chow_lin_y2m', low, high),
+    ('litterman', 'sum', 'disagg_litterman_y2m', low, high),
+    ('chow-lin', 'mean', 'disagg_mean_q2m', lowq, high_avg),
+    ('denton-cholette', 'first', 'disagg_first_y2q', low, None),
 ]
-for method, name, hf in cases:
-    kwargs = dict(method=method, agg_func='sum', verbose=False)
-    if hf is None:
-        kwargs['target_freq'] = 'QS'
-        ref = disaggregate_series(low, **kwargs)
-    else:
-        import warnings
-        with warnings.catch_warnings():
-            warnings.simplefilter('ignore')
-            ref = disaggregate_series(low, hf, **kwargs)
+for method, agg, name, lf, hf in cases:
+    kwargs = dict(method=method, agg_func=agg, verbose=False)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        if hf is None:
+            kwargs['target_freq'] = 'QS'
+            ref = disaggregate_series(lf, **kwargs)
+        else:
+            ref = disaggregate_series(lf, hf, **kwargs)
     ours = pd.read_parquet(f'{out}/{name}').sort_values('ts')
-    rel = np.max(np.abs(ref.values - ours.revenue.values) / np.maximum(np.abs(ref.values), 1e-9))
-    print(f'{method:16s} n={len(ref)}  max rel diff vs reference on same data: {rel:.2e}')
+    vals = ours.iloc[:, 1].values
+    rel = np.max(np.abs(ref.values - vals) / np.maximum(np.abs(ref.values), 1e-9))
+    print(f'{method:16s} agg={agg:5s} n={len(ref)}  max rel diff vs reference on same data: {rel:.2e}')
