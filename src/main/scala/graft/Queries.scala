@@ -479,14 +479,20 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        // BPE-style pretokenizer (contractions / letter runs / digit runs /
+        // punctuation runs, leading space attached) — RE2-safe, no lookahead
+        size(regexp_extract_all(col("text"),
+          lit("'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0)))
+          .as("n_bpe_ish"),
         length(col("text")).as("n_chars_measured"))
       .orderBy(col("doc_id"))
 
   private val textTokenCountSql =
-    """SELECT doc_id,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-      |  CAST(length(text) AS INT) AS n_chars_measured
-      |FROM documents ORDER BY doc_id""".stripMargin
+    "SELECT doc_id,\n" +
+      "  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,\n" +
+      "  CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT) AS n_bpe_ish,\n" +
+      "  CAST(length(text) AS INT) AS n_chars_measured\n" +
+      "FROM documents ORDER BY doc_id"
 
   /** Quality scoring: structural ratios a pretraining pipeline filters on.
     * All ratios are exact-integer divisions, so cross-engine doubles agree.
