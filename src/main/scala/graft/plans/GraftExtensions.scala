@@ -86,6 +86,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(hashes) - 64-bit simhash"),
       (args: Seq[Expression]) => SimHash(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity (null for zero norms)"),
+      (args: Seq[Expression]) => {
+        val (a, b) = (args(0), args(1))
+        val den = Multiply(Sqrt(SquaredNorm(a)), Sqrt(SquaredNorm(b)))
+        // cosine undefined at zero norm -> null (ANSI divide-by-zero guard)
+        If(EqualTo(den, Literal(0.0)), Literal.create(null, org.apache.spark.sql.types.DoubleType),
+          Divide(DotProduct(a, b), den))
+      }))
     e.injectOptimizerRule(_ => RewriteVectorHofs)
   }
 }

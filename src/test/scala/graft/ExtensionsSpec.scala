@@ -25,12 +25,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT graft_dot(va, vb) AS d, graft_squared_norm(va) AS n,
         |  graft_shingles(text, 2) AS sh,
-        |  graft_simhash(transform(graft_shingles(text, 1), s -> xxhash64(s))) AS sim
+        |  graft_simhash(transform(graft_shingles(text, 1), s -> xxhash64(s))) AS sim,
+        |  graft_cosine(va, vb) AS cos,
+        |  graft_cosine(array(0.0d, 0.0d), vb) AS cos_zero
         |FROM vecs""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 14.0)
     assert(r.getSeq[String](2) == Seq("a b", "b c", "c d"))
     assert(r.getLong(3) != 0L)
+    assert(math.abs(r.getDouble(4) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+    assert(r.isNullAt(5))
   }
 
   test("the optimizer rewrites the HOF dot-product fold into DotProduct") {
