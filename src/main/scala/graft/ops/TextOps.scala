@@ -18,17 +18,20 @@ object TextOps {
     (length(text) - length(replace(text, lit(marker), lit("")))) /
       lit(marker.length)
 
-  /** Marker-word profiles for the n-gram language-ID heuristic. On real
-    * corpora these are per-language stopwords; the synthetic testdata shares
-    * one vocabulary, so scores are mechanical — determinism and the operator
-    * shape are what the gate checks.
+  /** Character-n-gram profiles for the language-ID heuristic: each language
+    * scores by summed occurrences of its characteristic trigrams/bigrams
+    * (the classic Cavnar-Trenkle shape, truncated to a handful of n-grams
+    * per language). On real corpora these come from per-language frequency
+    * tables; the synthetic testdata shares one vocabulary, so scores are
+    * mechanical — determinism and the operator shape are what the gate
+    * checks.
     */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq(" the ", " data ", " table "),
-    "es" -> Seq(" la ", " el ", " scan "),
-    "fr" -> Seq(" le ", " la ", " sort "),
-    "de" -> Seq(" der ", " die ", " merge "),
-    "zh" -> Seq(" zh ", " spark ", " row "))
+    "en" -> Seq("th", "he ", " the", "ing"),
+    "es" -> Seq(" el", " la", "os ", "ción"),
+    "fr" -> Seq(" le", " de", "ez ", "eau"),
+    "de" -> Seq(" de", "ch ", "ein", "sch"),
+    "zh" -> Seq(" zh", "ng ", "sh", " xi"))
 
   /** Language-ID: argmax of marker-occurrence scores (ties broken by profile
     * order). Returns (lang_pred, per-lang scores).
