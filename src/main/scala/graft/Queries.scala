@@ -294,6 +294,53 @@ object Queries {
       |  ON c.user_id = e.user_id AND c.ts_us >= e.err_ts_us
       |ORDER BY c.user_id, c.ts_us, c.event_id""".stripMargin
 
+  /** Window-function breadth: per-user running event totals (cumulative sum
+    * + row_number over event time).
+    */
+  private def windowRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.streaming.StreamingOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    e.select(col("user_id"), col("event_id"), col("ts_us"),
+        row_number().over(w).as("rn"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType).as("running_value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val windowRunningTotalSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  CAST(row_number() OVER w AS INT) AS rn,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY user_id, rn""".stripMargin
+
+  /** Pivot breadth: daily event counts pivoted by event_type (fixed column
+    * set so both engines emit the same schema).
+    */
+  private def pivotDailyEvents(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    graft.streaming.StreamingOps.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+  }
+
+  private val pivotDailyEventsSql =
+    """SELECT date_trunc('day', ts) AS day,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Corpus-level aggregation breadth: exact distinct counts + totals. */
   private def corpusStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").agg(
@@ -695,6 +742,8 @@ object Queries {
     "a4_validation_stats" -> validationStats _,
     "agg_corpus_stats" -> corpusStats _,
     "join_asof_click_error" -> asofClickError _,
+    "window_running_total" -> windowRunningTotal _,
+    "pivot_daily_events" -> pivotDailyEvents _,
     "join_semi_anti" -> semiAntiJoin _,
     "set_ops_months" -> setOps _,
     "rollup_revenue" -> rollupRevenue _,
@@ -742,6 +791,8 @@ object Queries {
     "a4_validation_stats" -> validationStatsSql,
     "agg_corpus_stats" -> corpusStatsSql,
     "join_asof_click_error" -> asofClickErrorSql,
+    "window_running_total" -> windowRunningTotalSql,
+    "pivot_daily_events" -> pivotDailyEventsSql,
     "join_semi_anti" -> semiAntiJoinSql,
     "set_ops_months" -> setOpsSql,
     "rollup_revenue" -> rollupRevenueSql,
