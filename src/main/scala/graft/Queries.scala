@@ -248,15 +248,17 @@ object Queries {
     */
   private def validationStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").agg(
-      min(col("o_orderdate")).as("start_ts"),
-      max(col("o_orderdate")).as("end_ts"),
+      min(col("o_orderdate")).cast(TimestampNTZType).as("start_ts"),
+      max(col("o_orderdate")).cast(TimestampNTZType).as("end_ts"),
       count(lit(1)).as("n_rows"),
       sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null"))
 
+  // DuckDB widens sum(<integer>) to HUGEINT while Spark emits BIGINT; the
+  // explicit CAST keeps both engines' dtypes identical (r01 hash-red cause).
   private val validationStatsSql =
     """SELECT min(o_orderdate) AS start_ts, max(o_orderdate) AS end_ts,
       |  count(*) AS n_rows,
-      |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_null
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
       |FROM orders""".stripMargin
 
   /** As-of join: each click annotated with the most recent preceding error
@@ -334,11 +336,11 @@ object Queries {
 
   private val pivotDailyEventsSql =
     """SELECT date_trunc('day', ts) AS day,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
   /** Corpus-level aggregation breadth: exact distinct counts + totals. */
@@ -354,8 +356,8 @@ object Queries {
     """SELECT count(*) AS n_docs,
       |  count(DISTINCT lang) AS n_langs,
       |  count(DISTINCT source) AS n_sources,
-      |  sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
-      |  sum(n_chars) AS total_chars
+      |  CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents""".stripMargin
 
   /** Join-type breadth: semi (orders with lineitems in 1996) and anti
@@ -424,11 +426,57 @@ object Queries {
       |ORDER BY y ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin
 
   // -------------------------------------------------- disaggregation surface
+  //
+  // Each disagg_* query runs the FULL disaggregation pipeline, then emits the
+  // aggregation-consistency view of the result: ŷ re-aggregated back to the
+  // low frequency next to the low input y. The defining invariant of the
+  // reference (C·ŷ = y, ts_disagg.py:463-464) makes this ANSI-SQL-checkable:
+  // DuckDB recomputes y_low and the complete-period set from the source
+  // tables and asserts `consistent` — so the driver's hash gate now covers
+  // the whole disagg surface (raw ŷ values are pinned by the R goldens +
+  // tools/reference_parity.py at 1e-12).
+  //
+  // y_low is decimal-routed (dsum) so both engines emit the identical double
+  // bit pattern; `consistent` carries an explicit 1e-9-relative tolerance so
+  // kernel-side FP noise can never flip a hash.
+
+  /** Re-aggregate a disagg output to the low frequency and join the low
+    * input. Only complete groups (count == factor) are kept — exactly the
+    * rows the conversion matrix kept (DisaggCore.buildConversionMatrix fill
+    * rule, ts_disagg.py:34-35).
+    */
+  private def consistencyView(
+      low: DataFrame,
+      yhat: DataFrame,
+      lowPeriod: String,
+      factor: Int,
+      aggFunc: String): DataFrame = {
+    val valueCol = low.columns.filter(_ != "ts").head
+    val outCol = yhat.columns.filter(_ != "ts").head
+    val reaggExpr = aggFunc match {
+      case "sum"   => sum(col(outCol))
+      case "mean"  => avg(col(outCol))
+      case "first" => min_by(col(outCol), col("ts"))
+      case "last"  => max_by(col(outCol), col("ts"))
+      case other   => throw new IllegalArgumentException(s"agg_func $other")
+    }
+    val reagg = yhat
+      .groupBy(date_trunc(lowPeriod, col("ts")).as("ts"))
+      .agg(reaggExpr.as("reagg"), count(lit(1)).as("n_periods"))
+      .where(col("n_periods") === factor)
+    low.join(reagg, Seq("ts"))
+      .select(col("ts").cast(TimestampNTZType).as("ts"),
+        col(valueCol).as("y_low"),
+        col("n_periods"),
+        (abs(col("reagg") - col(valueCol)) <=
+          greatest(abs(col(valueCol)) * lit(1e-9), lit(1e-9))).as("consistent"))
+      .orderBy(col("ts"))
+  }
 
   private def lowYearly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(date_trunc("year", col("o_orderdate")).as("ts"))
-      .agg(sum("o_totalprice").as("revenue"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
 
   private def highMonthly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -436,23 +484,63 @@ object Queries {
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lx"))
       .withColumn("constant", lit(1.0))
 
-  private def disaggChowLin(s: SparkSession, dir: String): DataFrame =
-    Disaggregate.series(lowYearly(s, dir), Some(highMonthly(s, dir)),
-      params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum"))
+  private def disaggChowLin(s: SparkSession, dir: String): DataFrame = {
+    val low = lowYearly(s, dir)
+    consistencyView(low,
+      Disaggregate.series(low, Some(highMonthly(s, dir)),
+        params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum")),
+      "year", 12, "sum")
+  }
 
-  private def disaggLitterman(s: SparkSession, dir: String): DataFrame =
-    Disaggregate.series(lowYearly(s, dir), Some(highMonthly(s, dir)),
-      params = Disaggregate.Params(method = "litterman", aggFunc = "sum"))
+  private def disaggLitterman(s: SparkSession, dir: String): DataFrame = {
+    val low = lowYearly(s, dir)
+    consistencyView(low,
+      Disaggregate.series(low, Some(highMonthly(s, dir)),
+        params = Disaggregate.Params(method = "litterman", aggFunc = "sum")),
+      "year", 12, "sum")
+  }
 
-  private def disaggDenton(s: SparkSession, dir: String): DataFrame =
-    Disaggregate.series(lowYearly(s, dir), None,
-      params = Disaggregate.Params(method = "denton", aggFunc = "sum",
-        targetFreq = Some("QS")))
+  private def disaggDenton(s: SparkSession, dir: String): DataFrame = {
+    val low = lowYearly(s, dir)
+    consistencyView(low,
+      Disaggregate.series(low, None,
+        params = Disaggregate.Params(method = "denton", aggFunc = "sum",
+          targetFreq = Some("QS"))),
+      "year", 4, "sum")
+  }
 
-  private def disaggDentonCholette(s: SparkSession, dir: String): DataFrame =
-    Disaggregate.series(lowYearly(s, dir), None,
-      params = Disaggregate.Params(method = "denton-cholette", aggFunc = "sum",
-        targetFreq = Some("QS")))
+  private def disaggDentonCholette(s: SparkSession, dir: String): DataFrame = {
+    val low = lowYearly(s, dir)
+    consistencyView(low,
+      Disaggregate.series(low, None,
+        params = Disaggregate.Params(method = "denton-cholette", aggFunc = "sum",
+          targetFreq = Some("QS"))),
+      "year", 4, "sum")
+  }
+
+  /** Consistency oracle for y_low recomputed by DuckDB: yearly decimal sum
+    * of order revenue; n_periods and the complete-period set follow from the
+    * spine (companion index ⇒ always `factor`; indicator spine ⇒ months
+    * present in lineitem).
+    */
+  private val disaggYearlyIndicatorSql =
+    """WITH y AS (
+      |  SELECT date_trunc('year', o_orderdate) AS ts,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y_low
+      |  FROM orders GROUP BY 1),
+      |spine AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS m FROM lineitem),
+      |complete AS (
+      |  SELECT date_trunc('year', m) AS ts, count(*) AS n_periods
+      |  FROM spine GROUP BY 1 HAVING count(*) = 12)
+      |SELECT y.ts, y.y_low, complete.n_periods, TRUE AS consistent
+      |FROM y JOIN complete ON y.ts = complete.ts
+      |ORDER BY y.ts""".stripMargin
+
+  private val disaggYearlyCompanionSql =
+    """SELECT date_trunc('year', o_orderdate) AS ts,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y_low,
+      |  CAST(4 AS BIGINT) AS n_periods, TRUE AS consistent
+      |FROM orders GROUP BY 1 ORDER BY ts""".stripMargin
 
   /** agg_func variants: quarterly mean price disaggregated to monthly under
     * `mean` consistency (chow-lin), and yearly series under `first`
@@ -461,19 +549,59 @@ object Queries {
   private def disaggMeanQ2M(s: SparkSession, dir: String): DataFrame = {
     val lowQ = t(s, dir, "orders")
       .groupBy(date_trunc("quarter", col("o_orderdate")).as("ts"))
-      .agg(avg("o_totalprice").as("avg_price"))
+      .agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
     val highM = t(s, dir, "lineitem")
       .groupBy(date_trunc("month", col("l_shipdate")).as("ts"))
       .agg(avg(col("l_extendedprice")).as("lx"))
       .withColumn("constant", lit(1.0))
-    Disaggregate.series(lowQ, Some(highM),
-      params = Disaggregate.Params(method = "chow-lin", aggFunc = "mean"))
+    consistencyView(lowQ,
+      Disaggregate.series(lowQ, Some(highM),
+        params = Disaggregate.Params(method = "chow-lin", aggFunc = "mean")),
+      "quarter", 3, "mean")
   }
 
-  private def disaggFirstY2Q(s: SparkSession, dir: String): DataFrame =
-    Disaggregate.series(lowYearly(s, dir), None,
-      params = Disaggregate.Params(method = "denton-cholette", aggFunc = "first",
-        targetFreq = Some("QS")))
+  private val disaggMeanQ2MSql =
+    """WITH y AS (
+      |  SELECT date_trunc('quarter', o_orderdate) AS ts,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS y_low
+      |  FROM orders GROUP BY 1),
+      |spine AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS m FROM lineitem),
+      |complete AS (
+      |  SELECT date_trunc('quarter', m) AS ts, count(*) AS n_periods
+      |  FROM spine GROUP BY 1 HAVING count(*) = 3)
+      |SELECT y.ts, y.y_low, complete.n_periods, TRUE AS consistent
+      |FROM y JOIN complete ON y.ts = complete.ts
+      |ORDER BY y.ts""".stripMargin
+
+  private def disaggFirstY2Q(s: SparkSession, dir: String): DataFrame = {
+    val low = lowYearly(s, dir)
+    consistencyView(low,
+      Disaggregate.series(low, None,
+        params = Disaggregate.Params(method = "denton-cholette", aggFunc = "first",
+          targetFreq = Some("QS"))),
+      "year", 4, "first")
+  }
+
+  /** Keyed (many-series) consistency view — same as [[consistencyView]] with
+    * the series id carried through (sum consistency only).
+    */
+  private def consistencyViewKeyed(
+      low: DataFrame,
+      yhat: DataFrame,
+      lowPeriod: String,
+      factor: Int): DataFrame = {
+    val reagg = yhat
+      .groupBy(col("series_id"), date_trunc(lowPeriod, col("ts")).as("ts"))
+      .agg(sum(col("value")).as("reagg"), count(lit(1)).as("n_periods"))
+      .where(col("n_periods") === factor)
+    low.join(reagg, Seq("series_id", "ts"))
+      .select(col("series_id"), col("ts").cast(TimestampNTZType).as("ts"),
+        col("value").as("y_low"),
+        col("n_periods"),
+        (abs(col("reagg") - col("value")) <=
+          greatest(abs(col("value")) * lit(1e-9), lit(1e-9))).as("consistent"))
+      .orderBy(col("series_id"), col("ts"))
+  }
 
   /** Many-series mode: one yearly revenue series per order priority,
     * disaggregated in parallel inside executors (the 100 TB shape).
@@ -486,12 +614,20 @@ object Queries {
       .withColumn("series_id",
         split(col("o_orderpriority"), "-").getItem(0).cast(LongType))
       .groupBy(col("series_id"), date_trunc("year", col("o_orderdate")).as("ts"))
-      .agg(sum("o_totalprice").as("value"))
-    Disaggregate.manySeries(keyed, None,
-      params = Disaggregate.Params(method = "denton-cholette", aggFunc = "sum",
-        targetFreq = Some("QS")))
-      .orderBy(col("series_id"), col("ts"))
+      .agg(dsum(col("o_totalprice")).as("value"))
+    consistencyViewKeyed(keyed,
+      Disaggregate.manySeries(keyed, None,
+        params = Disaggregate.Params(method = "denton-cholette", aggFunc = "sum",
+          targetFreq = Some("QS"))),
+      "year", 4)
   }
+
+  private val disaggManySeriesSql =
+    """SELECT CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS series_id,
+      |  date_trunc('year', o_orderdate) AS ts,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y_low,
+      |  CAST(4 AS BIGINT) AS n_periods, TRUE AS consistent
+      |FROM orders GROUP BY 1, 2 ORDER BY series_id, ts""".stripMargin
 
   /** Many-series with indicators: per-priority yearly revenue disaggregated
     * monthly by chow-lin against per-priority monthly lineitem revenue. Both
@@ -505,7 +641,7 @@ object Queries {
       col("o_orderdate"), col("o_totalprice"))
     val low = o.groupBy(col("series_id"),
         date_trunc("year", col("o_orderdate")).as("ts"))
-      .agg(sum("o_totalprice").as("value"))
+      .agg(dsum(col("o_totalprice")).as("value"))
     val li = t(s, dir, "lineitem")
       .join(broadcast(o.select(col("o_orderkey"), col("series_id"))),
         col("l_orderkey") === col("o_orderkey"))
@@ -513,11 +649,32 @@ object Queries {
         date_trunc("month", col("l_shipdate")).as("ts"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lx"))
       .withColumn("constant", lit(1.0))
-    Disaggregate.manySeries(low, Some(high),
-      indicatorCols = Seq("lx", "constant"),
-      params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum"))
-      .orderBy(col("series_id"), col("ts"))
+    consistencyViewKeyed(low,
+      Disaggregate.manySeries(low, Some(high),
+        indicatorCols = Seq("lx", "constant"),
+        params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum")),
+      "year", 12)
   }
+
+  private val disaggManyChowLinSql =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS series_id,
+      |    o_orderdate, o_totalprice
+      |  FROM orders),
+      |y AS (
+      |  SELECT series_id, date_trunc('year', o_orderdate) AS ts,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y_low
+      |  FROM o GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT DISTINCT o.series_id, date_trunc('month', l.l_shipdate) AS m
+      |  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey),
+      |complete AS (
+      |  SELECT series_id, date_trunc('year', m) AS ts, count(*) AS n_periods
+      |  FROM spine GROUP BY 1, 2 HAVING count(*) = 12)
+      |SELECT y.series_id, y.ts, y.y_low, c.n_periods, TRUE AS consistent
+      |FROM y JOIN complete c ON y.series_id = c.series_id AND y.ts = c.ts
+      |ORDER BY y.series_id, y.ts""".stripMargin
 
   // ----------------------------------------------------------- text analysis
 
@@ -805,13 +962,27 @@ object Queries {
     "text_lang_id" -> textLangIdSql,
     "text_token_frequencies" -> textTokenFrequenciesSql,
     "stream_window_counts" -> streamWindowCountsSql,
-    "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql
-    // intentionally rows-only (not ANSI-SQL-expressible): disagg_* (ML
-    // estimation / KKT solves), dedup_minhash_lsh + dedup_simhash +
+    "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
+    // disagg_*: the queries emit the aggregation-consistency view of the
+    // full pipeline run (C·ŷ = y, ts_disagg.py:463-464), which DuckDB can
+    // replay from the source tables; raw ŷ values are pinned by the R
+    // goldens + tools/reference_parity.py
+    "disagg_chow_lin_y2m" -> disaggYearlyIndicatorSql,
+    "disagg_litterman_y2m" -> disaggYearlyIndicatorSql,
+    "disagg_denton_y2q" -> disaggYearlyCompanionSql,
+    "disagg_denton_cholette_y2q" -> disaggYearlyCompanionSql,
+    "disagg_first_y2q" -> disaggYearlyCompanionSql,
+    "disagg_mean_q2m" -> disaggMeanQ2MSql,
+    "disagg_many_series" -> disaggManySeriesSql,
+    "disagg_many_chowlin" -> disaggManyChowLinSql
+    // intentionally rows-only (not ANSI-SQL-expressible):
+    // dedup_minhash_lsh + dedup_simhash +
     // text_rolling_fingerprint (xxhash64 has no DuckDB equivalent),
-    // dedup_embedding_cosine + sim_cosine_ivf (IVF bucket assignment),
+    // dedup_embedding_cosine + sim_cosine_ivf (LSH/IVF bucket assignment),
     // multimodal_features (stubbed decoder behind mapPartitions),
     // stream_sessionize (flatMapGroupsWithState; value-equality to the
-    // SQL-checkable sessionize_events is asserted in OpsSpec)
+    // SQL-checkable sessionize_events is asserted in OpsSpec),
+    // agg_approx_distinct (HLL sketch is engine-specific; exact column kept
+    // alongside), sketch_corpus_similarity (MinHash union sketch)
   )
 }

@@ -116,8 +116,9 @@ object StreamingOps {
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |sessions AS (
       |  SELECT user_id, ts_us, value,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |    -- DuckDB widens sum(<integer>) to HUGEINT; CAST matches Spark's BIGINT
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, min(ts_us) AS session_start_us,
       |  max(ts_us) AS session_end_us, count(*) AS n_events,

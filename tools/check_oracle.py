@@ -23,7 +23,15 @@ for name, sql in sorted(oracles.items()):
         else:
             for c in w.columns:
                 wv, gv = w[c], g[c]
-                if str(wv.dtype).startswith('datetime') or str(gv.dtype).startswith('datetime'):
+                # dtype strictness: the driver hashes typed values, so a
+                # DuckDB HUGEINT (object) vs Spark int64 is a hard mismatch
+                # even when pandas values compare equal (r01 lesson).
+                # Datetimes are exempt: resolution (ns vs us) is normalized below.
+                w_dt = str(wv.dtype).startswith('datetime') or str(gv.dtype).startswith('datetime')
+                if not w_dt and str(wv.dtype) != str(gv.dtype):
+                    status = f'DTYPE col={c} want={wv.dtype} got={gv.dtype}'
+                    break
+                if w_dt:
                     wv = pd.to_datetime(wv).astype('datetime64[us]').astype('int64'); gv = pd.to_datetime(gv).astype('datetime64[us]').astype('int64')
                 try:
                     same = (wv.fillna(-999).values == gv.fillna(-999).values).all()
