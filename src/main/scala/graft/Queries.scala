@@ -464,8 +464,11 @@ object Queries {
       .groupBy(date_trunc(lowPeriod, col("ts")).as("ts"))
       .agg(reaggExpr.as("reagg"), count(lit(1)).as("n_periods"))
       .where(col("n_periods") === factor)
-    low.join(reagg, Seq("ts"))
-      .select(col("ts").cast(TimestampNTZType).as("ts"),
+    // disagg output ts is TIMESTAMP_NTZ; route the low side through the same
+    // type so the join key never goes through a session-timezone conversion
+    low.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .join(reagg, Seq("ts"))
+      .select(col("ts"),
         col(valueCol).as("y_low"),
         col("n_periods"),
         (abs(col("reagg") - col(valueCol)) <=
@@ -484,39 +487,49 @@ object Queries {
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lx"))
       .withColumn("constant", lit(1.0))
 
-  private def disaggChowLin(s: SparkSession, dir: String): DataFrame = {
-    val low = lowYearly(s, dir)
-    consistencyView(low,
-      Disaggregate.series(low, Some(highMonthly(s, dir)),
-        params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum")),
-      "year", 12, "sum")
-  }
-
-  private def disaggLitterman(s: SparkSession, dir: String): DataFrame = {
-    val low = lowYearly(s, dir)
-    consistencyView(low,
-      Disaggregate.series(low, Some(highMonthly(s, dir)),
-        params = Disaggregate.Params(method = "litterman", aggFunc = "sum")),
-      "year", 12, "sum")
-  }
-
-  private def disaggDenton(s: SparkSession, dir: String): DataFrame = {
-    val low = lowYearly(s, dir)
-    consistencyView(low,
-      Disaggregate.series(low, None,
+  /** Raw disaggregated series (ts, value) per method — the inner runs of the
+    * disagg_* consistency queries, ALSO dumped by Verify under `raw/` so
+    * tools/reference_parity.py can diff ŷ itself against the reference
+    * library (1e-12..1e-15 expected).
+    */
+  val rawDisagg: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "disagg_chow_lin_y2m" -> ((s, dir) =>
+      Disaggregate.series(lowYearly(s, dir), Some(highMonthly(s, dir)),
+        params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum"))),
+    "disagg_litterman_y2m" -> ((s, dir) =>
+      Disaggregate.series(lowYearly(s, dir), Some(highMonthly(s, dir)),
+        params = Disaggregate.Params(method = "litterman", aggFunc = "sum"))),
+    "disagg_denton_y2q" -> ((s, dir) =>
+      Disaggregate.series(lowYearly(s, dir), None,
         params = Disaggregate.Params(method = "denton", aggFunc = "sum",
-          targetFreq = Some("QS"))),
-      "year", 4, "sum")
-  }
-
-  private def disaggDentonCholette(s: SparkSession, dir: String): DataFrame = {
-    val low = lowYearly(s, dir)
-    consistencyView(low,
-      Disaggregate.series(low, None,
+          targetFreq = Some("QS")))),
+    "disagg_denton_cholette_y2q" -> ((s, dir) =>
+      Disaggregate.series(lowYearly(s, dir), None,
         params = Disaggregate.Params(method = "denton-cholette", aggFunc = "sum",
-          targetFreq = Some("QS"))),
-      "year", 4, "sum")
-  }
+          targetFreq = Some("QS")))),
+    "disagg_mean_q2m" -> ((s, dir) =>
+      Disaggregate.series(lowQuarterlyMean(s, dir), Some(highMonthlyMean(s, dir)),
+        params = Disaggregate.Params(method = "chow-lin", aggFunc = "mean"))),
+    "disagg_first_y2q" -> ((s, dir) =>
+      Disaggregate.series(lowYearly(s, dir), None,
+        params = Disaggregate.Params(method = "denton-cholette", aggFunc = "first",
+          targetFreq = Some("QS")))))
+
+  private def disaggChowLin(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowYearly(s, dir),
+      rawDisagg("disagg_chow_lin_y2m")(s, dir), "year", 12, "sum")
+
+  private def disaggLitterman(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowYearly(s, dir),
+      rawDisagg("disagg_litterman_y2m")(s, dir), "year", 12, "sum")
+
+  private def disaggDenton(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowYearly(s, dir),
+      rawDisagg("disagg_denton_y2q")(s, dir), "year", 4, "sum")
+
+  private def disaggDentonCholette(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowYearly(s, dir),
+      rawDisagg("disagg_denton_cholette_y2q")(s, dir), "year", 4, "sum")
 
   /** Consistency oracle for y_low recomputed by DuckDB: yearly decimal sum
     * of order revenue; n_periods and the complete-period set follow from the
@@ -546,19 +559,20 @@ object Queries {
     * `mean` consistency (chow-lin), and yearly series under `first`
     * consistency (denton-cholette, no indicator).
     */
-  private def disaggMeanQ2M(s: SparkSession, dir: String): DataFrame = {
-    val lowQ = t(s, dir, "orders")
+  private def lowQuarterlyMean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
       .groupBy(date_trunc("quarter", col("o_orderdate")).as("ts"))
       .agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
-    val highM = t(s, dir, "lineitem")
+
+  private def highMonthlyMean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .groupBy(date_trunc("month", col("l_shipdate")).as("ts"))
       .agg(avg(col("l_extendedprice")).as("lx"))
       .withColumn("constant", lit(1.0))
-    consistencyView(lowQ,
-      Disaggregate.series(lowQ, Some(highM),
-        params = Disaggregate.Params(method = "chow-lin", aggFunc = "mean")),
-      "quarter", 3, "mean")
-  }
+
+  private def disaggMeanQ2M(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowQuarterlyMean(s, dir),
+      rawDisagg("disagg_mean_q2m")(s, dir), "quarter", 3, "mean")
 
   private val disaggMeanQ2MSql =
     """WITH y AS (
@@ -573,14 +587,9 @@ object Queries {
       |FROM y JOIN complete ON y.ts = complete.ts
       |ORDER BY y.ts""".stripMargin
 
-  private def disaggFirstY2Q(s: SparkSession, dir: String): DataFrame = {
-    val low = lowYearly(s, dir)
-    consistencyView(low,
-      Disaggregate.series(low, None,
-        params = Disaggregate.Params(method = "denton-cholette", aggFunc = "first",
-          targetFreq = Some("QS"))),
-      "year", 4, "first")
-  }
+  private def disaggFirstY2Q(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowYearly(s, dir),
+      rawDisagg("disagg_first_y2q")(s, dir), "year", 4, "first")
 
   /** Keyed (many-series) consistency view — same as [[consistencyView]] with
     * the series id carried through (sum consistency only).
@@ -594,8 +603,9 @@ object Queries {
       .groupBy(col("series_id"), date_trunc(lowPeriod, col("ts")).as("ts"))
       .agg(sum(col("value")).as("reagg"), count(lit(1)).as("n_periods"))
       .where(col("n_periods") === factor)
-    low.join(reagg, Seq("series_id", "ts"))
-      .select(col("series_id"), col("ts").cast(TimestampNTZType).as("ts"),
+    low.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .join(reagg, Seq("series_id", "ts"))
+      .select(col("series_id"), col("ts"),
         col("value").as("y_low"),
         col("n_periods"),
         (abs(col("reagg") - col("value")) <=
@@ -834,7 +844,9 @@ object Queries {
   private def corpusSimilarity(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.corpusSimilarity(t(s, dir, "documents"))
 
-  /** Skew-safe token frequencies (two-stage salted aggregation). */
+  /** Corpus token frequencies (map-side partial aggregation absorbs the
+    * stopword skew — see TextOps.saltedTokenFrequencies scaladoc).
+    */
   private def textTokenFrequencies(s: SparkSession, dir: String): DataFrame =
     TextOps.saltedTokenFrequencies(t(s, dir, "documents"))
 

@@ -22,6 +22,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // raw disaggregated series for tools/reference_parity.py (the driver
+    // gate reads the consistency views above; parity diffs ŷ itself)
+    Queries.rawDisagg.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/raw/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] raw/$name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
 
 // Row shapes for the many-series mode. Top-level and public: Catalyst's
 // generated encoder classes live outside this package and cannot touch
-// private case classes.
-case class KeyedLow(series_id: Long, ts: Timestamp, value: Double)
-case class KeyedHigh(series_id: Long, ts: Timestamp, values: Array[Double])
-case class KeyedOut(series_id: Long, ts: Timestamp, value: Double)
+// private case classes. LocalDateTime fields encode as TIMESTAMP_NTZ, so
+// the per-series kernels see wall-clock dates regardless of the session or
+// executor-JVM timezone.
+case class KeyedLow(series_id: Long, ts: LocalDateTime, value: Double)
+case class KeyedHigh(series_id: Long, ts: LocalDateTime, values: Array[Double])
+case class KeyedOut(series_id: Long, ts: LocalDateTime, value: Double)
 
 /** Spark-facing temporal disaggregation API — the engine's equivalent of the
   * reference's single public entry point `disaggregate_series`
@@ -45,6 +47,12 @@ object Disaggregate {
       highFreq: Option[String] = None,
       optimizerOptions: Optimizer.Options = Optimizer.Options())
 
+  // Time columns are routed through TIMESTAMP_NTZ before leaving Spark:
+  // the NTZ external type is wall-clock (LocalDateTime), so the calendar
+  // day a user sees is preserved no matter what spark.sql.session.timeZone
+  // or the JVM default is. The Timestamp/Instant fallbacks below are only
+  // reachable for values that bypassed the NTZ cast and interpret the
+  // instant in UTC (the pinned session zone of this repo's harnesses).
   private[graft] def toLocalDate(v: Any): LocalDate = v match {
     case t: Timestamp => t.toInstant.atZone(ZoneOffset.UTC).toLocalDate
     case d: java.sql.Date => d.toLocalDate
@@ -53,9 +61,6 @@ object Disaggregate {
     case i: java.time.Instant => i.atZone(ZoneOffset.UTC).toLocalDate
     case other => throw new IllegalArgumentException(s"Unsupported time value $other")
   }
-
-  private def toTimestamp(d: LocalDate): Timestamp =
-    Timestamp.from(d.atStartOfDay(ZoneOffset.UTC).toInstant)
 
   /** Collect a (tsCol, value...) DataFrame into a sorted in-memory TsFrame.
     * Validation mirrors ts_disagg.py:216-231 (message text pinned by the
@@ -72,7 +77,11 @@ object Disaggregate {
       DisaggCore.fail(s"No datetime index found on the dataframe passed as argument to $role.")
     val valueCols = schema.fields.filter(_.name != tsCol).map(_.name).toIndexedSeq
     val rows = df
-      .select((col(tsCol) +: valueCols.map(c => col(c).cast(DoubleType))): _*)
+      // NTZ cast: collected values become wall-clock LocalDateTime, immune
+      // to the session/JVM timezone (a non-UTC zone would otherwise shift
+      // every date by up to a day and corrupt calendar period keys)
+      .select((col(tsCol).cast(TimestampNTZType) +:
+        valueCols.map(c => col(c).cast(DoubleType))): _*)
       .orderBy(col(tsCol))
       .collect()
     val ts = rows.map(r => toLocalDate(r.get(0))).toIndexedSeq
@@ -111,9 +120,9 @@ object Disaggregate {
 
   private[graft] def toDataFrame(spark: SparkSession, out: DisaggOutput, tsCol: String): DataFrame = {
     val schema = StructType(Seq(
-      StructField(tsCol, TimestampType, nullable = false),
+      StructField(tsCol, TimestampNTZType, nullable = false),
       StructField(out.name, DoubleType, nullable = false)))
-    val rows = out.ts.zip(out.values).map { case (d, v) => Row(toTimestamp(d), v) }
+    val rows = out.ts.zip(out.values).map { case (d, v) => Row(d.atStartOfDay(), v) }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
@@ -142,13 +151,13 @@ object Disaggregate {
 
     val lowDs: Dataset[KeyedLow] = low.select(
       col(seriesCol).cast(LongType).as("series_id"),
-      col(tsCol).cast(TimestampType).as("ts"),
+      col(tsCol).cast(TimestampNTZType).as("ts"),
       col(valueCol).cast(DoubleType).as("value")).as[KeyedLow]
 
     val highDs: Dataset[KeyedHigh] = high match {
       case Some(hdf) => hdf.select(
         col(seriesCol).cast(LongType).as("series_id"),
-        col(tsCol).cast(TimestampType).as("ts"),
+        col(tsCol).cast(TimestampNTZType).as("ts"),
         array(indicatorCols.map(c => col(c).cast(DoubleType)): _*).as("values")).as[KeyedHigh]
       case None => spark.emptyDataset[KeyedHigh]
     }
@@ -164,7 +173,9 @@ object Disaggregate {
         // skipped — at pipeline scale one poisoned series must not kill
         // the job
         try {
-          val lowRows = lowIt.toArray.filter(_.ts != null).sortBy(_.ts.getTime)
+          implicit val ldtOrd: Ordering[LocalDateTime] =
+            Ordering.by(d => d.toLocalDate.toEpochDay * 86400000000000L + d.toLocalTime.toNanoOfDay)
+          val lowRows = lowIt.toArray.filter(_.ts != null).sortBy(_.ts)
           if (lowRows.isEmpty) Iterator.empty
           else {
             val lowFrame = TsFrame(
@@ -172,7 +183,7 @@ object Disaggregate {
               IndexedSeq(valueCol),
               IndexedSeq(lowRows.map(_.value)))
             val highFrame: Option[TsFrame] = if (!hasHigh) None else {
-              val hr = highIt.toArray.filter(_.ts != null).sortBy(_.ts.getTime)
+              val hr = highIt.toArray.filter(_.ts != null).sortBy(_.ts)
               if (hr.isEmpty) None
               else Some(TsFrame(
                 hr.map(r => toLocalDate(r.ts)).toIndexedSeq,
@@ -183,7 +194,7 @@ object Disaggregate {
               p.method, p.criterion, p.h, p.optimizerMethod, verbose = false,
               p.lowFreq, p.highFreq)
             res.ts.zip(res.values).iterator.map { case (d, v) =>
-              KeyedOut(key, toTimestamp(d), v)
+              KeyedOut(key, d.atStartOfDay(), v)
             }
           }
         } catch {

@@ -286,22 +286,26 @@ object Optimizer {
       f: Array[Double] => Double,
       x0: Array[Double],
       lower: Array[Double],
-      upper: Array[Double]): Result = {
+      upper: Array[Double],
+      opts: Options = Options()): Result = {
     import breeze.linalg.DenseVector
     import breeze.optimize.{ApproximateGradientFunction, LBFGSB}
     try {
       val g = new ApproximateGradientFunction[Int, DenseVector[Double]](
         (v: DenseVector[Double]) => f(v.toArray), 1e-7)
+      // opts plumbed like the other two methods (the public
+      // optimizerOptions surface is method-agnostic); the solver tolerance
+      // follows xatol but never loosens past the finite-difference floor
       val solver = new LBFGSB(
         DenseVector(lower), DenseVector(upper.map(u => math.min(u, 1e12))),
-        maxIter = 300, tolerance = 1e-10)
+        maxIter = math.min(opts.maxIter, 300), tolerance = math.min(opts.xatol, 1e-10))
       val st = solver.minimizeAndReturnState(g, DenseVector(clip(x0, lower, upper)))
       // polish with a short NM from the LBFGSB point (finite-difference
       // gradients limit attainable precision)
-      val nm = nelderMead(f, st.x.toArray, lower, upper)
+      val nm = nelderMead(f, st.x.toArray, lower, upper, opts.xatol, opts.fatol, opts.maxIter)
       if (nm.fval <= st.value) nm else Result(st.x.toArray, st.value, st.iter, success = true)
     } catch {
-      case _: Exception => nelderMead(f, x0, lower, upper)
+      case _: Exception => nelderMead(f, x0, lower, upper, opts.xatol, opts.fatol, opts.maxIter)
     }
   }
 
@@ -318,7 +322,7 @@ object Optimizer {
       opts: Options = Options()): Result = method match {
     case "powell"       => powell(f, x0, lower, upper, xtol = opts.xatol, maxIter = math.min(opts.maxIter, 500))
     case "nelder-mead"  => nelderMead(f, x0, lower, upper, opts.xatol, opts.fatol, opts.maxIter)
-    case "l-bfgs-b"     => lbfgsb(f, x0, lower, upper)
+    case "l-bfgs-b"     => lbfgsb(f, x0, lower, upper, opts)
     case other =>
       throw new IllegalArgumentException(
         s"Unsupported optimizer method $other; use nelder-mead, powell or l-bfgs-b")

@@ -127,11 +127,102 @@ case class SquaredNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH band keys for an array<double> vector.
+  *
+  * bands*bitsPerBand deterministic Rademacher hyperplanes (entry for
+  * hyperplane p, dimension d is ±1 from the parity of XXH64(d, seed=p) — no
+  * runtime RNG); the output is array<long> of length `bands` where element b
+  * packs the sign bits of hyperplanes [b*bitsPerBand, (b+1)*bitsPerBand).
+  * Two vectors at angle θ agree on each bit with probability 1 − θ/π, so
+  * near-duplicates (cosine→1) collide in some band with overwhelming
+  * probability while random pairs scatter across 2^bitsPerBand buckets.
+  *
+  * One eval per row with a tight primitive loop (the MinHashSig rationale);
+  * the ±1 plane matrix is materialized once per task and reused across rows.
+  */
+case class SignRandomProjection(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
+    "bands >= 1 and 1 <= bitsPerBand <= 64 required")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sign_rp requires array<double>, got ${other.simpleString}")
+    }
+
+  // per-task cache of the ±1 plane matrix (flattened planes x dim); rebuilt
+  // only if the vector dimensionality changes. A benign race on rebuild is
+  // possible and idempotent, so no synchronization is needed.
+  @transient private var cachedSigns: Array[Double] = _
+  @transient private var cachedDim: Int = -1
+
+  private def signsFor(dim: Int): Array[Double] = {
+    if (cachedDim != dim) {
+      val planes = bands * bitsPerBand
+      val arr = new Array[Double](planes * dim)
+      var p = 0
+      while (p < planes) {
+        var d = 0
+        while (d < dim) {
+          arr(p * dim + d) =
+            if ((org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(d.toLong, p) & 1L) == 0L) 1.0
+            else -1.0
+          d += 1
+        }
+        p += 1
+      }
+      cachedSigns = arr
+      cachedDim = dim
+    }
+    cachedSigns
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val signs = signsFor(dim)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val base = (b * bitsPerBand + j) * dim
+        var acc = 0.0
+        var d = 0
+        while (d < dim) {
+          acc += signs(base + d) * v.getDouble(d)
+          d += 1
+        }
+        if (acc >= 0.0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def squaredNorm(a: Column): Column =
     Bridge.column(SquaredNorm(Bridge.expression(a)))
+  /** LSH band keys: array<long> of length `bands` (see SignRandomProjection). */
+  def signProjectionBands(v: Column, bands: Int, bitsPerBand: Int): Column =
+    Bridge.column(SignRandomProjection(Bridge.expression(v), bands, bitsPerBand))
   def cosine(a: Column, b: Column): Column = {
     val den = ssqrt(squaredNorm(a)) * ssqrt(squaredNorm(b))
     // zero-norm vectors: cosine is undefined -> null (ANSI mode would

@@ -52,8 +52,11 @@ object AsOfJoin {
       (leftCols.map(c => (if (c == keyCol || c == tsCol) col(c) else lit(null).cast(left.schema(c).dataType)).as(c))
         :+ col("__side") :+ col("__p")): _*)
     val unioned = lNorm.unionByName(rNorm)
+    // __p is the final tiebreaker: two right rows sharing (key, ts) would
+    // otherwise carry a nondeterministic payload (the every-query-
+    // deterministic contract); the struct comparison picks the greatest
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = unioned.withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
     carried

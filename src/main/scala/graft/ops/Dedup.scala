@@ -77,15 +77,16 @@ object Dedup {
       maxBucket: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // the shingle table feeds three consumers (signature pass + both sides
-    // of the verification join); persist so the corpus is shingled once
-    val withSh = withShingles(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // shingle -> hash -> signature in ONE corpus pass; nothing corpus-sized
+    // is cached (a corpus-wide shingle persist is 100TB-scale state — the
+    // candidate set below is re-shingled instead, which touches only docs
+    // that actually collided in a band)
+    val withSig = docs.select(col(idCol).as("doc_id"),
+      minhashSignature(shingles(col(textCol)), numHashes).as("sig"))
 
     // ONE narrow shuffle: only (band, bandKey, doc_id) flows — shingle
-    // arrays are NOT shipped through the 16-way band explode; they are
-    // joined back for the (small) candidate set afterwards
+    // arrays are NOT shipped through the 16-way band explode
     val banded = withSig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
@@ -106,10 +107,25 @@ object Dedup {
       .select(col("doc_a"), explode(col("ids")).as("doc_b"))
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      // the pair list feeds two consumers (candidate-id extraction + the
+      // final verification join): materialize it once, eagerly. Unlike
+      // persist(), a localCheckpoint'd RDD is ContextCleaner-eligible, so
+      // repeated calls in one session do not accumulate pinned cache blocks
+      .localCheckpoint()
 
-    // exact verification: join shingle sets back for the candidates only
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // exact verification on HASH-typed shingles (array<long> — 8 bytes per
+    // shingle instead of the string), recomputed for the candidate set only:
+    // the join runs BEFORE the shingle projection, so only colliding docs
+    // pay the shingling cost again
+    val candIds = candidatePairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val candSh = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(candIds, "doc_id")
+      .select(col("doc_id"),
+        transform(shingles(col("text")), s => xxhash64(s)).as("hsh"))
+    val shA = candSh.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a"))
+    val shB = candSh.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b"))
     candidatePairs
       .join(shA, "doc_a")
       .join(shB, "doc_b")
@@ -192,19 +208,45 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Embedding-cosine near-duplicates within IVF buckets (see
-    * Similarity.assignBuckets): exact cosine, but only inside a bucket —
-    * the at-scale shape where the cross join is bounded per bucket.
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH —
+    * exactly the [[minhashLshPairs]] shape over sign-bit band keys
+    * (graft.functions.SignRandomProjection): per-row signatures, ONE narrow
+    * (band, key, vec_id) shuffle, a maxBucket cap against mega-bucket
+    * detonation, and exact-cosine verification joined back for the (small)
+    * candidate set only. No O(N²) stage: random pairs scatter across
+    * 2^bitsPerBand buckets per band, while pairs with cosine ≥ ~0.9 collide
+    * in some band with probability ≥ 1-(1-(1-θ/π)^bitsPerBand)^bands
+    * (≈ 0.96 at cosine 0.9, → 1 as cosine → 1 with the defaults).
     */
   def embeddingCosinePairs(
       embeddings: DataFrame,
-      nBuckets: Int = 16,
-      threshold: Double = 0.95): DataFrame = {
-    val assigned = Similarity.assignBuckets(embeddings, nBuckets)
-    val a = assigned.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = assigned.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, "bucket")
+      threshold: Double = 0.95,
+      bands: Int = 16,
+      bitsPerBand: Int = 16,
+      maxBucket: Int = 256): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+
+    // narrow band explode: only (vec_id, band, key) flows to the shuffle
+    val banded = e.select(col("vec_id"),
+        posexplode(graft.functions.VectorOps.signProjectionBands(
+          col("v"), bands, bitsPerBand)))
+      .toDF("vec_id", "band", "key")
+
+    val candidatePairs = banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(col("ids")).as("vec_a"), col("ids"))
+      .select(col("vec_a"), explode(col("ids")).as("vec_b"))
       .where(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+
+    val va = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    candidatePairs
+      .join(va, "vec_a")
+      .join(vb, "vec_b")
       .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .where(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))

@@ -27,7 +27,10 @@ object MinHashUnion extends Aggregator[(String, Array[Long]), Array[Long], Array
     b1
   }
   override def finish(b: Array[Long]): Array[Long] = b
-  override def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization
+  // ExpressionEncoder on both sides: the buffer crosses the partial-agg
+  // shuffle, and a Java-serialized Array[Long] is ~3x the bytes of the
+  // unsafe-row encoding (and skips codegen'd serialization)
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
 }
 

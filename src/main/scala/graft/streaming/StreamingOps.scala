@@ -6,7 +6,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 // Top-level + public: Catalyst encoders cannot touch private case classes.
-case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+// `ts` carries the watermark metadata through to flatMapGroupsWithState
+// (event-time timeout requires the watermarked column in its child output);
+// the session math itself runs on integer micros (ts_us).
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
 case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
 case class SessionOut(
     user_id: Long, session_start_us: Long, session_end_us: Long,
@@ -127,63 +130,129 @@ object StreamingOps {
       |ORDER BY user_id, session_id""".stripMargin
 
   /** The same sessionization as an arbitrary-stateful streaming query
-    * (KeyValueGroupedDataset.flatMapGroupsWithState): per-user session state
-    * lives in the state store, closed sessions are emitted as they complete,
-    * and the trailing open session flushes on event-time timeout. On the
-    * harness's finite file the emitted sessions equal the batch result
-    * (asserted in OpsSpec); on an unbounded stream the same code keeps
-    * running with watermark-driven timeouts.
+    * (KeyValueGroupedDataset.flatMapGroupsWithState), UNBOUNDED-correct:
+    * per-user session state lives in the state store across micro-batches
+    * (`state.update`), closed sessions are emitted as the gap is observed,
+    * and open sessions flush via EVENT-TIME TIMEOUT when the watermark
+    * passes last-event + gap — a session spanning micro-batches is never
+    * split (asserted in OpsSpec with a two-batch synthetic stream).
+    *
+    * The harness drives the finite events file through the same code in two
+    * time-split halves (so sessions really cross a batch boundary) plus a
+    * far-future sentinel row that advances the watermark past every open
+    * session's timeout — after which the emitted sessions equal the batch
+    * result exactly.
     */
-  def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = withStreamingPartitions(spark, 8) {
-    import spark.implicits._
-    val gapUs = gapMinutes.toLong * 60L * 1000000L
+  def sessionizeStream(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      .as[SessionEvent]
+    sessionizeStreamOf(events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")), gapMinutes)
+  }
 
-    def fn(userId: Long, evs: Iterator[SessionEvent],
-           state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = evs.toArray.sortBy(_.ts_us)
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        cur match {
-          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-            cur = Some(SessionState(s.startUs, e.ts_us, s.n + 1, s.sum + e.value))
-          case Some(s) =>
-            out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
-            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-          case None =>
-            cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+  /** Drive `ev` (user_id, ts timestamp, value) through the stateful
+    * streaming sessionizer in two micro-batches + a sentinel batch.
+    * Exposed so tests can feed synthetic streams.
+    */
+  def sessionizeStreamOf(ev: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = ev.sparkSession
+    withStreamingPartitions(spark, 8) {
+      import spark.implicits._
+      val gapUs = gapMinutes.toLong * 60L * 1000000L
+      val delay = "1 hour"
+      val delayUs = 3600L * 1000000L
+
+      // stage the input as files so the file stream source replays it in
+      // REAL micro-batches: first half, second half (split at the median
+      // timestamp), then a sentinel event far enough in the future that the
+      // watermark passes every open session's timeout
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_src")
+      val Array(minUs, maxUs) = ev.agg(
+        unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val midUs = minUs + (maxUs - minUs) / 2
+      def stage(df: DataFrame, name: String): Unit = {
+        val staging = tmp.resolve(s"_stage_$name")
+        df.coalesce(1).write.parquet(staging.toString)
+        val part = java.nio.file.Files.list(staging).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, tmp.resolve(s"$name.parquet"))
+      }
+      stage(ev.where(unix_micros(col("ts")) <= midUs), "batch1")
+
+      val schema = ev.schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(tmp.toString)
+        .withWatermark("ts", delay)
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+        .as[SessionEvent]
+
+      def fn(userId: Long, evs: Iterator[SessionEvent],
+             state: GroupState[SessionState]): Iterator[SessionOut] = {
+        if (state.hasTimedOut) {
+          // watermark passed last-event + gap with no new events: the open
+          // session is definitively closed (later events would start a new
+          // session anyway)
+          val out = state.getOption
+            .map(s => SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)).iterator
+          state.remove()
+          out
+        } else {
+          val sorted = evs.toArray.sortBy(_.ts_us)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+                cur = Some(SessionState(math.min(s.startUs, e.ts_us),
+                  math.max(s.lastUs, e.ts_us), s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            val timeoutMs = (s.lastUs + gapUs) / 1000L
+            if (timeoutMs <= state.getCurrentWatermarkMs()) {
+              // already expired relative to the watermark: emit now (a
+              // setTimeoutTimestamp in the past would throw)
+              out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
+            } else {
+              state.update(s)
+              state.setTimeoutTimestamp(timeoutMs)
+            }
+          }
+          out.iterator
         }
       }
-      // finite-input flush: the harness drives one AvailableNow batch, so
-      // the trailing open session is emitted here; an unbounded deployment
-      // would instead state.update(cur) and flush on event-time timeout
-      cur.foreach(s => out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum))
-      state.remove()
-      out.iterator
-    }
 
-    val name = s"stream_sess_${System.identityHashCode(spark)}"
-    spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = stream
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name).orderBy(col("user_id"), col("session_start_us"))
+      val name = s"stream_sess_${math.abs(System.identityHashCode(spark)).toString}_${math.abs(System.identityHashCode(ev)).toString}"
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = stream
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+      q.processAllAvailable()
+      stage(ev.where(unix_micros(col("ts")) > midUs), "batch2")
+      q.processAllAvailable()
+      // sentinel: one event for a reserved user id, far enough ahead that
+      // watermark = sentinel - delay clears every possible timeout
+      val sentinelUs = maxUs + gapUs + delayUs + 86400L * 1000000L
+      stage(spark.range(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(sentinelUs)).as("ts"), lit(0.0).as("value")), "sentinel")
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+        .where(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start_us"))
+    }
   }
 }

@@ -50,6 +50,40 @@ class OpsSpec extends AnyFunSuite {
     assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
   }
 
+  test("embedding LSH finds exactly the brute-force cosine pairs (planted near-dups)") {
+    // the natural corpus has no pairs above 0.9 (max pairwise cosine ~0.5),
+    // so plant scaled copies: same direction => cosine ~1, guaranteed band
+    // collisions, while the 0.9 threshold keeps every natural pair out
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val planted = base.where(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.01f)).cast("float")).as("embedding"))
+    val all = base.unionByName(planted)
+
+    val e = all.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val exact = a.crossJoin(b)
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= 0.9)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val lsh = Dedup.embeddingCosinePairs(all, threshold = 0.9)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(exact.size >= 10, "planted near-duplicates must be in the ground truth")
+    assert(exact.subsetOf(lsh), s"LSH missed ${exact -- lsh}")
+    assert(lsh.subsetOf(exact), s"LSH emitted sub-threshold pairs ${lsh -- exact}")
+
+    val again = Dedup.embeddingCosinePairs(all, threshold = 0.9)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == lsh, "LSH must be deterministic (no runtime RNG)")
+  }
+
   test("IVF top-k scores are a subset of brute-force top-k x 3 (bounded recall loss)") {
     val brute = Similarity.bruteForceTopK(embeddings, 0L, 30)
       .collect().map(r => r.getLong(0)).toSet
@@ -91,6 +125,26 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(stream.length > 0)
     assert(stream.toSeq == batch.toSeq)
+  }
+
+  test("a session spanning micro-batches is not split (event-time-timeout state)") {
+    import spark.implicits._
+    // user 1: events at 0/10/20/30 min, all within the 30-min gap => ONE
+    // session. The harness splits the stream at the median timestamp, so
+    // events 0,10 arrive in batch 1 and 20,30 in batch 2 — state must carry
+    // the open session across the boundary.
+    val t0 = 1700000000000000L // epoch micros
+    val min = 60L * 1000000L
+    val ev = Seq(
+      (1L, t0, 1.0), (1L, t0 + 10 * min, 1.0),
+      (1L, t0 + 20 * min, 1.0), (1L, t0 + 30 * min, 1.0))
+      .toDF("user_id", "ts_us", "value")
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("value"))
+    val out = graft.streaming.StreamingOps.sessionizeStreamOf(ev).collect()
+    assert(out.length == 1, s"session was split: ${out.mkString(";")}")
+    assert(out(0).getLong(0) == 1L)
+    assert(out(0).getLong(1) == t0 && out(0).getLong(2) == t0 + 30 * min)
+    assert(out(0).getLong(3) == 4L)
   }
 
   test("rolling fingerprint is order-sensitive, token-hash is not") {

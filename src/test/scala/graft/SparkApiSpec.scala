@@ -52,17 +52,40 @@ class SparkApiSpec extends AnyFunSuite {
       .agg(sum("o_totalprice").as("revenue"))
     val single = Disaggregate.series(low, None,
       params = Disaggregate.Params(method = "denton-cholette", targetFreq = Some("QS")))
-      .orderBy("ts").collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+      .orderBy("ts").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getDouble(1)))
     val keyed = low.withColumn("series_id", lit(7L))
       .select(col("series_id"), col("ts"), col("revenue").as("value"))
     val many = Disaggregate.manySeries(keyed, None,
       params = Disaggregate.Params(method = "denton-cholette", targetFreq = Some("QS")))
-      .orderBy("ts").collect().map(r => (r.getTimestamp(1), r.getDouble(2)))
+      .orderBy("ts").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](1), r.getDouble(2)))
     assert(single.length == many.length && single.nonEmpty)
     single.zip(many).foreach { case ((t1, v1), (t2, v2)) =>
       assert(t1 == t2)
       assert(math.abs(v1 - v2) < 1e-9)
     }
+  }
+
+  test("non-UTC session timezone does not shift disaggregation dates") {
+    // the NTZ routing keeps wall-clock dates: before it, collected
+    // java.sql.Timestamps were re-interpreted in UTC and every date in a
+    // UTC+14 session shifted back a day (corrupting calendar period keys)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati") // UTC+14
+      val dir = "/root/testdata/sf0.001"
+      val low = spark.read.parquet(s"$dir/orders.parquet")
+        .groupBy(date_trunc("year", col("o_orderdate")).as("ts"))
+        .agg(sum("o_totalprice").as("revenue"))
+      val out = Disaggregate.series(low, None,
+        params = Disaggregate.Params(method = "denton-cholette", targetFreq = Some("QS")))
+        .orderBy("ts").collect()
+      val dates = out.map(_.getAs[java.time.LocalDateTime](0).toLocalDate)
+      assert(dates.nonEmpty &&
+        dates.forall(d => Set(1, 4, 7, 10)(d.getMonthValue) && d.getDayOfMonth == 1),
+        s"quarter starts shifted: ${dates.take(4).mkString(",")}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("agg_func variants roll up correctly (mean / first / last)") {

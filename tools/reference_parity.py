@@ -115,7 +115,9 @@ for method, agg, name, lf, hf in cases:
             ref = disaggregate_series(lf, **kwargs)
         else:
             ref = disaggregate_series(lf, hf, **kwargs)
-    ours = pd.read_parquet(f'{out}/{name}').sort_values('ts')
+    # raw/<name>: the disagg_* query entries emit the aggregation-consistency
+    # view for the DuckDB gate; Verify dumps the raw series separately
+    ours = pd.read_parquet(f'{out}/raw/{name}').sort_values('ts')
     vals = ours.iloc[:, 1].values
     rel = np.max(np.abs(ref.values - vals) / np.maximum(np.abs(ref.values), 1e-9))
     print(f'{method:16s} agg={agg:5s} n={len(ref)}  max rel diff vs reference on same data: {rel:.2e}')
