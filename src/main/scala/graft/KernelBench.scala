@@ -38,7 +38,7 @@ object KernelBench {
   }
 
   private def medianMs(reps: Int)(body: => Unit): Double = {
-    body // warmup
+    (0 until 5).foreach(_ => body) // enough warmup for C2 to kick in
     val times = (0 until reps).map { _ =>
       val t0 = System.nanoTime()
       body
@@ -48,7 +48,7 @@ object KernelBench {
   }
 
   /** name -> median milliseconds. */
-  def run(reps: Int = 5): Seq[(String, Double)] = {
+  def run(reps: Int = 11): Seq[(String, Double)] = {
     val low36 = syntheticLow(36)
 
     val dentonMs = medianMs(reps) {

@@ -277,8 +277,7 @@ object DisaggCore {
       case "denton" =>
         require(k == 1, s"denton supports exactly one indicator column, got $k")
         val xv = x(::, 0)
-        val sigma = Kernels.dentonCovariance(n, xv, h, proportional)
-        (xv.copy, Kernels.distributionMatrix(sigma, c))
+        (xv.copy, Kernels.dentonDistribution(n, xv, h, proportional, c))
       case "denton-cholette" =>
         require(k == 1, s"denton-cholette supports exactly one indicator column, got $k")
         val xv = x(::, 0)

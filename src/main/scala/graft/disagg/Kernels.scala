@@ -112,6 +112,51 @@ object Kernels {
     (csct \ (c * sigma)).t
   }
 
+  /** Denton distribution matrix without the dense `(D'D)^-1`: the Denton
+    * covariance is `S = M^-1` with `M = D'D` BANDED (half-bandwidth h, since
+    * the h-th difference matrix has h subdiagonals), so `S C'` is a banded
+    * Cholesky solve and the distribution matrix follows from one nl x nl
+    * solve — O(n h^2 + n h nl) instead of the O(n^3) explicit inverse.
+    * Value-equal to `distributionMatrix(dentonCovariance(...), c)` (pinned
+    * in KernelsSpec).
+    */
+  def dentonDistribution(
+      n: Int, x: DenseVector[Double], h: Int, proportional: Boolean,
+      c: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val d = differenceMatrix(n, h)
+    if (proportional) {
+      val mn = breeze.stats.mean(x)
+      // column scaling D <- D diag(1/(x*mean(x))) in place: O(n^2), not a
+      // dense n^3 product against a materialized diagonal matrix
+      var j = 0
+      while (j < n) {
+        val s = 1.0 / x(j) / mn
+        var i = 0
+        while (i < n) { d(i, j) *= s; i += 1 }
+        j += 1
+      }
+    }
+    // banded M = D'D: M(i,j) = sum_k D(k,i) D(k,j), with at most h+1 terms
+    // (rows of D have nonzeros only in columns [k-h, k])
+    val m = DenseMatrix.zeros[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = math.max(0, i - h)
+      while (j <= math.min(n - 1, i + h)) {
+        var s = 0.0
+        var k = math.max(i, j)
+        val kMax = math.min(n - 1, math.min(i, j) + h)
+        while (k <= kMax) { s += d(k, i) * d(k, j); k += 1 }
+        m(i, j) = s
+        j += 1
+      }
+      i += 1
+    }
+    val z = bandedSpdSolve(m, h, c.t) // S C' (n x nl)
+    val csct = c * z
+    (csct \ z.t).t
+  }
+
   /** The two ML covariance families, as structure-aware product builders.
     *
     * The likelihood objective never needs the n x n covariance itself — only
@@ -127,6 +172,26 @@ object Kernels {
   case object LittermanCov extends MlCov
 
   final case class CovProducts(csct: DenseMatrix[Double], cSigma: DenseMatrix[Double])
+
+  /** Tridiagonal AR(1) precision: the Chow-Lin covariance
+    * `S = s2/(1-rho^2) * rho^|i-j|` has the closed-form inverse
+    * `S^-1 = (1/s2) * B` with `B = tridiag(-rho; 1, 1+rho^2, ..., 1+rho^2, 1; -rho)`
+    * — so the ML objective never needs the dense n x n Toeplitz matrix: like
+    * the Litterman fast path below, `C S` is one solve `B Z = C'` (O(n)
+    * structure, one LU) instead of two dense n^2-sized products per
+    * optimizer evaluation.
+    */
+  def chowLinPrecision(rho: Double, n: Int): DenseMatrix[Double] = {
+    if (n == 1) return DenseMatrix((1.0 - rho * rho))
+    val m = DenseMatrix.zeros[Double](n, n)
+    var i = 0
+    while (i < n) {
+      m(i, i) = if (i == 0 || i == n - 1) 1.0 else 1.0 + rho * rho
+      if (i + 1 < n) { m(i, i + 1) = -rho; m(i + 1, i) = -rho }
+      i += 1
+    }
+    m
+  }
 
   /** Pentadiagonal `M = (H D)' (H D)` with bands {1, -(1+rho), rho}. */
   def littermanPrecision(rho: Double, n: Int): DenseMatrix[Double] = {
@@ -154,16 +219,92 @@ object Kernels {
     m
   }
 
+  /** Cholesky solve `A Z = R` for a symmetric positive-definite BANDED
+    * matrix (half-bandwidth `w`; only the band of `a` is read). The banded
+    * factor costs O(n w^2) and each RHS column O(n w) — for the tridiagonal
+    * Chow-Lin and pentadiagonal Litterman precisions this replaces the
+    * O(n^3) dense LU that dominated the per-evaluation cost (the optimizer
+    * calls the objective 100-300 times).
+    */
+  def bandedSpdSolve(a: DenseMatrix[Double], w: Int, rhs: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val n = a.rows
+    // column-oriented band storage: l(d)(j) = L(j+d, j), d = 0..w
+    val l = Array.ofDim[Double](w + 1, n)
+    var j = 0
+    while (j < n) {
+      // diagonal: L(j,j) = sqrt(A(j,j) - sum_k L(j,k)^2), k >= j-w
+      var s = a(j, j)
+      var k = math.max(0, j - w)
+      while (k < j) { val v = l(j - k)(k); s -= v * v; k += 1 }
+      val djj = math.sqrt(s)
+      l(0)(j) = djj
+      var d = 1
+      while (d <= w && j + d < n) {
+        val i = j + d
+        var s2 = a(i, j)
+        var k2 = math.max(0, i - w)
+        while (k2 < j) { s2 -= l(i - k2)(k2) * l(j - k2)(k2); k2 += 1 }
+        l(d)(j) = s2 / djj
+        d += 1
+      }
+      j += 1
+    }
+    // forward + back substitution per RHS column
+    val m = rhs.cols
+    val z = DenseMatrix.zeros[Double](n, m)
+    var cidx = 0
+    while (cidx < m) {
+      // L y = r
+      var i = 0
+      while (i < n) {
+        var s = rhs(i, cidx)
+        var d = 1
+        while (d <= w && i - d >= 0) { s -= l(d)(i - d) * z(i - d, cidx); d += 1 }
+        z(i, cidx) = s / l(0)(i)
+        i += 1
+      }
+      // L' x = y
+      i = n - 1
+      while (i >= 0) {
+        var s = z(i, cidx)
+        var d = 1
+        while (d <= w && i + d < n) { s -= l(d)(i) * z(i + d, cidx); d += 1 }
+        z(i, cidx) = s / l(0)(i)
+        i -= 1
+      }
+      cidx += 1
+    }
+    z
+  }
+
+  /** `C S C'` alone — the only covariance product the ML objective needs.
+    * Skips materializing the nl x n `C S` (whose transpose-scale costs more
+    * than every solve in the hot path); the full [[covProducts]] runs once
+    * per series for the final distribution step, this runs per optimizer
+    * evaluation.
+    */
+  def csctOnly(
+      kind: MlCov, rho: Double, sigmaSq: Double, n: Int,
+      c: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val (prec, w) = kind match {
+      case ChowLinCov   => (chowLinPrecision(rho, n), 1)
+      case LittermanCov => (littermanPrecision(rho, n), 2)
+    }
+    val z = bandedSpdSolve(prec, w, c.t) // n x nl
+    (c * z) * sigmaSq
+  }
+
   def covProducts(
       kind: MlCov, rho: Double, sigmaSq: Double, n: Int,
       c: DenseMatrix[Double]): CovProducts = kind match {
     case ChowLinCov =>
-      val sigma = chowLinCovariance(rho, sigmaSq, n)
-      val cs = c * sigma
+      val b = chowLinPrecision(rho, n)
+      val z = bandedSpdSolve(b, 1, c.t) // n x nl, O(n * nl)
+      val cs = z.t * sigmaSq // C S = s2 (B^-1 C')'
       CovProducts(cs * c.t, cs)
     case LittermanCov =>
       val m = littermanPrecision(rho, n)
-      val z = m \ c.t // n x nl
+      val z = bandedSpdSolve(m, 2, c.t) // n x nl, O(n * nl)
       val cs = z.t * sigmaSq // C S = s2 (M^-1 C')'
       CovProducts(cs * c.t, cs)
   }
@@ -171,7 +312,7 @@ object Kernels {
   /** Apply S^-1 to a skinny matrix (for GLS standard errors). */
   def sigmaInv(kind: MlCov, rho: Double, sigmaSq: Double,
       x: DenseMatrix[Double]): DenseMatrix[Double] = kind match {
-    case ChowLinCov   => chowLinCovariance(rho, sigmaSq, x.rows) \ x
+    case ChowLinCov   => (chowLinPrecision(rho, x.rows) * x) / sigmaSq
     case LittermanCov => (littermanPrecision(rho, x.rows) * x) / sigmaSq
   }
 
@@ -214,11 +355,11 @@ object Kernels {
     val n = x.rows
     val nl = y.length
     val sigmaSq = (1.0 + rho) * sigmaSqRaw
-    val prod = covProducts(kind, rho, sigmaSq, n, c)
-    val beta = glsBetaHatFromCsct(prod.csct, y, x, c)
+    val csct = csctOnly(kind, rho, sigmaSq, n, c)
+    val beta = glsBetaHatFromCsct(csct, y, x, c)
     val p = x * beta
     val ul = y - c * p
-    -logLikelihood(nl, prod.csct, ul)
+    -logLikelihood(nl, csct, ul)
   }
 
   /** GLS standard errors `sqrt(diag((X' S^-1 X)^-1))` (ts_disagg.py:452-455),

@@ -80,6 +80,33 @@ class KernelsSpec extends AnyFunSuite {
     Fixtures.assertAllClose(beta.toArray, Array(908.6679748, 0.9772889), 1e-6, "GLS beta")
   }
 
+  test("chow-lin tridiagonal precision is the exact inverse of the Toeplitz covariance") {
+    import breeze.linalg._
+    for (rho <- Seq(1e-5, 0.3, 0.63, 0.95, 1.0 - 1e-5); n <- Seq(1, 2, 7, 40)) {
+      val s2 = 2.1
+      val sigma = Kernels.chowLinCovariance(rho, s2, n)
+      val prec = Kernels.chowLinPrecision(rho, n) / s2
+      val prod = sigma * prec
+      val err = max(breeze.numerics.abs(prod - DenseMatrix.eye[Double](n)))
+      assert(err < 1e-8, s"rho=$rho n=$n max |Sigma*Prec - I| = $err")
+    }
+  }
+
+  test("banded denton distribution equals the dense-inverse formulation") {
+    import breeze.linalg._
+    val n = 20
+    val x = DenseVector.tabulate(n)(i => 40.0 + 3.0 * math.sin(i * 0.4) + 0.5 * i)
+    val c = DenseMatrix.zeros[Double](5, n)
+    for (r <- 0 until 5; j <- 0 until 4) c(r, r * 4 + j) = 1.0
+    for (h <- Seq(1, 2); prop <- Seq(true, false)) {
+      val dense = Kernels.distributionMatrix(
+        Kernels.dentonCovariance(n, x, h, prop), c)
+      val banded = Kernels.dentonDistribution(n, x, h, prop, c)
+      val err = max(breeze.numerics.abs(dense - banded))
+      assert(err < 1e-8, s"h=$h prop=$prop max diff $err")
+    }
+  }
+
   test("conversion matrix row sums and groupBy equivalence (test_disaggregation.py:96-139)") {
     val lowTs = Fixtures.freqDates("2001-01-01", "YS", 5)
     val highTs = Fixtures.freqDates("2001-01-01", "QS", 20)
