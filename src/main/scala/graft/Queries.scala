@@ -425,6 +425,46 @@ object Queries {
       |FROM orders GROUP BY ROLLUP (1, 2)
       |ORDER BY y ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin
 
+  /** Hierarchical aggregation breadth #2: full CUBE over (year, priority) —
+    * all four grouping sets in one pass (Spark expands to a single shuffle
+    * with a grouping-id column; no per-set rescan).
+    */
+  private def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(year(col("o_orderdate")).as("y"),
+        split(col("o_orderpriority"), "-").getItem(0).cast(IntegerType).as("pri"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("y").asc_nulls_first, col("pri").asc_nulls_first)
+
+  private val cubeRevenueSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(string_split(o_orderpriority, '-')[1] AS INT) AS pri,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM orders GROUP BY CUBE (1, 2)
+      |ORDER BY y ASC NULLS FIRST, pri ASC NULLS FIRST""".stripMargin
+
+  /** Window breadth #2: top-3 orders by price per year (row_number with a
+    * unique tiebreaker, filtered post-window).
+    */
+  private def windowTopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(year(col("o_orderdate")))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), col("o_orderkey"),
+        col("o_totalprice"), row_number().over(w).as("rk"))
+      .where(col("rk") <= 3)
+      .orderBy(col("y"), col("rk"))
+  }
+
+  private val windowTopKPerGroupSql =
+    """SELECT * FROM (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY year(o_orderdate)
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3 ORDER BY y, rk""".stripMargin
+
   // -------------------------------------------------- disaggregation surface
   //
   // Each disagg_* query runs the FULL disaggregation pipeline, then emits the
@@ -916,6 +956,8 @@ object Queries {
     "join_semi_anti" -> semiAntiJoin _,
     "set_ops_months" -> setOps _,
     "rollup_revenue" -> rollupRevenue _,
+    "cube_revenue" -> cubeRevenue _,
+    "window_topk_per_group" -> windowTopKPerGroup _,
     "disagg_chow_lin_y2m" -> disaggChowLin _,
     "disagg_litterman_y2m" -> disaggLitterman _,
     "disagg_denton_y2q" -> disaggDenton _,
@@ -965,6 +1007,8 @@ object Queries {
     "join_semi_anti" -> semiAntiJoinSql,
     "set_ops_months" -> setOpsSql,
     "rollup_revenue" -> rollupRevenueSql,
+    "cube_revenue" -> cubeRevenueSql,
+    "window_topk_per_group" -> windowTopKPerGroupSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
