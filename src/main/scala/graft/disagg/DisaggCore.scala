@@ -104,12 +104,25 @@ object DisaggCore {
     // validated against the supported Y/Q/M family afterwards, mirroring the
     // reference's ordering (ts_disagg.py:246-270) so the error-path messages
     // fire in the same sequence.
+    // Inferable-but-unsupported spacings (daily, weekly) get a pandas-style
+    // name so parseValidated raises the reference's NotImplementedError
+    // analogue ("Only annual, quarterly and monthly frequencies are
+    // supported, found W-MON") instead of the missing-index message
+    // (validate_freqs, time_conversion.py:66-71).
     def inferName(ts: IndexedSeq[LocalDate]): Option[String] =
       Frequency.infer(ts).map(_.name).orElse {
-        if (ts.length >= 3 &&
-          ts.sliding(2).forall { case Seq(a, b) => java.time.temporal.ChronoUnit.DAYS.between(a, b) == 1 })
-          Some("D")
-        else None
+        if (ts.length < 3) None
+        else {
+          val diffs = ts.sliding(2).map { case Seq(a, b) =>
+            java.time.temporal.ChronoUnit.DAYS.between(a, b)
+          }.toSeq
+          if (diffs.forall(_ == 1L)) Some("D")
+          else if (diffs.forall(_ == 7L))
+            Some("W-" + ts.head.getDayOfWeek
+              .getDisplayName(java.time.format.TextStyle.SHORT, java.util.Locale.ENGLISH)
+              .toUpperCase(java.util.Locale.ENGLISH))
+          else None
+        }
       }
 
     val lowFreqStr = lowFreqHint.orElse(inferName(low.ts)).getOrElse(fail(

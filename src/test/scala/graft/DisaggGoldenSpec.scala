@@ -166,5 +166,15 @@ class DisaggGoldenSpec extends AnyFunSuite {
     val e8 = intercept[IllegalArgumentException](
       DisaggCore.run(quarterly, None, method = "denton", aggFunc = "median"))
     assert(e8.getMessage.contains("agg_func should be one of"))
+
+    // inferable-but-unsupported frequency: weekly infers like pandas
+    // ("W-WED") and then fails validate_freqs-style (time_conversion.py:66-71)
+    val weeklyTs = (0 until 4).map(i => java.time.LocalDate.parse("2020-01-01").plusWeeks(i.toLong))
+    val weekly = frame(weeklyTs, "data" -> Array(1.0, 2.0, 3.0, 4.0))
+    val e9 = intercept[UnsupportedOperationException](
+      DisaggCore.run(weekly, None, method = "denton", aggFunc = "sum", targetFreq = Some("QS")))
+    assert(e9.getMessage.contains(
+      "Only annual, quarterly and monthly frequencies are supported, found W-WED"),
+      e9.getMessage)
   }
 }
