@@ -985,7 +985,9 @@ object Queries {
     "agg_approx_distinct" -> approxDistinct _,
     "stream_window_counts" -> streamWindowCounts _,
     "sessionize_events" -> sessionizeEvents _,
-    "stream_sessionize" -> streamSessionize _
+    "stream_sessionize" -> streamSessionize _,
+    "stream_dedup_events" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamDedupEvents(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1019,6 +1021,7 @@ object Queries {
     "text_token_frequencies" -> textTokenFrequenciesSql,
     "stream_window_counts" -> streamWindowCountsSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
+    "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,
     // disagg_*: the queries emit the aggregation-consistency view of the
     // full pipeline run (C·ŷ = y, ts_disagg.py:463-464), which DuckDB can
     // replay from the source tables; raw ŷ values are pinned by the R

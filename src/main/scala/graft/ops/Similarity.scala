@@ -18,9 +18,9 @@ import org.apache.spark.sql.types._
   *    the bucket column is a partition key and pruning makes the probe
   *    touch ~nProbe/nBuckets of the data.
   *
-  * Centroids are taken deterministically (lowest vec_ids) rather than from a
-  * k-means pass — the plumbing and plan shape are the point; swapping in
-  * trained centroids changes recall, not the dataflow.
+  * Centroids come from a deterministic Lloyd's k-means pass
+  * ([[trainCentroids]]: lowest-vec_id init, broadcast assignment, shuffle of
+  * (bucket, dim, partial-mean) triples only — no RNG, no vector shuffle).
   */
 object Similarity {
 
@@ -50,13 +50,68 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic IVF bucket assignment: nearest of the `nBuckets` centroid
-    * vectors (the lowest vec_ids). Returns (vec_id, v, bucket).
+  /** Deterministic Lloyd's k-means over the embedding column, Spark-first:
+    * each iteration is one broadcast nested-loop assignment (map-side, no
+    * shuffle of vectors) + one partial-aggregating groupBy computing the
+    * per-bucket elementwise mean via `posexplode` — the shuffle carries
+    * (bucket, dim, partialSum) triples, never raw vectors. Initialization is
+    * the lowest `k` vec_ids (deterministic, no RNG at runtime); empty
+    * clusters keep their previous centroid. Returns (bucket, cv).
+    *
+    * At 100 TB this is the standard scale shape: centroids stay a broadcast
+    * table, data is scanned once per iteration, and the update shuffle is
+    * O(k * dim) per task regardless of corpus size.
+    */
+  def trainCentroids(
+      embeddings: DataFrame, nBuckets: Int = 16, iterations: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = prepared(embeddings)
+    // centroids live as a DRIVER-side array between iterations (k x dim
+    // doubles — O(kB), the one collect an iterative algorithm genuinely
+    // needs): rebuilding a literal frame each round keeps every iteration's
+    // plan flat, where chaining DataFrames would nest the previous
+    // iteration's crossJoin multiple times and blow the lineage up
+    // exponentially (the MLlib k-means structure)
+    var centRows: Array[(Long, Seq[Double])] = e.where(col("vec_id") < nBuckets)
+      .select(col("vec_id").as("bucket"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var it = 0
+    while (it < iterations) {
+      val cents = centFrame(spark, centRows)
+      val updated = e.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("bucket"), col("v")),
+          struct(col("sim"), -col("bucket"))).as("best"))
+        .select(col("best.bucket").as("bucket"), posexplode(col("best.v")))
+        .toDF("bucket", "dim", "x")
+        .groupBy(col("bucket"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("bucket"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("bucket"), transform(col("dm"), p => p.getField("m")).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      // empty clusters keep their previous centroid (stable bucket count)
+      val updatedIds = updated.map(_._1).toSet
+      centRows = updated ++ centRows.filterNot(c => updatedIds(c._1))
+      it += 1
+    }
+    centFrame(spark, centRows)
+  }
+
+  private def centFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.sortBy(_._1).toDF("bucket", "cv")
+  }
+
+  /** Deterministic IVF bucket assignment: nearest of the `nBuckets`
+    * k-means centroids ([[trainCentroids]]). Returns (vec_id, v, bucket).
     */
   def assignBuckets(embeddings: DataFrame, nBuckets: Int = 16): DataFrame = {
     val e = prepared(embeddings)
-    val cents = e.where(col("vec_id") < nBuckets)
-      .select(col("vec_id").as("bucket"), col("v").as("cv"))
+    val cents = trainCentroids(embeddings, nBuckets)
     // broadcast nested-loop against the tiny centroid table (map-side), then
     // argmax per vector via max_by — one partial-aggregating shuffle, no
     // window sort; ties break to the lowest bucket id via (sim, -bucket)
@@ -78,8 +133,9 @@ object Similarity {
     val assigned = assignBuckets(embeddings, nBuckets)
     val e = prepared(embeddings)
     val q = e.where(col("vec_id") === queryId).select(col("v").as("qv"))
-    val cents = e.where(col("vec_id") < nBuckets)
-      .select(col("vec_id").as("bucket"), col("v").as("cv"))
+    // probe against the SAME trained centroids the assignment used
+    // (deterministic training => identical table)
+    val cents = trainCentroids(embeddings, nBuckets)
     val probes = cents.crossJoin(broadcast(q))
       .select(col("bucket"), cosine(col("cv"), col("qv")).as("sim"))
       .orderBy(col("sim").desc, col("bucket").asc)

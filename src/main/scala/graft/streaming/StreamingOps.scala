@@ -76,6 +76,54 @@ object StreamingOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Streaming exact deduplication: `dropDuplicates` on the event id with a
+    * watermark bounding the dedup state (the state store only keeps ids
+    * newer than watermark - delay; a training-data ingest pipeline's
+    * "at-least-once source → exactly-once corpus" shape), then daily counts
+    * of distinct events. Value-identical to the batch
+    * `GROUP BY day, COUNT(DISTINCT event_id)`, which the DuckDB oracle
+    * replays.
+    */
+  def streamDedupEvents(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"))
+      // simulate an at-least-once source: every event delivered twice, so
+      // the dedup state actually has duplicates to drop (the raw table's
+      // event_ids are unique)
+      .select(col("event_id"), col("ts"),
+        explode(array(lit(1), lit(2))).as("__copy"))
+      .drop("__copy")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_distinct"))
+
+    val name = s"stream_dedup_${math.abs(System.identityHashCode(spark)).toString}"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("day"), col("n_distinct"))
+      .orderBy(col("day"))
+  }
+
+  val streamDedupEventsSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  count(DISTINCT event_id) AS n_distinct
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Batch read of the events table (nanos timestamps rebuilt to micros). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -177,6 +177,25 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.count() == 0, "native shingles diverge from HOF semantics")
   }
 
+  test("k-means centroids: deterministic, k buckets, assignment is argmax-cosine") {
+    val c1 = Similarity.trainCentroids(embeddings, 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val c2 = Similarity.trainCentroids(embeddings, 8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(c1.length == 8 && c1.toSeq == c2.toSeq, "training must be deterministic")
+    // every vector sits in the bucket of its max-cosine centroid
+    val assigned = Similarity.assignBuckets(embeddings, 8)
+    val cents = Similarity.trainCentroids(embeddings, 8)
+      .select(col("bucket").as("cb"), col("cv"))
+    val mismatches = assigned.crossJoin(cents)
+      .withColumn("sim", Similarity.cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id"), col("bucket"))
+      .agg(max_by(col("cb"), struct(col("sim"), -col("cb"))).as("best"))
+      .where(col("bucket") =!= col("best"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("IVF buckets as a partition column prune the scan (the at-scale layout)") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf_buckets").toString
     ops.Similarity.assignBuckets(embeddings, 8)
