@@ -63,18 +63,28 @@ object Similarity {
     * O(k * dim) per task regardless of corpus size.
     */
   def trainCentroids(
-      embeddings: DataFrame, nBuckets: Int = 16, iterations: Int = 3): DataFrame = {
+      embeddings: DataFrame, nBuckets: Int = 16, iterations: Int = 3,
+      sampleCap: Int = 16384): DataFrame = {
     val spark = embeddings.sparkSession
+    // bounded deterministic training sample: hash-ordered take — a
+    // per-partition TakeOrdered heap over a narrow (id, vector) scan, so
+    // training cost is O(sampleCap) regardless of corpus size (training on
+    // the full 100 TB corpus every query would be the anti-pattern; k-means
+    // on a uniform sample is the standard scale recipe)
     val e = prepared(embeddings)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleCap)
     // centroids live as a DRIVER-side array between iterations (k x dim
     // doubles — O(kB), the one collect an iterative algorithm genuinely
     // needs): rebuilding a literal frame each round keeps every iteration's
     // plan flat, where chaining DataFrames would nest the previous
     // iteration's crossJoin multiple times and blow the lineage up
     // exponentially (the MLlib k-means structure)
-    var centRows: Array[(Long, Seq[Double])] = e.where(col("vec_id") < nBuckets)
-      .select(col("vec_id").as("bucket"), col("v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var centRows: Array[(Long, Seq[Double])] = e
+      .orderBy(col("vec_id")).limit(nBuckets)
+      .select(col("vec_id"), col("v"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
     var it = 0
     while (it < iterations) {
       val cents = centFrame(spark, centRows)
@@ -106,23 +116,25 @@ object Similarity {
     rows.toSeq.sortBy(_._1).toDF("bucket", "cv")
   }
 
-  /** Deterministic IVF bucket assignment: nearest of the `nBuckets`
-    * k-means centroids ([[trainCentroids]]). Returns (vec_id, v, bucket).
+  /** Assignment against an existing centroid table: broadcast nested-loop
+    * (map-side), then argmax per vector via max_by — one partial-aggregating
+    * shuffle, no window sort; ties break to the lowest bucket id via
+    * (sim, -bucket). Returns (vec_id, v, bucket).
     */
-  def assignBuckets(embeddings: DataFrame, nBuckets: Int = 16): DataFrame = {
-    val e = prepared(embeddings)
-    val cents = trainCentroids(embeddings, nBuckets)
-    // broadcast nested-loop against the tiny centroid table (map-side), then
-    // argmax per vector via max_by — one partial-aggregating shuffle, no
-    // window sort; ties break to the lowest bucket id via (sim, -bucket)
-    e.crossJoin(broadcast(cents))
+  def assignBucketsWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    prepared(embeddings).crossJoin(broadcast(cents))
       .withColumn("sim", cosine(col("v"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(
         max_by(struct(col("bucket"), col("v")),
           struct(col("sim"), -col("bucket"))).as("best"))
       .select(col("vec_id"), col("best.v").as("v"), col("best.bucket").as("bucket"))
-  }
+
+  /** Deterministic IVF bucket assignment: nearest of the `nBuckets`
+    * k-means centroids ([[trainCentroids]]). Returns (vec_id, v, bucket).
+    */
+  def assignBuckets(embeddings: DataFrame, nBuckets: Int = 16): DataFrame =
+    assignBucketsWith(embeddings, trainCentroids(embeddings, nBuckets))
 
   /** IVF-style ANN: probe the `nProbe` centroid buckets closest to the
     * query, exact cosine within them.
@@ -130,12 +142,11 @@ object Similarity {
   def ivfTopK(
       embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
       nBuckets: Int = 16, nProbe: Int = 4): DataFrame = {
-    val assigned = assignBuckets(embeddings, nBuckets)
+    // ONE training pass; assignment and probing share the centroid table
+    val cents = trainCentroids(embeddings, nBuckets)
+    val assigned = assignBucketsWith(embeddings, cents)
     val e = prepared(embeddings)
     val q = e.where(col("vec_id") === queryId).select(col("v").as("qv"))
-    // probe against the SAME trained centroids the assignment used
-    // (deterministic training => identical table)
-    val cents = trainCentroids(embeddings, nBuckets)
     val probes = cents.crossJoin(broadcast(q))
       .select(col("bucket"), cosine(col("cv"), col("qv")).as("sim"))
       .orderBy(col("sim").desc, col("bucket").asc)

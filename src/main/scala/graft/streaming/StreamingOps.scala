@@ -219,19 +219,16 @@ object StreamingOps {
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val midUs = minUs + (maxUs - minUs) / 2
       def stage(df: DataFrame, name: String): Unit = {
-        // parallel write, then move every part file in before the next
-        // processAllAvailable — the file source lists them all in ONE
-        // trigger, so each stage is still exactly one micro-batch (a
-        // coalesce(1) staging write would serialize the whole stage)
+        // ONE file per stage, made visible with a single atomic move: the
+        // running query's file listing can never observe a partial stage,
+        // so each stage is exactly one micro-batch with full-batch sorting
+        // (multi-part staging would let a trigger catch half a stage and
+        // split it across batches in arbitrary time order)
         val staging = tmp.resolve(s"_stage_$name")
-        df.write.parquet(staging.toString)
-        val it = java.nio.file.Files.list(staging)
-          .filter(_.toString.endsWith(".parquet")).iterator()
-        var i = 0
-        while (it.hasNext) {
-          java.nio.file.Files.move(it.next(), tmp.resolve(s"${name}_$i.parquet"))
-          i += 1
-        }
+        df.coalesce(1).write.parquet(staging.toString)
+        val part = java.nio.file.Files.list(staging).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        java.nio.file.Files.move(part, tmp.resolve(s"$name.parquet"))
       }
       stage(ev.where(unix_micros(col("ts")) <= midUs), "batch1")
 
