@@ -905,9 +905,31 @@ object Queries {
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaTable(t(s, dir, "documents")))
 
+  // The decode is a documented stub (payload = utf-8 text bytes), which is
+  // exactly what makes the PLUMBING oracle-checkable: DuckDB replays the
+  // byte statistics / chunk+stride geometry from the text column, pinning
+  // the mapPartitions batch contract and the lazy per-row frame explode.
+  private val multimodalFeaturesSql =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS INT) AS n_bytes,
+      |  CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT) AS first_byte,
+      |  CAST(list_sum(list_transform(range(1, strlen(text) + 1), i -> ascii(text[i]))) AS DOUBLE)
+      |    / strlen(text) AS byte_mean,
+      |  CAST(64 AS INT) AS feature_dim
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(Multimodal.mediaTable(t(s, dir, "documents")))
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
+
+  private val multimodalFramesSql =
+    """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |  CAST(least(32, strlen(text) - 32 * i) AS INT) AS frame_bytes
+      |FROM (SELECT doc_id, text,
+      |        unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS i
+      |      FROM documents)
+      |WHERE i % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
 
   /** HLL-style approximate distinct vs exact, with relative error — the
     * sketch is engine-specific so the check is rows-only, but the exact
@@ -1022,6 +1044,8 @@ object Queries {
     "stream_window_counts" -> streamWindowCountsSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
     "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames" -> multimodalFramesSql,
     // disagg_*: the queries emit the aggregation-consistency view of the
     // full pipeline run (C·ŷ = y, ts_disagg.py:463-464), which DuckDB can
     // replay from the source tables; raw ŷ values are pinned by the R
@@ -1037,8 +1061,9 @@ object Queries {
     // intentionally rows-only (not ANSI-SQL-expressible):
     // dedup_minhash_lsh + dedup_simhash +
     // text_rolling_fingerprint (xxhash64 has no DuckDB equivalent),
-    // dedup_embedding_cosine + sim_cosine_ivf (LSH/IVF bucket assignment),
-    // multimodal_features (stubbed decoder behind mapPartitions),
+    // dedup_embedding_cosine (LSH band recall near the threshold boundary is
+    // probabilistic — equality to brute-force ground truth is asserted in
+    // OpsSpec instead), sim_cosine_ivf (k-means bucket assignment),
     // stream_sessionize (flatMapGroupsWithState; value-equality to the
     // SQL-checkable sessionize_events is asserted in OpsSpec),
     // agg_approx_distinct (HLL sketch is engine-specific; exact column kept
