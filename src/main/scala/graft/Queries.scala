@@ -922,6 +922,21 @@ object Queries {
     Multimodal.frameSample(Multimodal.mediaTable(t(s, dir, "documents")))
       .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
 
+  /** Resize stage: fixed-dimension payloads (truncate / zero-pad to 64 B).
+    * The binary itself is emitted as an md5 digest — raw bytes don't survive
+    * the pandas-side hash compare, and the digest pins the exact padded
+    * content anyway.
+    */
+  private def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStub(Multimodal.mediaTable(t(s, dir, "documents")))
+      .select(col("doc_id"), col("n_bytes"), md5(col("media")).as("media_md5"))
+      .orderBy(col("doc_id"))
+
+  private val multimodalResizeSql =
+    """SELECT doc_id, CAST(64 AS INT) AS n_bytes,
+      |  md5(rpad(substr(text, 1, 64), 64, chr(0))) AS media_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private val multimodalFramesSql =
     """SELECT doc_id, CAST(i AS INT) AS frame_idx,
       |  CAST(least(32, strlen(text) - 32 * i) AS INT) AS frame_bytes
@@ -1004,6 +1019,7 @@ object Queries {
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
+    "multimodal_resize" -> multimodalResize _,
     "agg_approx_distinct" -> approxDistinct _,
     "stream_window_counts" -> streamWindowCounts _,
     "sessionize_events" -> sessionizeEvents _,
@@ -1046,6 +1062,7 @@ object Queries {
     "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_resize" -> multimodalResizeSql,
     // disagg_*: the queries emit the aggregation-consistency view of the
     // full pipeline run (C·ŷ = y, ts_disagg.py:463-464), which DuckDB can
     // replay from the source tables; raw ŷ values are pinned by the R
