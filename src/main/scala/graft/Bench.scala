@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Many-series throughput — the 100 TB scale shape: N independent yearly
+    * series disaggregated to quarterly inside cogroup tasks (one shuffle,
+    * kernels run where the data is). Returns wall seconds.
+    */
+  private def manySeriesSec(spark: SparkSession, nSeries: Int): Double = {
+    val t0 = System.nanoTime()
+    val low = spark.range(nSeries.toLong).select(col("id").as("series_id"))
+      .crossJoin(spark.range(7).select((col("id") + 1995).as("yr")))
+      .select(col("series_id"),
+        to_timestamp(concat(col("yr"), lit("-01-01"))).as("ts"),
+        (lit(100.0) + pmod(col("series_id"), lit(13)) +
+          (col("yr") - 1995) * lit(7.0)).as("value"))
+    graft.disagg.Disaggregate.manySeries(low, None,
+      params = graft.disagg.Disaggregate.Params(
+        method = "denton-cholette", aggFunc = "sum", targetFreq = Some("QS")))
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,7 +46,8 @@ object Bench {
     // sizes — directly comparable to the BASELINE.md rows
     val kernels = try KernelBench.run().map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}") catch { case _: Throwable => "{}" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kernels_ms":$kernels,"sf":"$sfDir"}""")
+    val many = try manySeriesSec(spark, 10000) catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kernels_ms":$kernels,"scale":{"many_series_10000_sec":$many},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, MinHashSig, NgramShingles, SimHash, SquaredNorm}
+import graft.functions.{DotProduct, MinHashSig, NgramShingles, SignRandomProjection, SimHash, SquaredNorm}
 
 /** Rewrites the declarative higher-order-function dot-product pattern
   *
@@ -57,7 +57,8 @@ object RewriteVectorHofs extends Rule[LogicalPlan] {
   *
   * SQL surface: graft_dot(a, b), graft_squared_norm(a),
   * graft_shingles(text, n), graft_minhash_sig(hashes, k),
-  * graft_simhash(hashes).
+  * graft_simhash(hashes), graft_sign_rp(v, bands, bitsPerBand),
+  * graft_cosine(a, b).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -86,6 +87,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(hashes) - 64-bit simhash"),
       (args: Seq[Expression]) => SimHash(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_sign_rp"),
+      info("graft_sign_rp", "graft_sign_rp(v, bands, bitsPerBand) - random-hyperplane LSH band keys"),
+      (args: Seq[Expression]) => {
+        def lit(i: Int): Int = args(i) match {
+          case Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"argument ${i} must be a literal, got $other")
+        }
+        SignRandomProjection(args(0), lit(1), lit(2))
+      }))
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity (null for zero norms)"),
       (args: Seq[Expression]) => {

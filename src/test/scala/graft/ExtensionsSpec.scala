@@ -27,7 +27,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  graft_shingles(text, 2) AS sh,
         |  graft_simhash(transform(graft_shingles(text, 1), s -> xxhash64(s))) AS sim,
         |  graft_cosine(va, vb) AS cos,
-        |  graft_cosine(array(0.0d, 0.0d), vb) AS cos_zero
+        |  graft_cosine(array(0.0d, 0.0d), vb) AS cos_zero,
+        |  graft_sign_rp(va, 4, 16) AS rp
         |FROM vecs""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 14.0)
@@ -35,6 +36,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(3) != 0L)
     assert(math.abs(r.getDouble(4) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
     assert(r.isNullAt(5))
+    // 4 bands of 16 sign bits, value-equal to the Column API
+    assert(r.getSeq[Long](6).length == 4)
+    val viaColumn = spark.table("vecs")
+      .select(graft.functions.VectorOps.signProjectionBands(col("va"), 4, 16))
+      .collect()(0).getSeq[Long](0)
+    assert(r.getSeq[Long](6) == viaColumn)
   }
 
   test("the optimizer rewrites the HOF dot-product fold into DotProduct") {
