@@ -553,6 +553,10 @@ object Queries {
     "disagg_first_y2q" -> ((s, dir) =>
       Disaggregate.series(lowYearly(s, dir), None,
         params = Disaggregate.Params(method = "denton-cholette", aggFunc = "first",
+          targetFreq = Some("QS")))),
+    "disagg_last_y2q" -> ((s, dir) =>
+      Disaggregate.series(lowYearly(s, dir), None,
+        params = Disaggregate.Params(method = "denton-cholette", aggFunc = "last",
           targetFreq = Some("QS")))))
 
   private def disaggChowLin(s: SparkSession, dir: String): DataFrame =
@@ -630,6 +634,10 @@ object Queries {
   private def disaggFirstY2Q(s: SparkSession, dir: String): DataFrame =
     consistencyView(lowYearly(s, dir),
       rawDisagg("disagg_first_y2q")(s, dir), "year", 4, "first")
+
+  private def disaggLastY2Q(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowYearly(s, dir),
+      rawDisagg("disagg_last_y2q")(s, dir), "year", 4, "last")
 
   /** Keyed (many-series) consistency view — same as [[consistencyView]] with
     * the series id carried through (sum consistency only).
@@ -1003,6 +1011,7 @@ object Queries {
     "disagg_mean_q2m" -> disaggMeanQ2M _,
     "disagg_many_chowlin" -> disaggManySeriesChowLin _,
     "disagg_first_y2q" -> disaggFirstY2Q _,
+    "disagg_last_y2q" -> disaggLastY2Q _,
     "text_token_count" -> textTokenCount _,
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
@@ -1072,6 +1081,7 @@ object Queries {
     "disagg_denton_y2q" -> disaggYearlyCompanionSql,
     "disagg_denton_cholette_y2q" -> disaggYearlyCompanionSql,
     "disagg_first_y2q" -> disaggYearlyCompanionSql,
+    "disagg_last_y2q" -> disaggYearlyCompanionSql,
     "disagg_mean_q2m" -> disaggMeanQ2MSql,
     "disagg_many_series" -> disaggManySeriesSql,
     "disagg_many_chowlin" -> disaggManyChowLinSql

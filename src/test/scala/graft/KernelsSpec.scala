@@ -92,6 +92,22 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("bandedSpdSolve matches the dense solve on seeded SPD banded systems") {
+    import breeze.linalg._
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(5, 23, 60); w <- Seq(1, 2, 3)) {
+      // SPD banded with half-bandwidth w: A = B B' + n*I, B lower-banded
+      val b = DenseMatrix.zeros[Double](n, n)
+      for (i <- 0 until n; j <- math.max(0, i - w) to i) b(i, j) = rnd.nextDouble() - 0.5
+      val a = b * b.t + DenseMatrix.eye[Double](n) * n.toDouble
+      val rhs = DenseMatrix.tabulate(n, 3)((_, _) => rnd.nextDouble())
+      val dense = a \ rhs
+      val banded = Kernels.bandedSpdSolve(a, w, rhs)
+      val err = max(breeze.numerics.abs(dense - banded))
+      assert(err < 1e-9, s"n=$n w=$w max diff $err")
+    }
+  }
+
   test("banded denton distribution equals the dense-inverse formulation") {
     import breeze.linalg._
     val n = 20
