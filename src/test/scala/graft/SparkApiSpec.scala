@@ -67,6 +67,20 @@ class SparkApiSpec extends AnyFunSuite {
     }
   }
 
+  test("manySeries skips poisoned series instead of failing the job") {
+    import spark.implicits._
+    // series 1: 5 clean years; series 2: a single observation (the kernel
+    // cannot infer a frequency from one point -> must be skipped, not fatal)
+    val good = (0 until 5).map(i => (1L, java.sql.Timestamp.valueOf(s"${2000 + i}-01-01 00:00:00"), 100.0 + i))
+    val bad = Seq((2L, java.sql.Timestamp.valueOf("2000-01-01 00:00:00"), 50.0))
+    val low = (good ++ bad).toDF("series_id", "ts", "value")
+    val out = Disaggregate.manySeries(low, None,
+      params = Disaggregate.Params(method = "denton-cholette", targetFreq = Some("QS")))
+      .collect()
+    val bySeries = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(bySeries == Map(1L -> 20), s"expected only series 1 (5y x 4q), got $bySeries")
+  }
+
   test("non-UTC session timezone does not shift disaggregation dates") {
     // the NTZ routing keeps wall-clock dates: before it, collected
     // java.sql.Timestamps were re-interpreted in UTC and every date in a
