@@ -167,6 +167,11 @@ class DisaggGoldenSpec extends AnyFunSuite {
       DisaggCore.run(quarterly, None, method = "denton", aggFunc = "median"))
     assert(e8.getMessage.contains("agg_func should be one of"))
 
+    val e10 = intercept[IllegalArgumentException](
+      DisaggCore.run(quarterly, None, method = "denton", aggFunc = "sum",
+        targetColumn = Some("nope")))
+    assert(e10.getMessage.contains("target_column nope not found"))
+
     // inferable-but-unsupported frequency: weekly infers like pandas
     // ("W-WED") and then fails validate_freqs-style (time_conversion.py:66-71)
     val weeklyTs = (0 until 4).map(i => java.time.LocalDate.parse("2020-01-01").plusWeeks(i.toLong))
