@@ -759,26 +759,51 @@ object Queries {
   /** Quality scoring: structural ratios a pretraining pipeline filters on.
     * All ratios are exact-integer divisions, so cross-engine doubles agree.
     */
-  private def textQuality(s: SparkSession, dir: String): DataFrame =
+  /** Corpus-derived "stopword" list for the quality ratio (the most frequent
+    * tokens of this synthetic corpus — the mechanics are what a pretraining
+    * filter needs; a real pipeline plugs its language's list in).
+    */
+  private val qualityStopwords =
+    Seq("join", "hash", "row", "batch", "scan", "column", "filter", "order")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
     t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), toks.as("toks"))
       .select(col("doc_id"),
         length(col("text")).as("len"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        size(col("toks")).as("n_tokens"),
         (length(col("text")).cast(DoubleType) /
-          size(split(trim(col("text")), "\\s+"))).as("chars_per_token"),
+          size(col("toks"))).as("chars_per_token"),
         (length(regexp_replace(col("text"), "[a-z ]", "")).cast(DoubleType) /
-          length(col("text"))).as("nonalpha_ratio"))
+          length(col("text"))).as("nonalpha_ratio"),
+        // classic pretraining-quality features: stopword fraction (here the
+        // corpus's own most frequent tokens) and mean token length
+        (size(filter(col("toks"),
+          tk => tk.isInCollection(qualityStopwords))).cast(DoubleType) /
+          size(col("toks"))).as("stopword_ratio"),
+        (aggregate(col("toks"), lit(0), (acc, tk) => acc + length(tk))
+          .cast(DoubleType) / size(col("toks"))).as("mean_token_len"))
       .orderBy(col("doc_id"))
+  }
 
-  private val textQualitySql =
-    """SELECT doc_id,
-      |  CAST(length(text) AS INT) AS len,
-      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
-      |  CAST(length(text) AS DOUBLE) /
-      |    len(regexp_split_to_array(trim(text), '\s+')) AS chars_per_token,
-      |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
-      |    length(text) AS nonalpha_ratio
-      |FROM documents ORDER BY doc_id""".stripMargin
+  private val textQualitySql = {
+    val sw = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INT) AS len,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(length(text) AS DOUBLE) / len(toks) AS chars_per_token,
+       |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
+       |    length(text) AS nonalpha_ratio,
+       |  CAST(len(list_filter(toks, tk -> list_contains($sw, tk))) AS DOUBLE) /
+       |    len(toks) AS stopword_ratio,
+       |  CAST(list_sum(list_transform(toks, tk -> length(tk))) AS DOUBLE) /
+       |    len(toks) AS mean_token_len
+       |FROM (SELECT doc_id, text,
+       |        regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Document fingerprinting: md5 of the normalized text (exact-dup key). */
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
