@@ -104,6 +104,7 @@ cases = [
     ('litterman', 'sum', 'disagg_litterman_y2m', low, high),
     ('chow-lin', 'mean', 'disagg_mean_q2m', lowq, high_avg),
     ('denton-cholette', 'first', 'disagg_first_y2q', low, None),
+    ('denton-cholette', 'last', 'disagg_last_y2q', low, None),
 ]
 for method, agg, name, lf, hf in cases:
     kwargs = dict(method=method, agg_func=agg, verbose=False)
