@@ -210,6 +210,32 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned < full && pruned > 0)
   }
 
+  test("bucketed tables join without a shuffle (co-located join layout)") {
+    // the 100 TB recipe for repeated equi-joins: bucket both sides on the
+    // join key at write time; the sort-merge join then reads co-located
+    // buckets with NO Exchange on either side
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      orders.write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_bucketed")
+        .saveAsTable("orders_bucketed")
+      val a = spark.table("orders_bucketed").select(col("o_orderkey"), col("o_totalprice"))
+      val b = spark.table("orders_bucketed").select(col("o_orderkey"), col("o_orderdate"))
+      val joined = a.join(b, "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed self-join must not shuffle:\n${plan.take(1200)}")
+      assert(joined.count() == orders.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("corpus minhash-union sketch: diagonal ~1, symmetric bounds, mergeable") {
     val sim = ops.Sketches.corpusSimilarity(docs).collect()
     val self = sim.filter(r => r.getString(0) == r.getString(1))
