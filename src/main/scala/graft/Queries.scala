@@ -929,6 +929,25 @@ object Queries {
       |      FROM documents)
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin
 
+  /** Inverted-index example sample: k lowest doc_ids per token, two-stage
+    * salted (see TextOps.saltedTokenExamples — the non-algebraic-agg skew
+    * pattern, demonstrated where it pays).
+    */
+  private def textTokenExamples(s: SparkSession, dir: String): DataFrame =
+    TextOps.saltedTokenExamples(t(s, dir, "documents"))
+
+  private val textTokenExamplesSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT token, doc_id FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |    FROM documents)),
+      |ranked AS (
+      |  SELECT token, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY token ORDER BY doc_id) AS INT) AS rank
+      |  FROM pairs)
+      |SELECT token, rank, doc_id FROM ranked
+      |WHERE rank <= 8 ORDER BY token, rank""".stripMargin
+
   private def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -1050,6 +1069,7 @@ object Queries {
     "text_lang_id" -> textLangId _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "text_token_frequencies" -> textTokenFrequencies _,
+    "text_token_examples" -> textTokenExamples _,
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
@@ -1091,6 +1111,7 @@ object Queries {
     "sim_cosine_brute" -> simCosineBruteSql,
     "text_lang_id" -> textLangIdSql,
     "text_token_frequencies" -> textTokenFrequenciesSql,
+    "text_token_examples" -> textTokenExamplesSql,
     "stream_window_counts" -> streamWindowCountsSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
     "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,

@@ -74,6 +74,32 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Per-token example documents (the k lowest doc_ids) via TWO-STAGE SALTED
+    * aggregation — the skew pattern where it actually pays: `collect_set` is
+    * NON-algebraic, so a hot token (corpus stopword) would funnel its entire
+    * posting list through one reducer; min-k however IS mergeable, so each
+    * (token, salt) partial keeps only k ids and the second stage merges
+    * k*nSalts ids per token — bounded reducer state no matter how hot the
+    * token. (Counts need no salting: map-side partial aggregation already
+    * collapses those — see [[saltedTokenFrequencies]].)
+    */
+  def saltedTokenExamples(docs: DataFrame, k: Int = 8, nSalts: Int = 16): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(nSalts.toLong)))
+    val partial = pairs
+      .groupBy(col("token"), col("salt"))
+      .agg(slice(array_sort(collect_set(col("doc_id"))), 1, k).as("ids"))
+    partial
+      .groupBy(col("token"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("ids"))))), 1, k)
+        .as("ids"))
+      .select(col("token"), posexplode(col("ids")))
+      .toDF("token", "pos", "doc_id")
+      .select(col("token"), (col("pos") + 1).cast(IntegerType).as("rank"), col("doc_id"))
+      .orderBy(col("token"), col("rank"))
+  }
+
   /** Rolling polynomial fingerprint of the token stream (Rabin-Karp shape):
     * fold tokens with h = (h*31 + xxhash64(token) mod p) mod m. Modular
     * arithmetic keeps the fold inside Long range (Spark 4 runs ANSI mode, so
