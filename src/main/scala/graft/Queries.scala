@@ -296,6 +296,37 @@ object Queries {
       |  ON c.user_id = e.user_id AND c.ts_us >= e.err_ts_us
       |ORDER BY c.user_id, c.ts_us, c.event_id""".stripMargin
 
+  /** Range join (point-in-interval): attribution — every event falling in
+    * the 30 minutes after a purchase (windows from a user subset). The
+    * naive BETWEEN theta-join is a nested loop over |events| x |windows|;
+    * graft.ops.RangeJoin bins time so it becomes an equi-join on the bin —
+    * DuckDB replays the plain inequality join as the oracle.
+    */
+  private def rangeJoinEventsWindows(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 30L * 60L * 1000000L
+    val ev = graft.streaming.StreamingOps.events(s, dir)
+    val windows = ev
+      .where(col("event_type") === "purchase" && pmod(col("user_id"), lit(50L)) === 0L)
+      .select(col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + winUs).as("end_us"))
+    val points = ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.ops.RangeJoin.pointInInterval(points, windows,
+      "ts_us", "start_us", "end_us", binWidth = winUs)
+      .select(col("event_id"), col("purchase_id"), col("ts_us"))
+      .orderBy(col("event_id"), col("purchase_id"))
+  }
+
+  private val rangeJoinEventsWindowsSql =
+    """WITH w AS (
+      |  SELECT event_id AS purchase_id, epoch_us(ts) AS start_us,
+      |    epoch_us(ts) + 1800000000 AS end_us
+      |  FROM events WHERE event_type = 'purchase' AND user_id % 50 = 0)
+      |SELECT e.event_id, w.purchase_id, epoch_us(e.ts) AS ts_us
+      |FROM events e JOIN w
+      |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) <= w.end_us
+      |ORDER BY event_id, purchase_id""".stripMargin
+
   /** Window-function breadth: per-user running event totals (cumulative sum
     * + row_number over event time).
     */
@@ -1040,6 +1071,7 @@ object Queries {
     "a4_validation_stats" -> validationStats _,
     "agg_corpus_stats" -> corpusStats _,
     "join_asof_click_error" -> asofClickError _,
+    "join_range_events_windows" -> rangeJoinEventsWindows _,
     "window_running_total" -> windowRunningTotal _,
     "pivot_daily_events" -> pivotDailyEvents _,
     "join_semi_anti" -> semiAntiJoin _,
@@ -1096,6 +1128,7 @@ object Queries {
     "a4_validation_stats" -> validationStatsSql,
     "agg_corpus_stats" -> corpusStatsSql,
     "join_asof_click_error" -> asofClickErrorSql,
+    "join_range_events_windows" -> rangeJoinEventsWindowsSql,
     "window_running_total" -> windowRunningTotalSql,
     "pivot_daily_events" -> pivotDailyEventsSql,
     "join_semi_anti" -> semiAntiJoinSql,
