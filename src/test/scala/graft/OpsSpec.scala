@@ -210,6 +210,16 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned < full && pruned > 0)
   }
 
+  test("filters and projection reach the parquet scan (pushdown + pruning)") {
+    val plan = SparkEntry.queries("a1_scan_project_filter")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(l_quantity"),
+      s"predicate not pushed:\n${plan.take(900)}")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"projection not pruned: $readSchema")
+  }
+
   test("bucketed tables join without a shuffle (co-located join layout)") {
     // the 100 TB recipe for repeated equi-joins: bucket both sides on the
     // join key at write time; the sort-merge join then reads co-located
