@@ -97,11 +97,13 @@ object Kernels {
     val w1 = DenseMatrix.vertcat(
       DenseMatrix.horzcat(dtd, c.t),
       DenseMatrix.horzcat(c, DenseMatrix.zeros[Double](nl, nl)))
-    val w2 = DenseMatrix.vertcat(
-      DenseMatrix.horzcat(dtd, DenseMatrix.zeros[Double](n, nl)),
-      DenseMatrix.horzcat(c, DenseMatrix.eye[Double](nl)))
-    val w = w1 \ w2
-    w(0 until n, n until n + nl).toDenseMatrix
+    // only the [0:n, n:n+nl] block of W1^-1 W2 is used, and W2's columns
+    // n..n+nl are just [0; I] — solve those nl right-hand sides instead of
+    // the full (n+nl)^2 (ts_disagg.py:174's dead full solve, SURVEY §1.4)
+    val rhs = DenseMatrix.vertcat(
+      DenseMatrix.zeros[Double](n, nl), DenseMatrix.eye[Double](nl))
+    val w = w1 \ rhs
+    w(0 until n, ::).toDenseMatrix
   }
 
   /** Residual-distribution matrix `D = S C' (C S C')^-1`, computed as a solve
