@@ -38,7 +38,10 @@ object KernelBench {
   }
 
   private def medianMs(reps: Int)(body: => Unit): Double = {
-    (0 until 5).foreach(_ => body) // enough warmup for C2 to kick in
+    // generous warmup: these kernels are 0.3-10 ms, so even 25 iterations
+    // cost well under a second, and the driver reads a single cold-JVM run
+    // of this number — it must reflect C2-compiled code, not JIT warmup
+    (0 until 25).foreach(_ => body)
     val times = (0 until reps).map { _ =>
       val t0 = System.nanoTime()
       body
@@ -48,7 +51,7 @@ object KernelBench {
   }
 
   /** name -> median milliseconds. */
-  def run(reps: Int = 11): Seq[(String, Double)] = {
+  def run(reps: Int = 15): Seq[(String, Double)] = {
     val low36 = syntheticLow(36)
 
     val dentonMs = medianMs(reps) {
