@@ -588,7 +588,11 @@ object Queries {
     "disagg_last_y2q" -> ((s, dir) =>
       Disaggregate.series(lowYearly(s, dir), None,
         params = Disaggregate.Params(method = "denton-cholette", aggFunc = "last",
-          targetFreq = Some("QS")))))
+          targetFreq = Some("QS")))),
+    "disagg_additive_y2q" -> ((s, dir) =>
+      Disaggregate.series(lowYearly(s, dir), None,
+        params = Disaggregate.Params(method = "denton", aggFunc = "sum",
+          criterion = "additive", targetFreq = Some("QS")))))
 
   private def disaggChowLin(s: SparkSession, dir: String): DataFrame =
     consistencyView(lowYearly(s, dir),
@@ -669,6 +673,13 @@ object Queries {
   private def disaggLastY2Q(s: SparkSession, dir: String): DataFrame =
     consistencyView(lowYearly(s, dir),
       rawDisagg("disagg_last_y2q")(s, dir), "year", 4, "last")
+
+  /** criterion = additive (unscaled difference penalty) — the other half of
+    * the reference's criterion surface, under the same consistency oracle.
+    */
+  private def disaggAdditiveY2Q(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowYearly(s, dir),
+      rawDisagg("disagg_additive_y2q")(s, dir), "year", 4, "sum")
 
   /** Keyed (many-series) consistency view — same as [[consistencyView]] with
     * the series id carried through (sum consistency only).
@@ -1088,6 +1099,7 @@ object Queries {
     "disagg_many_chowlin" -> disaggManySeriesChowLin _,
     "disagg_first_y2q" -> disaggFirstY2Q _,
     "disagg_last_y2q" -> disaggLastY2Q _,
+    "disagg_additive_y2q" -> disaggAdditiveY2Q _,
     "text_token_count" -> textTokenCount _,
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
@@ -1161,6 +1173,7 @@ object Queries {
     "disagg_denton_cholette_y2q" -> disaggYearlyCompanionSql,
     "disagg_first_y2q" -> disaggYearlyCompanionSql,
     "disagg_last_y2q" -> disaggYearlyCompanionSql,
+    "disagg_additive_y2q" -> disaggYearlyCompanionSql,
     "disagg_mean_q2m" -> disaggMeanQ2MSql,
     "disagg_many_series" -> disaggManySeriesSql,
     "disagg_many_chowlin" -> disaggManyChowLinSql

@@ -210,6 +210,19 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned < full && pruned > 0)
   }
 
+  test("JSON source round-trips the documents table") {
+    // source breadth: the same pipeline runs when the corpus arrives as
+    // JSON lines instead of parquet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(tmp)
+    val back = spark.read.json(tmp)
+    assert(back.count() == docs.count())
+    val viaJson = TextOps.saltedTokenFrequencies(back).collect().map(_.toString)
+    val viaParquet = TextOps.saltedTokenFrequencies(docs).collect().map(_.toString)
+    assert(viaJson.toSeq == viaParquet.toSeq)
+  }
+
   test("filters and projection reach the parquet scan (pushdown + pruning)") {
     val plan = SparkEntry.queries("a1_scan_project_filter")(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
