@@ -1123,7 +1123,9 @@ object Queries {
     "sessionize_events" -> sessionizeEvents _,
     "stream_sessionize" -> streamSessionize _,
     "stream_dedup_events" -> ((s: SparkSession, dir: String) =>
-      graft.streaming.StreamingOps.streamDedupEvents(s, dir))
+      graft.streaming.StreamingOps.streamDedupEvents(s, dir)),
+    "stream_join_click_purchase" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamClickPurchaseJoin(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1160,6 +1162,7 @@ object Queries {
     "stream_window_counts" -> streamWindowCountsSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
     "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,
+    "stream_join_click_purchase" -> graft.streaming.StreamingOps.streamClickPurchaseJoinSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,

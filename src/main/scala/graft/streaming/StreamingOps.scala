@@ -124,6 +124,63 @@ object StreamingOps {
       |  count(DISTINCT event_id) AS n_distinct
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** STREAM-STREAM interval join: clicks joined to purchases of the same
+    * user within the following 30 minutes. Both sides carry watermarks so
+    * the join state is bounded (a click can be dropped from state once the
+    * purchase-side watermark passes click-ts + 30 min); inner-join matches
+    * emit eagerly, so one AvailableNow pass produces the full result on the
+    * finite harness file — value-identical to the batch inequality join the
+    * DuckDB oracle replays.
+    */
+  def streamClickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src(): DataFrame = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src().where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = src().where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("cu = pu AND pts >= cts AND pts <= cts + interval 30 minutes"))
+
+    val name = s"stream_join_${math.abs(System.identityHashCode(spark)).toString}"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"),
+        unix_micros(col("cts")).as("click_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  val streamClickPurchaseJoinSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_ts_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts_us, p.purchase_ts_us
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.purchase_ts_us >= c.click_ts_us
+      |  AND p.purchase_ts_us <= c.click_ts_us + 1800000000
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   /** Batch read of the events table (nanos timestamps rebuilt to micros). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
