@@ -192,7 +192,7 @@ object Disaggregate {
             }
             val res = DisaggCore.run(lowFrame, highFrame, p.targetFreq, None, p.aggFunc,
               p.method, p.criterion, p.h, p.optimizerMethod, verbose = false,
-              p.lowFreq, p.highFreq)
+              p.lowFreq, p.highFreq, p.optimizerOptions)
             res.ts.zip(res.values).iterator.map { case (d, v) =>
               KeyedOut(key, d.atStartOfDay(), v)
             }
