@@ -496,6 +496,174 @@ object Queries {
       |  FROM orders)
       |WHERE rk <= 3 ORDER BY y, rk""".stripMargin
 
+  /** Statistical-aggregate breadth: per-year second moments of lineitem
+    * (quantity vs extended price). The co-moment sums are decimal-routed
+    * (exact — inputs carry <=2 decimals, squares <=4), so both engines see
+    * bit-identical doubles; corr / sample-stddev are then spelled as ONE
+    * explicit double expression evaluated identically on both sides, instead
+    * of each engine's own streaming corr()/stddev() (whose accumulation
+    * order is engine-defined and would differ in the last ulp). At 100 TB
+    * this is a single map-side-combined shuffle on year — moments are
+    * algebraic aggregates, the cheapest kind.
+    */
+  private def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    // Product casts are (19,4)×(12,4) → DECIMAL(32,8): exact for <=2-decimal
+    // inputs, and int128-backed in DuckDB (a symmetric (18,4)×(18,4) product
+    // overflows DuckDB's int64 decimal storage at runtime).
+    val qd = col("l_quantity").cast(DecimalType(19, 4))
+    val pd = col("l_extendedprice").cast(DecimalType(19, 4))
+    val qdN = col("l_quantity").cast(DecimalType(12, 4))
+    val pdN = col("l_extendedprice").cast(DecimalType(12, 4))
+    // decimal → string → double: the product sums exceed 2^53/10^8, where
+    // DuckDB's direct decimal→double cast (scaled int division) can be one
+    // ulp off the correctly-rounded value; both engines' string→double
+    // parses ARE correctly rounded, so the doubles match bit-for-bit.
+    def exactD(c: Column): Column = c.cast(StringType).cast(DoubleType)
+    val base = t(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        exactD(sum(qd)).as("sum_qty"),
+        exactD(sum(pd)).as("sum_price"),
+        exactD(sum(qd * qdN)).as("sum_qty2"),
+        exactD(sum(pd * pdN)).as("sum_price2"),
+        exactD(sum(qd * pdN)).as("sum_qty_price"))
+    val nD = col("n").cast(DoubleType)
+    base.select(col("y"), col("n"), col("sum_qty"), col("sum_price"),
+        ((nD * col("sum_qty_price")) - (col("sum_qty") * col("sum_price")))
+          .divide(sqrt((nD * col("sum_qty2") - col("sum_qty") * col("sum_qty")) *
+            (nD * col("sum_price2") - col("sum_price") * col("sum_price"))))
+          .as("corr_qty_price"),
+        sqrt((nD * col("sum_qty2") - col("sum_qty") * col("sum_qty"))
+          .divide(nD * (nD - lit(1.0)))).as("stddev_qty"),
+        sqrt((nD * col("sum_price2") - col("sum_price") * col("sum_price"))
+          .divide(nD * (nD - lit(1.0)))).as("stddev_price"))
+      .orderBy(col("y"))
+  }
+
+  private val statsMomentsSql =
+    """WITH base AS (
+      |  SELECT CAST(year(l_shipdate) AS INT) AS y, count(*) AS n,
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty2,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_price2,
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT y, n, sum_qty, sum_price,
+      |  ((CAST(n AS DOUBLE) * sum_qty_price) - (sum_qty * sum_price)) /
+      |    sqrt((CAST(n AS DOUBLE) * sum_qty2 - sum_qty * sum_qty) *
+      |      (CAST(n AS DOUBLE) * sum_price2 - sum_price * sum_price)) AS corr_qty_price,
+      |  sqrt((CAST(n AS DOUBLE) * sum_qty2 - sum_qty * sum_qty) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+      |  sqrt((CAST(n AS DOUBLE) * sum_price2 - sum_price * sum_price) /
+      |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_price
+      |FROM base ORDER BY y""".stripMargin
+
+  /** Window breadth #3: lag/lead — month-over-month revenue delta and
+    * percentage change. The single ordered window over the (tiny) monthly
+    * aggregate is the same shape the reference's time series take: the heavy
+    * shuffle happens in the month groupBy (map-side combined); the window
+    * runs over ~100 rows. First-month delta is NULL on both engines.
+    */
+  private def windowMomDelta(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate"))
+        .cast(TimestampNTZType).as("m"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy(col("m"))
+    monthly.select(col("m"), col("revenue"),
+        lag(col("revenue"), 1).over(w).as("prev_revenue"))
+      .select(col("m"), col("revenue"), col("prev_revenue"),
+        (col("revenue") - col("prev_revenue")).as("delta"),
+        ((col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+          .as("pct_change"))
+      .orderBy(col("m"))
+  }
+
+  private val windowMomDeltaSql =
+    """WITH monthly AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1),
+      |lagged AS (
+      |  SELECT m, revenue, lag(revenue, 1) OVER (ORDER BY m) AS prev_revenue
+      |  FROM monthly)
+      |SELECT m, revenue, prev_revenue,
+      |  revenue - prev_revenue AS delta,
+      |  (revenue - prev_revenue) / prev_revenue AS pct_change
+      |FROM lagged ORDER BY m""".stripMargin
+
+  /** Exact discrete quantiles (quantile_disc rule: the value at row
+    * ceil(p·n), 1-based) per year — picked values only, no interpolation
+    * arithmetic, so the doubles are raw data values and hash-identical
+    * across engines. The full per-group sort is the honest exact algorithm;
+    * the scaladoc'd 100 TB path is approx_percentile (KLL/GK sketch,
+    * mergeable, no global sort) when error tolerance permits.
+    */
+  private def aggQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("y"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("y"))
+    def pick(p: Double): Column =
+      min(when(col("rn") === ceil(col("n") * lit(p)), col("o_totalprice")))
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), col("o_orderkey"),
+        col("o_totalprice"))
+      .select(col("y"), col("o_totalprice"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+      .groupBy(col("y"))
+      .agg(max(col("n")).as("n_orders"),
+        min(col("o_totalprice")).as("p_min"),
+        pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"),
+        max(col("o_totalprice")).as("p_max"))
+      .orderBy(col("y"))
+  }
+
+  private val aggQuantilesSql =
+    """WITH r AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY year(o_orderdate)
+      |      ORDER BY o_totalprice, o_orderkey) AS INT) AS rn,
+      |    count(*) OVER (PARTITION BY year(o_orderdate)) AS n
+      |  FROM orders)
+      |SELECT y, max(n) AS n_orders,
+      |  min(o_totalprice) AS p_min,
+      |  min(CASE WHEN rn = ceil(n * 0.25) THEN o_totalprice END) AS p25,
+      |  min(CASE WHEN rn = ceil(n * 0.5) THEN o_totalprice END) AS p50,
+      |  min(CASE WHEN rn = ceil(n * 0.75) THEN o_totalprice END) AS p75,
+      |  max(o_totalprice) AS p_max
+      |FROM r GROUP BY y ORDER BY y""".stripMargin
+
+  /** Reshaping breadth: wide→long unpivot of per-year aggregates (the
+    * inverse of pivot_daily_events). Spark's Dataset.unpivot is a zero-
+    * shuffle Expand over the aggregated rows; values are cast to a uniform
+    * double (exact for counts up to 2^53).
+    */
+  private def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).cast(DoubleType).as("n_orders"),
+        max(col("o_totalprice")).as("max_price"))
+    base.unpivot(Array(col("y")),
+        Array(col("revenue"), col("n_orders"), col("max_price")),
+        "metric", "value")
+      .orderBy(col("y"), col("metric"))
+  }
+
+  private val unpivotMetricsSql =
+    """WITH base AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |    CAST(count(*) AS DOUBLE) AS n_orders,
+      |    max(o_totalprice) AS max_price
+      |  FROM orders GROUP BY 1)
+      |SELECT y, metric, value FROM (
+      |  SELECT y, 'revenue' AS metric, revenue AS value FROM base
+      |  UNION ALL SELECT y, 'n_orders', n_orders FROM base
+      |  UNION ALL SELECT y, 'max_price', max_price FROM base)
+      |ORDER BY y, metric""".stripMargin
+
   // -------------------------------------------------- disaggregation surface
   //
   // Each disagg_* query runs the FULL disaggregation pipeline, then emits the
@@ -931,27 +1099,68 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
-  private val textLangIdSql: String = {
-    def occ(m: String): String = {
-      val esc = m.replace("'", "''")
-      s"(length(p) - length(replace(p, '$esc', ''))) / ${m.length}"
-    }
-    val scoreExprs = TextOps.langProfiles.map { case (lang, ms) =>
-      s"${ms.map(occ).mkString(" + ")} AS score_$lang"
+  // DuckDB equivalents of the TextOps.langId n-gram scoring, shared by the
+  // standalone lang-ID oracle and the fused-pipeline oracle.
+  private def langOccSql(m: String): String = {
+    val esc = m.replace("'", "''")
+    s"(length(p) - length(replace(p, '$esc', ''))) / ${m.length}"
+  }
+  private val langScoreExprsSql: String =
+    TextOps.langProfiles.map { case (lang, ms) =>
+      s"${ms.map(langOccSql).mkString(" + ")} AS score_$lang"
     }.mkString(",\n    ")
-    val maxExpr = TextOps.langProfiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
-    val caseExpr = TextOps.langProfiles.map { case (lang, _) =>
+  private val langMaxExprSql: String =
+    TextOps.langProfiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+  private val langCaseExprSql: String =
+    TextOps.langProfiles.map { case (lang, _) =>
       s"WHEN score_$lang = m THEN '$lang'"
     }.mkString("CASE ", " ", " END")
+
+  private val textLangIdSql: String = {
     val scoreCols = TextOps.langProfiles.map(p => s"CAST(score_${p._1} AS DOUBLE) AS score_${p._1}").mkString(", ")
     s"""WITH s AS (
        |  SELECT doc_id,
-       |    $scoreExprs
+       |    $langScoreExprsSql
        |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents)),
-       |m AS (SELECT *, $maxExpr AS m FROM s)
-       |SELECT doc_id, $caseExpr AS lang_pred, $scoreCols
+       |m AS (SELECT *, $langMaxExprSql AS m FROM s)
+       |SELECT doc_id, $langCaseExprSql AS lang_pred, $scoreCols
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  /** Fused single-scan document pipeline: fingerprint + token count + size +
+    * quality ratio + language ID in ONE projection over ONE parquet scan.
+    * At 100 TB each extra pass over the corpus is a full re-read, so the
+    * pipeline stages that are per-row pure functions belong in one
+    * WholeStageCodegen span — Catalyst fuses all five features here (verified
+    * by PlanAudit: one scan, one project, no exchange before the sort).
+    */
+  private def textPipelineFused(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(lower(trim(col("text")))).as("fingerprint"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars"),
+        (length(col("text")).cast(DoubleType) / size(toks))
+          .as("chars_per_token"),
+        TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textPipelineFusedSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, text,
+       |    $langScoreExprsSql
+       |  FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents)),
+       |m AS (SELECT *, $langMaxExprSql AS m FROM s)
+       |SELECT doc_id,
+       |  md5(lower(trim(text))) AS fingerprint,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+       |  CAST(length(text) AS INT) AS n_chars,
+       |  CAST(length(text) AS DOUBLE) /
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS chars_per_token,
+       |  $langCaseExprSql AS lang_pred
+       |FROM m ORDER BY doc_id""".stripMargin
 
   /** Corpus-level MinHash-union sketch (typed Aggregator): estimated
     * Jaccard similarity between per-language sub-corpora.
@@ -1090,6 +1299,11 @@ object Queries {
     "rollup_revenue" -> rollupRevenue _,
     "cube_revenue" -> cubeRevenue _,
     "window_topk_per_group" -> windowTopKPerGroup _,
+    "agg_stats_moments" -> statsMoments _,
+    "window_mom_delta" -> windowMomDelta _,
+    "agg_quantiles" -> aggQuantiles _,
+    "unpivot_metrics" -> unpivotMetrics _,
+    "text_pipeline_fused" -> textPipelineFused _,
     "disagg_chow_lin_y2m" -> disaggChowLin _,
     "disagg_litterman_y2m" -> disaggLitterman _,
     "disagg_denton_y2q" -> disaggDenton _,
@@ -1150,6 +1364,11 @@ object Queries {
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,
     "window_topk_per_group" -> windowTopKPerGroupSql,
+    "agg_stats_moments" -> statsMomentsSql,
+    "window_mom_delta" -> windowMomDeltaSql,
+    "agg_quantiles" -> aggQuantilesSql,
+    "unpivot_metrics" -> unpivotMetricsSql,
+    "text_pipeline_fused" -> textPipelineFusedSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
