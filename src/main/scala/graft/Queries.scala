@@ -1044,8 +1044,30 @@ object Queries {
 
   import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 
+  /** 32 bands × 2 rows: candidate-miss probability at the 0.7 verification
+    * threshold is (1−0.7²)³² ≈ 4·10⁻¹⁰, so the verified LSH output equals
+    * the exact all-pairs set — which is exactly what the DuckDB oracle
+    * computes (O(N²) in the oracle only; the Spark plan stays banded).
+    */
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents"))
+    Dedup.minhashLshPairs(t(s, dir, "documents"), bands = 32)
+
+  private val dedupMinhashLshSql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents))
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"))
@@ -1162,11 +1184,65 @@ object Queries {
        |  $langCaseExprSql AS lang_pred
        |FROM m ORDER BY doc_id""".stripMargin
 
-  /** Corpus-level MinHash-union sketch (typed Aggregator): estimated
-    * Jaccard similarity between per-language sub-corpora.
+  /** Corpus-level MinHash-union sketch (typed Aggregator) vs exact shingle
+    * Jaccard between per-language sub-corpora. The hashed surface is the
+    * exact Jaccard (both engines recompute it from distinct shingle sets)
+    * plus `est_within_tol`, which pins the sketch estimate to ±0.2 of truth
+    * (k=64 ⇒ σ ≈ √(J(1−J)/64) ≤ 0.063, so 0.2 is >3σ — deterministic for
+    * fixed input, red if the sketch algebra regresses). At 100 TB the sketch
+    * is the product: the shuffle carries k longs per group; the exact
+    * distinct-shingle join is the verification harness.
     */
-  private def corpusSimilarity(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Sketches.corpusSimilarity(t(s, dir, "documents"))
+  private def corpusSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val est = graft.ops.Sketches.corpusSimilarity(docs) // group_a/b, est_jaccard
+    val sh = docs
+      .select(col("lang").as("grp"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .distinct()
+    val cnt = sh.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.grp") <= col("b.grp"))
+      .groupBy(col("a.grp").as("group_a"), col("b.grp").as("group_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = cnt.as("ca")
+      .join(cnt.as("cb"), col("ca.grp") <= col("cb.grp"))
+      .select(col("ca.grp").as("group_a"), col("cb.grp").as("group_b"),
+        col("ca.n").as("na"), col("cb.n").as("nb"))
+    pairs
+      .join(inter, Seq("group_a", "group_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("exact_jaccard", col("inter").cast(DoubleType) /
+        (col("na") + col("nb") - col("inter")))
+      .join(est, Seq("group_a", "group_b"))
+      .select(col("group_a"), col("group_b"), col("exact_jaccard"),
+        (abs(col("est_jaccard") - col("exact_jaccard")) <= 0.2).as("est_within_tol"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
+  private val corpusSimilaritySql =
+    """WITH shd AS (
+      |  SELECT DISTINCT lang, sh FROM (
+      |    SELECT lang, unnest(list_distinct(
+      |      CASE WHEN len(toks) >= 3 THEN
+      |        list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [array_to_string(toks, ' ')] END)) AS sh
+      |    FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |          FROM documents))),
+      |cnt AS (SELECT lang, count(*) AS n FROM shd GROUP BY 1),
+      |inter AS (
+      |  SELECT a.lang AS group_a, b.lang AS group_b, count(*) AS i
+      |  FROM shd a JOIN shd b ON a.sh = b.sh AND a.lang <= b.lang
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT ca.lang AS group_a, cb.lang AS group_b, ca.n AS na, cb.n AS nb
+      |  FROM cnt ca JOIN cnt cb ON ca.lang <= cb.lang)
+      |SELECT p.group_a, p.group_b,
+      |  CAST(COALESCE(i.i, 0) AS DOUBLE) / (p.na + p.nb - COALESCE(i.i, 0))
+      |    AS exact_jaccard,
+      |  TRUE AS est_within_tol
+      |FROM pairs p LEFT JOIN inter i
+      |  ON p.group_a = i.group_a AND p.group_b = i.group_b
+      |ORDER BY p.group_a, p.group_b""".stripMargin
 
   /** Corpus token frequencies (map-side partial aggregation absorbs the
     * stopword skew — see TextOps.saltedTokenFrequencies scaladoc).
@@ -1204,6 +1280,16 @@ object Queries {
       .select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("fingerprint64"))
       .orderBy(col("doc_id"))
+
+  // DuckDB replays the identical modular byte fold (ascii == byte on this
+  // corpus; list_prepend supplies the initial accumulator on DuckDB 1.0's
+  // two-argument list_reduce)
+  private val textRollingFingerprintSql =
+    """SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, strlen(text)+1), i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 100000000000000003) AS fingerprint64
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaTable(t(s, dir, "documents")))
@@ -1249,17 +1335,25 @@ object Queries {
       |WHERE i % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** HLL-style approximate distinct vs exact, with relative error — the
-    * sketch is engine-specific so the check is rows-only, but the exact
-    * column keeps it honest.
+  /** HLL approximate distinct vs exact. The HLL++ estimate itself is
+    * engine-specific (DuckDB's sketch differs), so the hashed surface is the
+    * exact count plus a `within_5pct` accuracy bound the oracle asserts as
+    * TRUE — Spark's HLL is deterministic for fixed input, so the boolean is
+    * stable, and a sketch regression past 5% relative error flips the gate
+    * red. At 100 TB the sketch is the product (mergeable, constant memory);
+    * the exact count is the verification harness.
     */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.events(s, dir) // nanos-safe events read
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
-      .withColumn("rel_err",
-        abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
-          col("exact_users"))
+      .select(col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+          col("exact_users") <= 0.05).as("within_5pct"))
+
+  private val approxDistinctSql =
+    """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+      |FROM events""".stripMargin
 
   private def streamWindowCounts(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.windowedEventCounts(s, dir)
@@ -1378,7 +1472,11 @@ object Queries {
     "text_lang_id" -> textLangIdSql,
     "text_token_frequencies" -> textTokenFrequenciesSql,
     "text_token_examples" -> textTokenExamplesSql,
+    "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "stream_window_counts" -> streamWindowCountsSql,
+    "agg_approx_distinct" -> approxDistinctSql,
+    "sketch_corpus_similarity" -> corpusSimilaritySql,
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
     "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,
     "stream_join_click_purchase" -> graft.streaming.StreamingOps.streamClickPurchaseJoinSql,
@@ -1400,14 +1498,13 @@ object Queries {
     "disagg_many_series" -> disaggManySeriesSql,
     "disagg_many_chowlin" -> disaggManyChowLinSql
     // intentionally rows-only (not ANSI-SQL-expressible):
-    // dedup_minhash_lsh + dedup_simhash +
-    // text_rolling_fingerprint (xxhash64 has no DuckDB equivalent),
+    // dedup_simhash (the 64-bit xxhash64-seeded signature itself has no
+    // DuckDB equivalent, and simhash-near is not exactly characterizable
+    // by a set measure the oracle could replay),
     // dedup_embedding_cosine (LSH band recall near the threshold boundary is
     // probabilistic — equality to brute-force ground truth is asserted in
     // OpsSpec instead), sim_cosine_ivf (k-means bucket assignment),
     // stream_sessionize (flatMapGroupsWithState; value-equality to the
-    // SQL-checkable sessionize_events is asserted in OpsSpec),
-    // agg_approx_distinct (HLL sketch is engine-specific; exact column kept
-    // alongside), sketch_corpus_similarity (MinHash union sketch)
+    // SQL-checkable sessionize_events is asserted in OpsSpec)
   )
 }

@@ -160,10 +160,55 @@ case class NgramShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Byte-level Rabin–Karp rolling fingerprint: acc = (acc·31 + byte) mod M
+  * with M = 10^17 + 3 (31·M + 255 stays inside a signed long, so the fold is
+  * ANSI-overflow-safe). One native eval per row instead of a per-character
+  * interpreted-HOF chain; the modulus keeps the value replayable in ANSI SQL
+  * (the DuckDB oracle recomputes the identical fold via list_reduce), unlike
+  * xxhash64 which no other engine implements. Byte==character on this ASCII
+  * corpus; a multibyte corpus would hash UTF-8 bytes.
+  */
+case class RollingPolyHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_rolling_hash requires a string column, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xFFL)) % RollingPolyHash.M
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingPolyHash {
+  val M = 100000000000000003L
+}
+
 object HashOps {
   /** Distinct word n-gram shingles straight from a text column. */
   def ngramShingles(text: Column, n: Int): Column =
     Bridge.column(NgramShingles(Bridge.expression(text), n))
+
+  /** Modular byte-level rolling fingerprint of a string column. */
+  def rollingPolyHash(text: Column): Column =
+    Bridge.column(RollingPolyHash(Bridge.expression(text)))
 
   /** MinHash signature of an array<long> of element hashes. */
   def minhashSig(hashes: Column, k: Int): Column =

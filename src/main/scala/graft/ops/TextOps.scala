@@ -100,18 +100,13 @@ object TextOps {
       .orderBy(col("token"), col("rank"))
   }
 
-  /** Rolling polynomial fingerprint of the token stream (Rabin-Karp shape):
-    * fold tokens with h = (h*31 + xxhash64(token) mod p) mod m. Modular
-    * arithmetic keeps the fold inside Long range (Spark 4 runs ANSI mode, so
-    * silent wraparound would instead raise ARITHMETIC_OVERFLOW).
-    * Content-defined, order-sensitive, cheap.
+  /** Rolling polynomial fingerprint (Rabin-Karp shape): byte-level fold
+    * h = (h*31 + byte) mod (10^17+3) as ONE native eval per row
+    * (graft.functions.RollingPolyHash) — no per-character interpreted HOF
+    * chain, no ANSI overflow, and the modular fold is replayable in ANSI SQL
+    * (the DuckDB oracle recomputes it with list_reduce), unlike the previous
+    * xxhash64-seeded variant. Content-defined, order-sensitive, cheap.
     */
-  def rollingFingerprint(text: Column): Column = {
-    val p = lit(1000000007L)          // token-hash reduction
-    val m = lit(100000000000000003L)  // fold modulus; 31*m + p < Long.MaxValue
-    aggregate(
-      transform(Dedup.tokens(text), t => pmod(xxhash64(t), p)),
-      lit(0L),
-      (acc, h) => pmod(acc * lit(31L) + h, m))
-  }
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.HashOps.rollingPolyHash(text)
 }
