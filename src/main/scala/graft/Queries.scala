@@ -1115,9 +1115,10 @@ object Queries {
 
   private def textLangId(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val scores = TextOps.langIdScores(col("text"))
-    d.select((col("doc_id") +: TextOps.langId(col("text")).as("lang_pred") +:
-      scores.map { case (l, c) => c.cast(DoubleType).as(s"score_$l") }): _*)
+    val feat = TextOps.langIdFeatures(col("text"))
+    d.select((col("doc_id") +: feat.getField("lang_pred").as("lang_pred") +:
+      TextOps.langProfiles.zipWithIndex.map { case ((l, _), i) =>
+        element_at(feat.getField("scores"), i + 1).as(s"score_$l") }): _*)
       .orderBy(col("doc_id"))
   }
 

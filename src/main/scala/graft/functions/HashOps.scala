@@ -201,6 +201,69 @@ object RollingPolyHash {
   val M = 100000000000000003L
 }
 
+/** Language-ID scoring in ONE pass per row: for each profile language, sum
+  * the non-overlapping occurrence counts of its marker n-grams in the
+  * space-padded lower-cased text, then argmax with first-wins tie-break.
+  *
+  * Value-equal to the SQL formulation
+  * `(length(p) - length(replace(p, m, ''))) / length(m)` per marker (which
+  * the DuckDB oracle replays — replace counts non-overlapping left-to-right
+  * matches, exactly this indexOf loop), but evaluated once per row: the
+  * declarative argmax fold duplicates every score subtree per CASE branch
+  * (2^langs copies), which blows past the codegen method limit in wider
+  * projections and drops the whole stage to interpreted eval (measured 5.7x
+  * on the fused pipeline query).
+  *
+  * Output: struct<lang_pred: string, scores: array<double>> (scores in
+  * profile order).
+  */
+case class LangIdFeatures(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+
+  import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("scores", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lang-id requires a string column, got ${other.simpleString}")
+    }
+
+  private def countOccurrences(hay: String, needle: String): Int = {
+    var n = 0
+    var i = hay.indexOf(needle)
+    while (i >= 0) { n += 1; i = hay.indexOf(needle, i + needle.length) }
+    n
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val padded = " " + a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase(java.util.Locale.ROOT) + " "
+    val scores = new Array[Double](profiles.length)
+    var best = 0
+    var i = 0
+    while (i < profiles.length) {
+      var s = 0.0
+      for (m <- profiles(i)._2) s += countOccurrences(padded, m).toDouble
+      scores(i) = s
+      if (s > scores(best)) best = i // strict > = first-wins tie-break
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(profiles(best)._1),
+      new GenericArrayData(scores.map(java.lang.Double.valueOf(_): Any)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashOps {
   /** Distinct word n-gram shingles straight from a text column. */
   def ngramShingles(text: Column, n: Int): Column =

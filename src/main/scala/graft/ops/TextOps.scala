@@ -33,8 +33,8 @@ object TextOps {
     "de" -> Seq(" de", "ch ", "ein", "sch"),
     "zh" -> Seq(" zh", "ng ", "sh", " xi"))
 
-  /** Language-ID: argmax of marker-occurrence scores (ties broken by profile
-    * order). Returns (lang_pred, per-lang scores).
+  /** Declarative per-language scores (the cross-engine-SQL shape; kept as
+    * the spec the native expression is tested against).
     */
   def langIdScores(text: Column): Seq[(String, Column)] = {
     val padded = concat(lit(" "), lower(text), lit(" "))
@@ -43,15 +43,18 @@ object TextOps {
     }
   }
 
-  def langId(text: Column): Column = {
-    val scores = langIdScores(text)
-    // argmax with first-wins tie-break, as a fold over (bestLang, bestScore)
-    val init = struct(lit(scores.head._1).as("lang"), scores.head._2.as("score"))
-    scores.tail.foldLeft(init) { case (best, (lang, score)) =>
-      when(score > best.getField("score"),
-        struct(lit(lang).as("lang"), score.as("score"))).otherwise(best)
-    }.getField("lang")
-  }
+  /** One-pass native lang-ID features: struct<lang_pred, scores>. The
+    * declarative argmax fold duplicates every score subtree per CASE branch
+    * (2^langs copies) and drops wide projections out of codegen — see
+    * graft.functions.LangIdFeatures.
+    */
+  def langIdFeatures(text: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.LangIdFeatures(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), langProfiles))
+
+  def langId(text: Column): Column =
+    langIdFeatures(text).getField("lang_pred")
 
   /** Corpus token frequencies.
     *

@@ -275,4 +275,25 @@ class OpsSpec extends AnyFunSuite {
       .groupBy("l").count().collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(TextOps.langProfiles.map(_._1).toSet))
   }
+
+  test("native lang-id features equal the declarative score formulation") {
+    val n = TextOps.langProfiles.length
+    val feat = TextOps.langIdFeatures(col("text"))
+    val declScores = TextOps.langIdScores(col("text"))
+    val both = docs.select(
+      (col("doc_id") +: feat.getField("lang_pred").as("pred") +:
+        ((0 until n).map(i =>
+          element_at(feat.getField("scores"), i + 1).as(s"nat_$i")) ++
+          declScores.zipWithIndex.map { case ((_, c), i) =>
+            c.cast("double").as(s"dec_$i") })): _*)
+      .collect()
+    both.foreach { r =>
+      val nat = (0 until n).map(i => r.getDouble(r.fieldIndex(s"nat_$i")))
+      val dec = (0 until n).map(i => r.getDouble(r.fieldIndex(s"dec_$i")))
+      assert(nat == dec, s"scores diverge for doc ${r.getLong(0)}")
+      // argmax with first-wins tie-break
+      val best = nat.zipWithIndex.maxBy { case (s, i) => (s, -i) }._2
+      assert(r.getString(1) == TextOps.langProfiles(best)._1)
+    }
+  }
 }
