@@ -1092,8 +1092,30 @@ object Queries {
       |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The DuckDB oracle recomputes the EXACT all-pairs answer (O(N²) in the
+    * oracle only). On this corpus the ground truth at 0.9 is empty (max
+    * natural pairwise cosine ≈ 0.5), so equality is a two-sided guarantee:
+    * DuckDB proves no pair qualifies AND the LSH emits no false positives.
+    * Recall on actual near-duplicates is pinned by OpsSpec's planted-pair
+    * test (exact equality with brute force).
+    */
   private def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), threshold = 0.9)
+
+  private val dedupEmbeddingCosineSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      |  FROM e),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM pairs
+      |WHERE cosine >= 0.9 ORDER BY vec_a, vec_b""".stripMargin
 
   private def simCosineBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)
@@ -1478,6 +1500,7 @@ object Queries {
     "agg_approx_distinct" -> approxDistinctSql,
     "sketch_corpus_similarity" -> corpusSimilaritySql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
     "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,
     "stream_join_click_purchase" -> graft.streaming.StreamingOps.streamClickPurchaseJoinSql,
@@ -1502,9 +1525,7 @@ object Queries {
     // dedup_simhash (the 64-bit xxhash64-seeded signature itself has no
     // DuckDB equivalent, and simhash-near is not exactly characterizable
     // by a set measure the oracle could replay),
-    // dedup_embedding_cosine (LSH band recall near the threshold boundary is
-    // probabilistic — equality to brute-force ground truth is asserted in
-    // OpsSpec instead), sim_cosine_ivf (k-means bucket assignment),
+    // sim_cosine_ivf (k-means bucket assignment),
     // stream_sessionize (flatMapGroupsWithState; value-equality to the
     // SQL-checkable sessionize_events is asserted in OpsSpec)
   )
