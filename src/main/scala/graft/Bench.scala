@@ -37,6 +37,13 @@ object Bench {
     // sub-10ms medians 3-5x
     val kernels = try KernelBench.run().map { case (k, v) => s"\"$k\":$v" }
       .mkString("{", ",", "}") catch { case _: Throwable => "{}" }
+    // JVM warmup before the timed sweep: one cheap aggregate initializes the
+    // parquet reader, codegen compiler, and shuffle machinery so the first
+    // measured query is not charged ~5s of JIT (it was: the map-order-first
+    // query consistently read 2x its steady-state time)
+    try SparkEntry.queries("a8_group_agg")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every computed

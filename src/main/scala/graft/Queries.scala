@@ -634,6 +634,45 @@ object Queries {
       |  max(o_totalprice) AS p_max
       |FROM r GROUP BY y ORDER BY y""".stripMargin
 
+  /** Approximate quantiles (GK sketch via percentile_approx — the mergeable,
+    * no-global-sort 100 TB path) pinned against the exact discrete quantiles:
+    * the hashed surface is the exact per-year counts plus a 2%-relative
+    * accuracy boolean the oracle asserts TRUE. With accuracy=10000 the rank
+    * error is ≤ n/10⁴ ranks, far inside 2% of value on this distribution, and
+    * the boolean is stable under any partial-merge order.
+    */
+  private def aggApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("y"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("y"))
+    def pick(p: Double): Column =
+      min(when(col("rn") === ceil(col("n") * lit(p)), col("o_totalprice")))
+    val exact = t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"), col("o_orderkey"),
+        col("o_totalprice"))
+      .select(col("y"), col("o_totalprice"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+      .groupBy(col("y"))
+      .agg(max(col("n")).as("n_orders"),
+        pick(0.25).as("e25"), pick(0.5).as("e50"), pick(0.75).as("e75"))
+    val approx = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("ap"))
+    exact.join(approx, "y")
+      .select(col("y"), col("n_orders"),
+        (abs(col("ap")(0) - col("e25")) / col("e25") <= 0.02 &&
+          abs(col("ap")(1) - col("e50")) / col("e50") <= 0.02 &&
+          abs(col("ap")(2) - col("e75")) / col("e75") <= 0.02)
+          .as("approx_within_2pct"))
+      .orderBy(col("y"))
+  }
+
+  private val aggApproxQuantilesSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS y, count(*) AS n_orders,
+      |  TRUE AS approx_within_2pct
+      |FROM orders GROUP BY 1 ORDER BY y""".stripMargin
+
   /** Reshaping breadth: wide→long unpivot of per-year aggregates (the
     * inverse of pivot_daily_events). Spark's Dataset.unpivot is a zero-
     * shuffle Expand over the aggregated rows; values are cast to a uniform
@@ -1419,6 +1458,7 @@ object Queries {
     "agg_stats_moments" -> statsMoments _,
     "window_mom_delta" -> windowMomDelta _,
     "agg_quantiles" -> aggQuantiles _,
+    "agg_approx_quantiles" -> aggApproxQuantiles _,
     "unpivot_metrics" -> unpivotMetrics _,
     "text_pipeline_fused" -> textPipelineFused _,
     "disagg_chow_lin_y2m" -> disaggChowLin _,
@@ -1484,6 +1524,7 @@ object Queries {
     "agg_stats_moments" -> statsMomentsSql,
     "window_mom_delta" -> windowMomDeltaSql,
     "agg_quantiles" -> aggQuantilesSql,
+    "agg_approx_quantiles" -> aggApproxQuantilesSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "text_pipeline_fused" -> textPipelineFusedSql,
     "text_token_count" -> textTokenCountSql,

@@ -98,6 +98,76 @@ object SqlQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue, count(*) AS n
         |FROM orders GROUP BY ROLLUP (1, 2)
         |ORDER BY y ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin,
+    "cube_revenue" ->
+      """SELECT year(o_orderdate) AS y,
+        |  CAST(split(o_orderpriority, '-')[0] AS INT) AS pri,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE (1, 2)
+        |ORDER BY y ASC NULLS FIRST, pri ASC NULLS FIRST""".stripMargin,
+    "window_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT year(o_orderdate) AS y, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY year(o_orderdate)
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY y, rk""".stripMargin,
+    "agg_stats_moments" ->
+      """WITH base AS (
+        |  SELECT year(l_shipdate) AS y, count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS STRING) AS DOUBLE) AS sum_qty,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS STRING) AS DOUBLE) AS sum_price,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS STRING) AS DOUBLE) AS sum_qty2,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS STRING) AS DOUBLE) AS sum_price2,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS STRING) AS DOUBLE) AS sum_qty_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT y, n, sum_qty, sum_price,
+        |  ((CAST(n AS DOUBLE) * sum_qty_price) - (sum_qty * sum_price)) /
+        |    sqrt((CAST(n AS DOUBLE) * sum_qty2 - sum_qty * sum_qty) *
+        |      (CAST(n AS DOUBLE) * sum_price2 - sum_price * sum_price)) AS corr_qty_price,
+        |  sqrt((CAST(n AS DOUBLE) * sum_qty2 - sum_qty * sum_qty) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+        |  sqrt((CAST(n AS DOUBLE) * sum_price2 - sum_price * sum_price) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_price
+        |FROM base ORDER BY y""".stripMargin,
+    "window_mom_delta" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP_NTZ) AS m,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT m, revenue, lag(revenue, 1) OVER (ORDER BY m) AS prev_revenue
+        |  FROM monthly)
+        |SELECT m, revenue, prev_revenue,
+        |  revenue - prev_revenue AS delta,
+        |  (revenue - prev_revenue) / prev_revenue AS pct_change
+        |FROM lagged ORDER BY m""".stripMargin,
+    "agg_quantiles" ->
+      """WITH r AS (
+        |  SELECT year(o_orderdate) AS y, o_totalprice,
+        |    row_number() OVER (PARTITION BY year(o_orderdate)
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY year(o_orderdate)) AS n
+        |  FROM orders)
+        |SELECT y, max(n) AS n_orders,
+        |  min(o_totalprice) AS p_min,
+        |  min(CASE WHEN rn = ceil(n * 0.25) THEN o_totalprice END) AS p25,
+        |  min(CASE WHEN rn = ceil(n * 0.5) THEN o_totalprice END) AS p50,
+        |  min(CASE WHEN rn = ceil(n * 0.75) THEN o_totalprice END) AS p75,
+        |  max(o_totalprice) AS p_max
+        |FROM r GROUP BY y ORDER BY y""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS y,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    max(o_totalprice) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT y, metric, value FROM (
+        |  SELECT y, 'revenue' AS metric, revenue AS value FROM base
+        |  UNION ALL SELECT y, 'n_orders', n_orders FROM base
+        |  UNION ALL SELECT y, 'max_price', max_price FROM base)
+        |ORDER BY y, metric""".stripMargin,
     "sessionize_events" ->
       """WITH e AS (
         |  SELECT user_id, event_id, unix_micros(ts) AS ts_us, value FROM events),
