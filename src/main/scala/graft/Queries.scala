@@ -765,6 +765,16 @@ object Queries {
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lx"))
       .withColumn("constant", lit(1.0))
 
+  /** Two-indicator panel (the reference's k>1 GLS path, ts_disagg.py:408:
+    * X = every non-target column): monthly net revenue + monthly quantity.
+    */
+  private def highMonthlyTwo(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ts"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("lx"),
+        sum(col("l_quantity")).as("qty"))
+      .withColumn("constant", lit(1.0))
+
   /** Raw disaggregated series (ts, value) per method — the inner runs of the
     * disagg_* consistency queries, ALSO dumped by Verify under `raw/` so
     * tools/reference_parity.py can diff ŷ itself against the reference
@@ -777,6 +787,9 @@ object Queries {
     "disagg_litterman_y2m" -> ((s, dir) =>
       Disaggregate.series(lowYearly(s, dir), Some(highMonthly(s, dir)),
         params = Disaggregate.Params(method = "litterman", aggFunc = "sum"))),
+    "disagg_two_indicators_y2m" -> ((s, dir) =>
+      Disaggregate.series(lowYearly(s, dir), Some(highMonthlyTwo(s, dir)),
+        params = Disaggregate.Params(method = "chow-lin", aggFunc = "sum"))),
     "disagg_denton_y2q" -> ((s, dir) =>
       Disaggregate.series(lowYearly(s, dir), None,
         params = Disaggregate.Params(method = "denton", aggFunc = "sum",
@@ -804,6 +817,10 @@ object Queries {
   private def disaggChowLin(s: SparkSession, dir: String): DataFrame =
     consistencyView(lowYearly(s, dir),
       rawDisagg("disagg_chow_lin_y2m")(s, dir), "year", 12, "sum")
+
+  private def disaggTwoIndicators(s: SparkSession, dir: String): DataFrame =
+    consistencyView(lowYearly(s, dir),
+      rawDisagg("disagg_two_indicators_y2m")(s, dir), "year", 12, "sum")
 
   private def disaggLitterman(s: SparkSession, dir: String): DataFrame =
     consistencyView(lowYearly(s, dir),
@@ -1462,6 +1479,7 @@ object Queries {
     "unpivot_metrics" -> unpivotMetrics _,
     "text_pipeline_fused" -> textPipelineFused _,
     "disagg_chow_lin_y2m" -> disaggChowLin _,
+    "disagg_two_indicators_y2m" -> disaggTwoIndicators _,
     "disagg_litterman_y2m" -> disaggLitterman _,
     "disagg_denton_y2q" -> disaggDenton _,
     "disagg_denton_cholette_y2q" -> disaggDentonCholette _,
@@ -1553,6 +1571,7 @@ object Queries {
     // replay from the source tables; raw ŷ values are pinned by the R
     // goldens + tools/reference_parity.py
     "disagg_chow_lin_y2m" -> disaggYearlyIndicatorSql,
+    "disagg_two_indicators_y2m" -> disaggYearlyIndicatorSql,
     "disagg_litterman_y2m" -> disaggYearlyIndicatorSql,
     "disagg_denton_y2q" -> disaggYearlyCompanionSql,
     "disagg_denton_cholette_y2q" -> disaggYearlyCompanionSql,

@@ -88,6 +88,11 @@ monthly.index = monthly.index.to_timestamp()
 monthly.index.freq = monthly.index.inferred_freq
 high = monthly.to_frame('lx').assign(constant=1.0)
 
+qty = lineitem.groupby(lineitem.l_shipdate.dt.to_period('M'))['l_quantity'].sum()
+qty.index = qty.index.to_timestamp()
+qty.index.freq = qty.index.inferred_freq
+high2 = monthly.to_frame('lx').assign(qty=qty, constant=1.0)
+
 quarterly = orders.groupby(orders.o_orderdate.dt.to_period('Q'))['o_totalprice'].mean()
 quarterly.index = quarterly.index.to_timestamp()
 quarterly.index.freq = quarterly.index.inferred_freq
@@ -103,6 +108,7 @@ cases = [
     ('chow-lin', 'sum', 'disagg_chow_lin_y2m', low, high),
     ('litterman', 'sum', 'disagg_litterman_y2m', low, high),
     ('chow-lin', 'mean', 'disagg_mean_q2m', lowq, high_avg),
+    ('chow-lin', 'sum', 'disagg_two_indicators_y2m', low, high2),
     ('denton-cholette', 'first', 'disagg_first_y2q', low, None),
     ('denton-cholette', 'last', 'disagg_last_y2q', low, None),
 ]
