@@ -1354,6 +1354,50 @@ object Queries {
       |SELECT token, rank, doc_id FROM ranked
       |WHERE rank <= 8 ORDER BY token, rank""".stripMargin
 
+  /** End-to-end pretraining-data pipeline in one query: quality-feature
+    * computation fused into the scan → threshold filter → exact dedup
+    * keeping the lowest doc_id per fingerprint (one shuffle on the digest)
+    * → per-language corpus stats (map-side-combined agg). The composition
+    * is the point: at 100 TB this runs as scan → filter → one digest
+    * shuffle → one small agg, with no intermediate materialization.
+    */
+  private def pipelinePretrainingFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(lower(trim(col("text")))).as("fp"),
+        size(toks).as("n_tokens"),
+        (length(regexp_replace(col("text"), "[a-z ]", "")).cast(DoubleType) /
+          length(col("text"))).as("nonalpha_ratio"))
+      .where(col("n_tokens") >= 5 && col("nonalpha_ratio") < 0.3)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val pipelinePretrainingFilterSql =
+    """WITH feat AS (
+      |  SELECT doc_id, lang,
+      |    md5(lower(trim(text))) AS fp,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
+      |      length(text) AS nonalpha_ratio
+      |  FROM documents),
+      |kept AS (
+      |  SELECT * FROM feat WHERE n_tokens >= 5 AND nonalpha_ratio < 0.3),
+      |dedup AS (
+      |  SELECT fp, min(doc_id) AS doc_id,
+      |    min_by(lang, doc_id) AS lang, min_by(n_tokens, doc_id) AS n_tokens
+      |  FROM kept GROUP BY fp)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+      |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin
+
   private def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -1478,6 +1522,9 @@ object Queries {
     "agg_approx_quantiles" -> aggApproxQuantiles _,
     "unpivot_metrics" -> unpivotMetrics _,
     "text_pipeline_fused" -> textPipelineFused _,
+    "pipeline_pretraining_filter" -> pipelinePretrainingFilter _,
+    "stream_sliding_counts" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamSlidingCounts(s, dir)),
     "disagg_chow_lin_y2m" -> disaggChowLin _,
     "disagg_two_indicators_y2m" -> disaggTwoIndicators _,
     "disagg_litterman_y2m" -> disaggLitterman _,
@@ -1545,6 +1592,8 @@ object Queries {
     "agg_approx_quantiles" -> aggApproxQuantilesSql,
     "unpivot_metrics" -> unpivotMetricsSql,
     "text_pipeline_fused" -> textPipelineFusedSql,
+    "pipeline_pretraining_filter" -> pipelinePretrainingFilterSql,
+    "stream_sliding_counts" -> graft.streaming.StreamingOps.streamSlidingCountsSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,

@@ -76,6 +76,53 @@ object StreamingOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** SLIDING-window counts (1-day window, 12-hour slide): every event lands
+    * in exactly two overlapping windows — the state-doubling shape tumbling
+    * windows avoid, bounded the same way by the watermark. Spark aligns
+    * window starts to the epoch, so the DuckDB oracle replays the windows
+    * with integer-microsecond bucket arithmetic and must agree exactly.
+    */
+  def streamSlidingCounts(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+
+    val name = s"stream_slide_${math.abs(System.identityHashCode(spark)).toString}"
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("w_start"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start"))
+  }
+
+  val streamSlidingCountsSql: String =
+    """WITH x AS (SELECT epoch_us(ts) AS tus, value FROM events),
+      |w AS (
+      |  SELECT unnest([ (tus // 43200000000) * 43200000000,
+      |                  ((tus // 43200000000) - 1) * 43200000000 ]) AS start_us,
+      |         value
+      |  FROM x)
+      |SELECT make_timestamp(start_us) AS w_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1 ORDER BY w_start""".stripMargin
+
   /** Streaming exact deduplication: `dropDuplicates` on the event id with a
     * watermark bounding the dedup state (the state store only keeps ids
     * newer than watermark - delay; a training-data ingest pipeline's

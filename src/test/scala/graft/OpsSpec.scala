@@ -276,6 +276,33 @@ class OpsSpec extends AnyFunSuite {
     assert(preds.subsetOf(TextOps.langProfiles.map(_._1).toSet))
   }
 
+  test("rolling fingerprint composes: h(a++b) == (h(a)*31^|b| + h(b)) mod M") {
+    import graft.functions.RollingPolyHash.M
+    def modpow(b: Long, e: Long, m: Long): Long = {
+      var r = java.math.BigInteger.ONE
+      val bb = java.math.BigInteger.valueOf(b); val mm = java.math.BigInteger.valueOf(m)
+      r = bb.modPow(java.math.BigInteger.valueOf(e), mm)
+      r.longValueExact()
+    }
+    val pairs = Seq(("hello ", "world"), ("", "abc"), ("x", ""),
+      ("the quick brown fox ", "jumps over the lazy dog"))
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      graft.functions.HashOps.rollingPolyHash(col("a")).as("ha"),
+      graft.functions.HashOps.rollingPolyHash(col("b")).as("hb"),
+      graft.functions.HashOps.rollingPolyHash(concat(col("a"), col("b"))).as("hab"),
+      length(col("b")).as("lb")).collect()
+    rows.foreach { r =>
+      val (ha, hb, hab, lb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      val expect = java.math.BigInteger.valueOf(ha)
+        .multiply(java.math.BigInteger.valueOf(modpow(31L, lb.toLong, M)))
+        .add(java.math.BigInteger.valueOf(hb))
+        .mod(java.math.BigInteger.valueOf(M)).longValueExact()
+      assert(hab == expect, s"composition broken for ${r}")
+    }
+  }
+
   test("native lang-id features equal the declarative score formulation") {
     val n = TextOps.langProfiles.length
     val feat = TextOps.langIdFeatures(col("text"))
