@@ -9,13 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ExtensionsSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // all suites share one forked JVM: getOrCreate would silently reuse a
+    // session built WITHOUT the extensions if another spec's session is
+    // already active, so stop it — injected extensions only apply at
+    // session construction
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 
   test("graft_* functions are callable from SQL") {
     import spark.implicits._
@@ -28,7 +36,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  graft_simhash(transform(graft_shingles(text, 1), s -> xxhash64(s))) AS sim,
         |  graft_cosine(va, vb) AS cos,
         |  graft_cosine(array(0.0d, 0.0d), vb) AS cos_zero,
-        |  graft_sign_rp(va, 4, 16) AS rp
+        |  graft_sign_rp(va, 4, 16) AS rp,
+        |  graft_rolling_hash(text) AS rh
         |FROM vecs""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 14.0)
@@ -42,6 +51,10 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.VectorOps.signProjectionBands(col("va"), 4, 16))
       .collect()(0).getSeq[Long](0)
     assert(r.getSeq[Long](6) == viaColumn)
+    // "a b c d": byte-level fold (acc*31 + byte) mod M
+    val expectRh = "a b c d".getBytes("UTF-8").foldLeft(0L)((acc, b) =>
+      (acc * 31L + (b & 0xFF)) % graft.functions.RollingPolyHash.M)
+    assert(r.getLong(7) == expectRh)
   }
 
   test("the optimizer rewrites the HOF dot-product fold into DotProduct") {

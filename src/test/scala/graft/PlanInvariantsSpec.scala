@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the 100 TB safety properties of the heavy-query plans: no
+  * accidental cartesian/nested-loop joins, and the shuffle count each
+  * query's scale story depends on. A regression that turns a banded LSH
+  * into an all-pairs join, or splits a fused scan, fails HERE — not at
+  * cluster scale.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def countExchanges(p: String): Int =
+    p.linesIterator.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+
+  // Every O(N²)-capable operator the optimizer could silently fall back to.
+  private val forbidden = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+
+  test("candidate-generation queries never degrade to all-pairs joins") {
+    for (name <- Seq("dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine", "dedup_ngram_jaccard",
+        "join_range_events_windows", "join_asof_click_error")) {
+      val p = plan(name)
+      forbidden.foreach(op =>
+        assert(!p.contains(op), s"$name plan contains $op:\n${p.take(1200)}"))
+    }
+  }
+
+  test("fused single-scan pipeline has no exchange before the final sort") {
+    val p = plan("text_pipeline_fused")
+    assert(countExchanges(p) == 1, s"expected only the sort exchange:\n$p")
+    assert(p.contains("Scan parquet"), p.take(300))
+  }
+
+  test("algebraic aggregates shuffle exactly once plus the output sort") {
+    for (name <- Seq("agg_stats_moments", "a8_group_agg")) {
+      val p = plan(name)
+      // one partial->final agg exchange + one range exchange for ORDER BY
+      assert(countExchanges(p) <= 2, s"$name shuffles too much:\n$p")
+      assert(p.contains("partial_"), s"$name must map-side combine:\n${p.take(800)}")
+    }
+  }
+
+  test("pretraining pipeline composite stays at its 3 planned shuffles") {
+    // digest dedup + lang agg + output sort; a 4th exchange means the
+    // composition started re-materializing
+    val p = plan("pipeline_pretraining_filter")
+    assert(countExchanges(p) <= 3, s"unexpected extra shuffle:\n$p")
+  }
+
+  test("broadcast side of the brute-force similarity stays broadcast") {
+    val p = plan("sim_cosine_brute")
+    assert(p.contains("BroadcastExchange") || p.contains("TakeOrdered"),
+      s"expected broadcast query vector / TakeOrdered top-k:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+}
