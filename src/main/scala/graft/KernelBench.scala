@@ -38,10 +38,14 @@ object KernelBench {
   }
 
   private def medianMs(reps: Int)(body: => Unit): Double = {
-    // generous warmup: these kernels are 0.3-10 ms, so even 25 iterations
+    // generous warmup: these kernels are 0.3-10 ms, so even 50 iterations
     // cost well under a second, and the driver reads a single cold-JVM run
-    // of this number — it must reflect C2-compiled code, not JIT warmup
-    (0 until 25).foreach(_ => body)
+    // of this number — it must reflect C2-compiled code, not JIT warmup.
+    // The GC fence keeps a collection triggered by warmup garbage from
+    // landing inside the timed loop (observed 0.7→1.3 ms run-to-run swings
+    // on the chow-lin eval without it).
+    (0 until 50).foreach(_ => body)
+    System.gc()
     val times = (0 until reps).map { _ =>
       val t0 = System.nanoTime()
       body
@@ -51,7 +55,7 @@ object KernelBench {
   }
 
   /** name -> median milliseconds. */
-  def run(reps: Int = 15): Seq[(String, Double)] = {
+  def run(reps: Int = 31): Seq[(String, Double)] = {
     val low36 = syntheticLow(36)
 
     val dentonMs = medianMs(reps) {
@@ -89,10 +93,38 @@ object KernelBench {
       Kernels.negLogLikObjective(0.8, 0.8, yM, xM, cMk, Kernels.LittermanCov)
     }
 
+    // BASELINE.md scaling rows (reference, same shapes: Y→M synthetic):
+    //   objective @ n=2400: 1.19 s/eval   denton-cholette @ n=2400: 2.08 s
+    // The banded-precision/banded-KKT kernels are near-linear in n, so these
+    // two metrics are where the asymptotic win over the dense reference
+    // kernels is directly visible.
+    val highBig = syntheticHigh("MS", LocalDate.of(1800, 1, 1), 2400, 2)
+    val lowBig = {
+      val ts = Frequency.parseValidated("YS").nDatesFrom(LocalDate.of(1800, 1, 1), 200)
+      val v = Array.tabulate(200)(i => 100.0 + 10.0 * math.sin(i * 0.7) + i)
+      TsFrame(ts, IndexedSeq("y"), IndexedSeq(v))
+    }
+    val prepB = DisaggCore.prepareInputs(lowBig, Some(highBig), None, "chow-lin")
+    val cB = DisaggCore.buildConversionMatrix(prepB.low.ts, prepB.lowFreq,
+      prepB.high.ts, prepB.factor, "sum")
+    val maskB = (0 until cB.rows).filter(i => (0 until cB.cols).exists(j => cB(i, j) != 0.0))
+    val cBk = DenseMatrix.tabulate(maskB.length, cB.cols)((i, j) => cB(maskB(i), j))
+    val yB = DenseVector(maskB.map(lowBig.data(0)).toArray)
+    val xB = DenseMatrix.tabulate(2400, 2)((i, j) => highBig.data(j)(i))
+    val chowLinBigMs = medianMs(9) {
+      Kernels.negLogLikObjective(0.8, 0.8, yB, xB, cBk, Kernels.ChowLinCov)
+    }
+    val dcBigMs = medianMs(9) {
+      DisaggCore.run(lowBig, None, method = "denton-cholette", aggFunc = "sum",
+        targetFreq = Some("MS"))
+    }
+
     Seq(
       "denton_a2q_n144_ms" -> dentonMs,
       "denton_cholette_a2q_n144_ms" -> dcMs,
       "chowlin_objective_eval_n158_ms" -> chowLinEvalMs,
-      "litterman_objective_eval_n474_ms" -> littermanEvalMs)
+      "litterman_objective_eval_n474_ms" -> littermanEvalMs,
+      "chowlin_objective_eval_n2400_ms" -> chowLinBigMs,
+      "denton_cholette_y2m_n2400_ms" -> dcBigMs)
   }
 }

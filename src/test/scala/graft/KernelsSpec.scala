@@ -123,6 +123,32 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("banded denton-cholette KKT equals the dense KKT across agg shapes") {
+    import breeze.linalg._
+    val n = 48
+    val nl = 11 // one incomplete trailing period left out, like the real mask
+    val x = DenseVector.tabulate(n)(i => 40.0 + 3.0 * math.sin(i * 0.4) + 0.5 * i)
+    // sum-style C (1s over factor-4 blocks), mean-style (1/4), first/last
+    // (single entry at block start/end)
+    def blockC(fill: (Int, Int) => Seq[(Int, Double)]): DenseMatrix[Double] = {
+      val c = DenseMatrix.zeros[Double](nl, n)
+      for (r <- 0 until nl; (j, v) <- fill(r, 4)) c(r, j) = v
+      c
+    }
+    val shapes = Seq(
+      "sum" -> blockC((r, f) => (0 until f).map(j => (r * f + j, 1.0))),
+      "mean" -> blockC((r, f) => (0 until f).map(j => (r * f + j, 0.25))),
+      "first" -> blockC((r, f) => Seq((r * f, 1.0))),
+      "last" -> blockC((r, f) => Seq((r * f + f - 1, 1.0))))
+    for ((name, c) <- shapes; h <- Seq(1, 2); prop <- Seq(true, false)) {
+      val dense = Kernels.dentonCholetteDistributionDense(n, nl, c, x, h, prop)
+      val banded = Kernels.dentonCholetteDistribution(n, nl, c, x, h, prop)
+      val scale = max(breeze.numerics.abs(dense))
+      val err = max(breeze.numerics.abs(dense - banded)) / scale
+      assert(err < 1e-8, s"agg=$name h=$h prop=$prop max rel diff $err")
+    }
+  }
+
   test("conversion matrix row sums and groupBy equivalence (test_disaggregation.py:96-139)") {
     val lowTs = Fixtures.freqDates("2001-01-01", "YS", 5)
     val highTs = Fixtures.freqDates("2001-01-01", "QS", 20)
