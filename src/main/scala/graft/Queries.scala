@@ -1487,6 +1487,46 @@ object Queries {
   private def streamSessionize(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.sessionizeStream(s, dir)
 
+  /** Spark's NATIVE session_window operator (batch form; the same expression
+    * powers streaming session aggregation) next to the lag-based and
+    * flatMapGroupsWithState sessionizers. Semantics differ from the
+    * lag-formulation at the exact gap boundary: session_window merges only
+    * OVERLAPPING [ts, ts+gap) windows, so events exactly `gap` apart start
+    * a new session — the oracle replays that with `>=`.
+    */
+  private def windowSessionNative(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  private val windowSessionNativeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, value,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+      |         WHEN ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts_us) AS start_us,
+      |  max(ts_us) + 1800000000 AS end_us,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   private val streamWindowCountsSql =
     """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -1558,6 +1598,7 @@ object Queries {
     "stream_window_counts" -> streamWindowCounts _,
     "sessionize_events" -> sessionizeEvents _,
     "stream_sessionize" -> streamSessionize _,
+    "window_session_native" -> windowSessionNative _,
     "stream_dedup_events" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamDedupEvents(s, dir)),
     "stream_join_click_purchase" -> ((s: SparkSession, dir: String) =>
@@ -1610,6 +1651,7 @@ object Queries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
+    "window_session_native" -> windowSessionNativeSql,
     "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,
     "stream_join_click_purchase" -> graft.streaming.StreamingOps.streamClickPurchaseJoinSql,
     "multimodal_features" -> multimodalFeaturesSql,
