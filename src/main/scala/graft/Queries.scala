@@ -441,6 +441,40 @@ object Queries {
       |SELECT 'both' AS kind, m FROM (SELECT m FROM lm INTERSECT SELECT m FROM om)
       |ORDER BY kind, m""".stripMargin
 
+  /** Star-schema join: fact (lineitem) against two explicitly broadcast
+    * dimensions (part, supplier→nation) — the 100 TB star shape: dims ship
+    * to every executor once, the fact table never shuffles for the join
+    * (only for the final small aggregate). PlanInvariantsSpec pins that
+    * both joins stay BroadcastHashJoin with zero fact-side Exchange before
+    * the aggregation.
+    */
+  private def joinStarPricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val part = broadcast(t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand")))
+    val supNation = broadcast(t(s, dir, "supplier")
+      .join(t(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("p_brand"), col("n_name"))
+  }
+
+  private val joinStarPricingSql =
+    """SELECT p_brand, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY p_brand, n_name
+      |ORDER BY p_brand, n_name""".stripMargin
+
   /** Hierarchical aggregation breadth: rollup over (year, quarter). */
   private def rollupRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
@@ -1552,6 +1586,7 @@ object Queries {
     "window_running_total" -> windowRunningTotal _,
     "pivot_daily_events" -> pivotDailyEvents _,
     "join_semi_anti" -> semiAntiJoin _,
+    "join_star_pricing" -> joinStarPricing _,
     "set_ops_months" -> setOps _,
     "rollup_revenue" -> rollupRevenue _,
     "cube_revenue" -> cubeRevenue _,
@@ -1623,6 +1658,7 @@ object Queries {
     "window_running_total" -> windowRunningTotalSql,
     "pivot_daily_events" -> pivotDailyEventsSql,
     "join_semi_anti" -> semiAntiJoinSql,
+    "join_star_pricing" -> joinStarPricingSql,
     "set_ops_months" -> setOpsSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,

@@ -61,6 +61,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(countExchanges(p) <= 3, s"unexpected extra shuffle:\n$p")
   }
 
+  test("star-schema dims stay broadcast; the fact side never shuffles for the join") {
+    val p = plan("join_star_pricing")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both dims must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact-side shuffle join crept in:\n${p.take(1200)}")
+  }
+
   test("broadcast side of the brute-force similarity stays broadcast") {
     val p = plan("sim_cosine_brute")
     assert(p.contains("BroadcastExchange") || p.contains("TakeOrdered"),
