@@ -1388,6 +1388,35 @@ object Queries {
       |SELECT token, rank, doc_id FROM ranked
       |WHERE rank <= 8 ORDER BY token, rank""".stripMargin
 
+  /** Text cleaning/normalization — the first stage of every pretraining
+    * pipeline: strip URLs, collapse whitespace runs, trim. Pure codegen
+    * regexp_replace chain fused into the scan; the regexes are restricted
+    * to syntax Java regex and RE2 interpret identically, so the oracle
+    * replays them verbatim. Emits old/new lengths so the hash also pins
+    * how much each rule removed.
+    */
+  private def textClean(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("text"), "https?://[^ ]+", ""), "  +", " "))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("len_raw"),
+        length(cleaned).as("len_clean"),
+        md5(cleaned).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textCleanSql =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INT) AS len_raw,
+      |  CAST(length(cleaned) AS INT) AS len_clean,
+      |  md5(cleaned) AS clean_md5
+      |FROM (
+      |  SELECT doc_id, text, trim(regexp_replace(
+      |    regexp_replace(text, 'https?://[^ ]+', '', 'g'), '  +', ' ', 'g')) AS cleaned
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** End-to-end pretraining-data pipeline in one query: quality-feature
     * computation fused into the scan → threshold filter → exact dedup
     * keeping the lowest doc_id per fingerprint (one shuffle on the digest)
@@ -1598,6 +1627,7 @@ object Queries {
     "unpivot_metrics" -> unpivotMetrics _,
     "text_pipeline_fused" -> textPipelineFused _,
     "pipeline_pretraining_filter" -> pipelinePretrainingFilter _,
+    "text_clean" -> textClean _,
     "stream_sliding_counts" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamSlidingCounts(s, dir)),
     "disagg_chow_lin_y2m" -> disaggChowLin _,
@@ -1670,6 +1700,7 @@ object Queries {
     "unpivot_metrics" -> unpivotMetricsSql,
     "text_pipeline_fused" -> textPipelineFusedSql,
     "pipeline_pretraining_filter" -> pipelinePretrainingFilterSql,
+    "text_clean" -> textCleanSql,
     "stream_sliding_counts" -> graft.streaming.StreamingOps.streamSlidingCountsSql,
     "text_token_count" -> textTokenCountSql,
     "text_quality" -> textQualitySql,
