@@ -114,6 +114,9 @@ object KernelBench {
     val chowLinBigMs = medianMs(9) {
       Kernels.negLogLikObjective(0.8, 0.8, yB, xB, cBk, Kernels.ChowLinCov)
     }
+    val littermanBigMs = medianMs(9) {
+      Kernels.negLogLikObjective(0.8, 0.8, yB, xB, cBk, Kernels.LittermanCov)
+    }
     val dcBigMs = medianMs(9) {
       DisaggCore.run(lowBig, None, method = "denton-cholette", aggFunc = "sum",
         targetFreq = Some("MS"))
@@ -125,6 +128,7 @@ object KernelBench {
       "chowlin_objective_eval_n158_ms" -> chowLinEvalMs,
       "litterman_objective_eval_n474_ms" -> littermanEvalMs,
       "chowlin_objective_eval_n2400_ms" -> chowLinBigMs,
+      "litterman_objective_eval_n2400_ms" -> littermanBigMs,
       "denton_cholette_y2m_n2400_ms" -> dcBigMs)
   }
 }
