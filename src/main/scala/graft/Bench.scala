@@ -35,7 +35,8 @@ object Bench {
     // after the query sweep the JVM carries Spark executor pools, streaming
     // state-store maintenance threads, and GC pressure that inflate these
     // sub-10ms medians 3-5x
-    val kernels = try KernelBench.run().map { case (k, v) => s"\"$k\":$v" }
+    val kernels = try KernelBench.run().map { case (k, v) =>
+      s"""\"$k\":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
       .mkString("{", ",", "}") catch { case _: Throwable => "{}" }
     // JVM warmup before the timed sweep: one cheap aggregate initializes the
     // parquet reader, codegen compiler, and shuffle machinery so the first
@@ -53,11 +54,21 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val many = try manySeriesSec(spark, 10000) catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"kernels_ms":$kernels,"scale":{"many_series_10000_sec":$many},"sf":"$sfDir"}""")
+    // The harness keeps only the LAST ~2000 chars of stdout (observed in
+    // BENCH_r01/r02: "tail" is exactly 2000 chars and "parsed" came back
+    // null because the full per-query map overflowed it). So: full detail
+    // first on its own line, then a compact final line — total, kernel
+    // medians (the BASELINE.md comparison), scale shape, and the slowest
+    // queries — sized to always fit the window in full.
+    println(s"""{"detail":"per_query_sec","n_queries":${results.size},"queries":$qs}""")
+    val top = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"kernels_ms":$kernels,"scale":{"many_series_10000_sec":${f3(many)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,8 +29,12 @@ object Queries {
   /** Exact sum of a double column: per-row decimal cast, exact decimal sum,
     * result as double.
     */
+  // decimal sum surfaced as DOUBLE: routed through STRING on BOTH engines —
+  // DuckDB's direct decimal→double cast is 1 ulp off correct rounding once
+  // the scaled integer passes 2^53 (per-group sums cross that near sf>=1),
+  // while string parses are correctly rounded everywhere (CLAUDE.md rule)
   private def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+    sum(c.cast(DecimalType(18, 4))).cast(StringType).cast(DoubleType)
 
   // ------------------------------------------------------------------ A-layer
 
@@ -101,9 +105,9 @@ object Queries {
 
   private val groupAggSql =
     """SELECT CAST(year(l_shipdate) AS INT) AS y,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_qty,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS mean_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  count(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY y""".stripMargin
 
@@ -146,7 +150,7 @@ object Queries {
   private val havingCompleteSql =
     """SELECT CAST(year(l_shipdate) AS INT) AS y,
       |  count(DISTINCT month(l_shipdate)) AS n_months,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 1
       |HAVING count(DISTINCT month(l_shipdate)) = 12 ORDER BY y""".stripMargin
 
@@ -184,11 +188,11 @@ object Queries {
   private val outerJoinAlignSql =
     """WITH low AS (
       |  SELECT date_trunc('year', o_orderdate) AS ts,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS yearly_revenue
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS yearly_revenue
       |  FROM orders GROUP BY 1),
       |high AS (
       |  SELECT date_trunc('month', l_shipdate) AS ts,
-      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS monthly_gross
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS monthly_gross
       |  FROM lineitem GROUP BY 1)
       |SELECT COALESCE(low.ts, high.ts) AS ts, yearly_revenue, monthly_gross
       |FROM low FULL OUTER JOIN high ON low.ts = high.ts
@@ -206,11 +210,11 @@ object Queries {
   private val dropnaRecoverLowSql =
     """WITH low AS (
       |  SELECT date_trunc('year', o_orderdate) AS ts,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS yearly_revenue
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS yearly_revenue
       |  FROM orders GROUP BY 1),
       |high AS (
       |  SELECT date_trunc('month', l_shipdate) AS ts,
-      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS monthly_gross
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS monthly_gross
       |  FROM lineitem GROUP BY 1)
       |SELECT COALESCE(low.ts, high.ts) AS ts, yearly_revenue
       |FROM low FULL OUTER JOIN high ON low.ts = high.ts
@@ -236,11 +240,11 @@ object Queries {
   private val resampleQuarterSql =
     """WITH monthly AS (
       |  SELECT date_trunc('month', l_shipdate) AS ts,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
       |  FROM lineitem GROUP BY 1)
       |SELECT date_trunc('quarter', ts) AS qs,
       |  arg_min(qty, ts) AS first_qty,
-      |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  CAST(CAST(sum(CAST(qty AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
       |FROM monthly GROUP BY 1 ORDER BY qs""".stripMargin
 
   /** A4: the validation aggregates the prepare step relies on (span + null
@@ -339,15 +343,15 @@ object Queries {
         row_number().over(w).as("rn"),
         sum(col("value").cast(DecimalType(18, 4)))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast(DoubleType).as("running_value"))
+          .cast(StringType).cast(DoubleType).as("running_value"))
       .orderBy(col("user_id"), col("rn"))
   }
 
   private val windowRunningTotalSql =
     """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
       |  CAST(row_number() OVER w AS INT) AS rn,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
-      |    ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_value
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |ORDER BY user_id, rn""".stripMargin
@@ -412,11 +416,11 @@ object Queries {
     """WITH li96 AS (
       |  SELECT DISTINCT l_orderkey FROM lineitem WHERE year(l_shipdate) = 1996)
       |SELECT 'semi' AS kind, count(*) AS n,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM li96)
       |UNION ALL
       |SELECT 'anti' AS kind, count(*) AS n,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM li96)
       |ORDER BY kind""".stripMargin
 
@@ -466,7 +470,7 @@ object Queries {
 
   private val joinStarPricingSql =
     """SELECT p_brand, n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  count(*) AS n
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
@@ -485,7 +489,7 @@ object Queries {
   private val rollupRevenueSql =
     """SELECT CAST(year(o_orderdate) AS INT) AS y,
       |  CAST(quarter(o_orderdate) AS INT) AS q,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  count(*) AS n
       |FROM orders GROUP BY ROLLUP (1, 2)
       |ORDER BY y ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin
@@ -504,7 +508,7 @@ object Queries {
   private val cubeRevenueSql =
     """SELECT CAST(year(o_orderdate) AS INT) AS y,
       |  CAST(string_split(o_orderpriority, '-')[1] AS INT) AS pri,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  count(*) AS n
       |FROM orders GROUP BY CUBE (1, 2)
       |ORDER BY y ASC NULLS FIRST, pri ASC NULLS FIRST""".stripMargin
@@ -617,7 +621,7 @@ object Queries {
   private val windowMomDeltaSql =
     """WITH monthly AS (
       |  SELECT date_trunc('month', o_orderdate) AS m,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
       |  FROM orders GROUP BY 1),
       |lagged AS (
       |  SELECT m, revenue, lag(revenue, 1) OVER (ORDER BY m) AS prev_revenue
@@ -727,7 +731,7 @@ object Queries {
   private val unpivotMetricsSql =
     """WITH base AS (
       |  SELECT CAST(year(o_orderdate) AS INT) AS y,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
       |    CAST(count(*) AS DOUBLE) AS n_orders,
       |    max(o_totalprice) AS max_price
       |  FROM orders GROUP BY 1)
@@ -876,7 +880,7 @@ object Queries {
   private val disaggYearlyIndicatorSql =
     """WITH y AS (
       |  SELECT date_trunc('year', o_orderdate) AS ts,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y_low
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS y_low
       |  FROM orders GROUP BY 1),
       |spine AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS m FROM lineitem),
       |complete AS (
@@ -888,7 +892,7 @@ object Queries {
 
   private val disaggYearlyCompanionSql =
     """SELECT date_trunc('year', o_orderdate) AS ts,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y_low,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS y_low,
       |  CAST(4 AS BIGINT) AS n_periods, TRUE AS consistent
       |FROM orders GROUP BY 1 ORDER BY ts""".stripMargin
 
@@ -914,7 +918,7 @@ object Queries {
   private val disaggMeanQ2MSql =
     """WITH y AS (
       |  SELECT date_trunc('quarter', o_orderdate) AS ts,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS y_low
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS y_low
       |  FROM orders GROUP BY 1),
       |spine AS (SELECT DISTINCT date_trunc('month', l_shipdate) AS m FROM lineitem),
       |complete AS (
@@ -983,7 +987,7 @@ object Queries {
   private val disaggManySeriesSql =
     """SELECT CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS series_id,
       |  date_trunc('year', o_orderdate) AS ts,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y_low,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS y_low,
       |  CAST(4 AS BIGINT) AS n_periods, TRUE AS consistent
       |FROM orders GROUP BY 1, 2 ORDER BY series_id, ts""".stripMargin
 
@@ -1022,7 +1026,7 @@ object Queries {
       |  FROM orders),
       |y AS (
       |  SELECT series_id, date_trunc('year', o_orderdate) AS ts,
-      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS y_low
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS y_low
       |  FROM o GROUP BY 1, 2),
       |spine AS (
       |  SELECT DISTINCT o.series_id, date_trunc('month', l.l_shipdate) AS m
@@ -1467,15 +1471,22 @@ object Queries {
         TextOps.rollingFingerprint(col("text")).as("fingerprint64"))
       .orderBy(col("doc_id"))
 
-  // DuckDB replays the identical modular byte fold (ascii == byte on this
-  // corpus; list_prepend supplies the initial accumulator on DuckDB 1.0's
-  // two-argument list_reduce)
+  // DuckDB replays the identical modular fold over the UTF-8 OCTETS, not
+  // characters: hex(encode(text)) exposes the byte sequence and each hex
+  // pair is decoded back to its byte value, so the oracle agrees with the
+  // native byte-level fold on ANY corpus — a non-ASCII document no longer
+  // silently diverges (ascii(text[i]) is a code point, not a byte).
+  // list_prepend supplies the initial accumulator on DuckDB's two-argument
+  // list_reduce.
   private val textRollingFingerprintSql =
-    """SELECT doc_id, list_reduce(
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+      |SELECT doc_id, list_reduce(
       |    list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(range(1, strlen(text)+1), i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      list_transform(range(1, strlen(hx)//2 + 1), i ->
+      |        CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+      |           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS BIGINT))),
       |    (acc, c) -> (acc * 31 + c) % 100000000000000003) AS fingerprint64
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM h ORDER BY doc_id""".stripMargin
 
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaTable(t(s, dir, "documents")))
@@ -1484,14 +1495,23 @@ object Queries {
   // exactly what makes the PLUMBING oracle-checkable: DuckDB replays the
   // byte statistics / chunk+stride geometry from the text column, pinning
   // the mapPartitions batch contract and the lazy per-row frame explode.
+  // Byte statistics are decoded from hex(encode(text)) — true UTF-8 octets,
+  // matching the payload bytes exactly even on a non-ASCII corpus (ascii()
+  // yields code points, and text[i] indexes characters, not bytes).
   private val multimodalFeaturesSql =
-    """SELECT doc_id,
-      |  CAST(strlen(text) AS INT) AS n_bytes,
-      |  CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INT) AS first_byte,
-      |  CAST(list_sum(list_transform(range(1, strlen(text) + 1), i -> ascii(text[i]))) AS DOUBLE)
-      |    / strlen(text) AS byte_mean,
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+      |SELECT doc_id,
+      |  CAST(strlen(hx)//2 AS INT) AS n_bytes,
+      |  CAST(CASE WHEN strlen(hx) > 0 THEN
+      |      (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
+      |    + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1)
+      |    ELSE -1 END AS INT) AS first_byte,
+      |  CAST(list_sum(list_transform(range(1, strlen(hx)//2 + 1), i ->
+      |      (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+      |    + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))) AS DOUBLE)
+      |    / (strlen(hx)//2) AS byte_mean,
       |  CAST(64 AS INT) AS feature_dim
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM h ORDER BY doc_id""".stripMargin
 
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(Multimodal.mediaTable(t(s, dir, "documents")))
@@ -1562,7 +1582,8 @@ object Queries {
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(StringType).cast(DoubleType).as("sum_value"))
       .select(col("user_id"),
         unix_micros(col("sw.start")).as("start_us"),
         unix_micros(col("sw.end")).as("end_us"),
@@ -1573,26 +1594,27 @@ object Queries {
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
       |flagged AS (
-      |  SELECT user_id, ts_us, value,
+      |  SELECT user_id, event_id, ts_us, value,
       |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
       |         WHEN ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1
       |         ELSE 0 END AS new_session
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |sessions AS (
       |  SELECT user_id, ts_us, value,
-      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id
+      |                                ORDER BY ts_us, event_id
       |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       |  FROM flagged)
       |SELECT user_id, min(ts_us) AS start_us,
       |  max(ts_us) + 1800000000 AS end_us,
       |  count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
   private val streamWindowCountsSql =
     """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
   // ------------------------------------------------------------------ export

@@ -37,9 +37,9 @@ object SqlQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "a8_group_agg" ->
       """SELECT year(l_shipdate) AS y,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_qty,
-        |  CAST(sum(CAST(l_extendedprice * (1.0d - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / count(*) AS mean_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0d - l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY y""".stripMargin,
     "a8_group_first_last" ->
@@ -49,7 +49,7 @@ object SqlQueries {
         |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
     "a9_having_complete" ->
       """SELECT year(l_shipdate) AS y, count(DISTINCT month(l_shipdate)) AS n_months,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1
         |HAVING count(DISTINCT month(l_shipdate)) = 12 ORDER BY y""".stripMargin,
     "a10_sequence_spine" ->
@@ -60,22 +60,22 @@ object SqlQueries {
     "a6_outer_join_align" ->
       """WITH low AS (
         |  SELECT date_trunc('year', o_orderdate) AS ts,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS yearly_revenue
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS yearly_revenue
         |  FROM orders GROUP BY 1),
         |high AS (
         |  SELECT date_trunc('month', l_shipdate) AS ts,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS monthly_gross
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS monthly_gross
         |  FROM lineitem GROUP BY 1)
         |SELECT COALESCE(low.ts, high.ts) AS ts, yearly_revenue, monthly_gross
         |FROM low FULL OUTER JOIN high ON low.ts = high.ts ORDER BY ts""".stripMargin,
     "a12_dropna_recover_low" ->
       """WITH low AS (
         |  SELECT date_trunc('year', o_orderdate) AS ts,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS yearly_revenue
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS yearly_revenue
         |  FROM orders GROUP BY 1),
         |high AS (
         |  SELECT date_trunc('month', l_shipdate) AS ts,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS monthly_gross
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS monthly_gross
         |  FROM lineitem GROUP BY 1)
         |SELECT COALESCE(low.ts, high.ts) AS ts, yearly_revenue
         |FROM low FULL OUTER JOIN high ON low.ts = high.ts
@@ -83,10 +83,10 @@ object SqlQueries {
     "a13_resample_quarter" ->
       """WITH monthly AS (
         |  SELECT date_trunc('month', l_shipdate) AS ts,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS qty
         |  FROM lineitem GROUP BY 1)
         |SELECT date_trunc('quarter', ts) AS qs, min_by(qty, ts) AS first_qty,
-        |  CAST(sum(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(sum(CAST(qty AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty
         |FROM monthly GROUP BY 1 ORDER BY qs""".stripMargin,
     "a4_validation_stats" ->
       """SELECT min(o_orderdate) AS start_ts, max(o_orderdate) AS end_ts,
@@ -95,13 +95,13 @@ object SqlQueries {
         |FROM orders""".stripMargin,
     "rollup_revenue" ->
       """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue, count(*) AS n
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue, count(*) AS n
         |FROM orders GROUP BY ROLLUP (1, 2)
         |ORDER BY y ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin,
     "cube_revenue" ->
       """SELECT year(o_orderdate) AS y,
         |  CAST(split(o_orderpriority, '-')[0] AS INT) AS pri,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM orders GROUP BY CUBE (1, 2)
         |ORDER BY y ASC NULLS FIRST, pri ASC NULLS FIRST""".stripMargin,
@@ -133,7 +133,7 @@ object SqlQueries {
     "window_mom_delta" ->
       """WITH monthly AS (
         |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS TIMESTAMP_NTZ) AS m,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue
         |  FROM orders GROUP BY 1),
         |lagged AS (
         |  SELECT m, revenue, lag(revenue, 1) OVER (ORDER BY m) AS prev_revenue
@@ -159,7 +159,7 @@ object SqlQueries {
     "unpivot_metrics" ->
       """WITH base AS (
         |  SELECT year(o_orderdate) AS y,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue,
         |    CAST(count(*) AS DOUBLE) AS n_orders,
         |    max(o_totalprice) AS max_price
         |  FROM orders GROUP BY 1)
@@ -183,7 +183,7 @@ object SqlQueries {
         |  FROM flagged)
         |SELECT user_id, session_id, min(ts_us) AS session_start_us,
         |  max(ts_us) AS session_end_us, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin)
 

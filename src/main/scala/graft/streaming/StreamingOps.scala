@@ -55,7 +55,8 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(StringType).cast(DoubleType).as("sum_value"))
 
     val name = s"stream_win_${System.identityHashCode(spark)}"
     spark.streams.active.filter(_.name == name).foreach(_.stop())
@@ -94,7 +95,8 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(StringType).cast(DoubleType).as("sum_value"))
 
     val name = s"stream_slide_${math.abs(System.identityHashCode(spark)).toString}"
     spark.streams.active.filter(_.name == name).foreach(_.stop())
@@ -120,7 +122,7 @@ object StreamingOps {
       |         value
       |  FROM x)
       |SELECT make_timestamp(start_us) AS w_start, count(*) AS n,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM w GROUP BY 1 ORDER BY w_start""".stripMargin
 
   /** Streaming exact deduplication: `dropDuplicates` on the event id with a
@@ -257,7 +259,8 @@ object StreamingOps {
       .agg(min(col("ts_us")).as("session_start_us"),
         max(col("ts_us")).as("session_end_us"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        sum(col("value").cast(DecimalType(18, 4)))
+          .cast(StringType).cast(DoubleType).as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
@@ -277,7 +280,7 @@ object StreamingOps {
       |  FROM flagged)
       |SELECT user_id, session_id, min(ts_us) AS session_start_us,
       |  max(ts_us) AS session_end_us, count(*) AS n_events,
-      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
