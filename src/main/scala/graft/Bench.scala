@@ -38,23 +38,28 @@ object Bench {
     val kernels = try KernelBench.run().map { case (k, v) =>
       s"""\"$k\":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
       .mkString("{", ",", "}") catch { case _: Throwable => "{}" }
-    // JVM warmup before the timed sweep: one cheap aggregate initializes the
-    // parquet reader, codegen compiler, and shuffle machinery so the first
-    // measured query is not charged ~5s of JIT (it was: the map-order-first
-    // query consistently read 2x its steady-state time)
-    try SparkEntry.queries("a8_group_agg")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // noop sink, not count(): count() lets Catalyst prune every computed
+    // column that no aggregate references, under-measuring projection-heavy
+    // queries — the noop writer materializes every output column
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune every computed
-      // column that no aggregate references, under-measuring projection-heavy
-      // queries — the noop writer materializes every output column
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      try { SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // Two full sweeps, report the second: the first pass eats JIT/codegen
+    // compilation, parquet footer caching, and streaming state-store init.
+    // Comparing r02/r03 driver benches showed ~5s one-off penalties landing
+    // on whichever queries happened to run first in map order — the warm
+    // sweep makes the reported numbers steady-state plan cost, which is the
+    // quantity that actually extrapolates to a long-running 100TB job.
+    val names = SparkEntry.queries.keys.toSeq
+    names.foreach(runOnce)
+    val results = names.map(n => n -> runOnce(n)).toMap
+    def f3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT,
+        if (java.lang.Double.isFinite(v)) v else -1.0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

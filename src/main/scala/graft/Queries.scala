@@ -1506,10 +1506,11 @@ object Queries {
       |      (strpos('0123456789ABCDEF', substr(hx, 1, 1)) - 1) * 16
       |    + (strpos('0123456789ABCDEF', substr(hx, 2, 1)) - 1)
       |    ELSE -1 END AS INT) AS first_byte,
-      |  CAST(list_sum(list_transform(range(1, strlen(hx)//2 + 1), i ->
+      |  CASE WHEN strlen(hx) > 0 THEN
+      |    CAST(list_sum(list_transform(range(1, strlen(hx)//2 + 1), i ->
       |      (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
       |    + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1))) AS DOUBLE)
-      |    / (strlen(hx)//2) AS byte_mean,
+      |    / (strlen(hx)//2) ELSE 0.0 END AS byte_mean,
       |  CAST(64 AS INT) AS feature_dim
       |FROM h ORDER BY doc_id""".stripMargin
 
@@ -1740,6 +1741,7 @@ object Queries {
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
+    "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionizeSql,
     "window_session_native" -> windowSessionNativeSql,
     "stream_dedup_events" -> graft.streaming.StreamingOps.streamDedupEventsSql,
     "stream_join_click_purchase" -> graft.streaming.StreamingOps.streamClickPurchaseJoinSql,
@@ -1765,8 +1767,6 @@ object Queries {
     // dedup_simhash (the 64-bit xxhash64-seeded signature itself has no
     // DuckDB equivalent, and simhash-near is not exactly characterizable
     // by a set measure the oracle could replay),
-    // sim_cosine_ivf (k-means bucket assignment),
-    // stream_sessionize (flatMapGroupsWithState; value-equality to the
-    // SQL-checkable sessionize_events is asserted in OpsSpec)
+    // sim_cosine_ivf (k-means bucket assignment)
   )
 }

@@ -9,8 +9,12 @@ import org.apache.spark.sql.types._
 // `ts` carries the watermark metadata through to flatMapGroupsWithState
 // (event-time timeout requires the watermarked column in its child output);
 // the session math itself runs on integer micros (ts_us).
-case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
-case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+// `v4` is the event value scaled to fixed-point 1e-4 units (an exact Long):
+// session sums accumulate in integer arithmetic so the streamed sum_value is
+// bit-identical to the batch layer's DECIMAL(18,4)->string->double route —
+// which is what lets stream_sessionize share the batch DuckDB oracle.
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long, v4: Long)
+case class SessionState(startUs: Long, lastUs: Long, n: Long, sum4: Long)
 case class SessionOut(
     user_id: Long, session_start_us: Long, session_end_us: Long,
     n_events: Long, sum_value: Double)
@@ -284,6 +288,33 @@ object StreamingOps {
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Oracle for the STREAMING sessionizer: the same gap/lag replay as the
+    * batch oracle, minus the (stream-internal) session_id column. Valid
+    * because the stream accumulates session sums in exact fixed-point
+    * (SessionEvent.v4) and emits them through the identical decimal-string
+    * route, so the streamed rows are bit-equal to this batch replay —
+    * asserted (including sum_value) in OpsSpec. Sessions of one user have
+    * distinct starts, so ORDER BY (user_id, session_start_us) is total.
+    */
+  val streamSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us, value,
+      |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+      |         WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us, value,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts_us) AS session_start_us,
+      |  max(ts_us) AS session_end_us, count(*) AS n_events,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   /** The same sessionization as an arbitrary-stateful streaming query
     * (KeyValueGroupedDataset.flatMapGroupsWithState), UNBOUNDED-correct:
     * per-user session state lives in the state store across micro-batches
@@ -346,9 +377,15 @@ object StreamingOps {
         .parquet(tmp.toString)
         .withWatermark("ts", delay)
         .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
-          col("value"))
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast(LongType).as("v4"))
         .as[SessionEvent]
 
+      // fixed-point 1e-4 Long -> double via decimal STRING parse: identical
+      // to the batch layer's sum(DECIMAL(18,4))->string->double route (both
+      // are correctly-rounded parses of the same exact decimal text)
+      def emitSum(sum4: Long): Double = java.lang.Double.parseDouble(
+        java.math.BigDecimal.valueOf(sum4).movePointLeft(4).toPlainString)
       def fn(userId: Long, evs: Iterator[SessionEvent],
              state: GroupState[SessionState]): Iterator[SessionOut] = {
         if (state.hasTimedOut) {
@@ -356,7 +393,7 @@ object StreamingOps {
           // session is definitively closed (later events would start a new
           // session anyway)
           val out = state.getOption
-            .map(s => SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)).iterator
+            .map(s => SessionOut(userId, s.startUs, s.lastUs, s.n, emitSum(s.sum4))).iterator
           state.remove()
           out
         } else {
@@ -367,12 +404,12 @@ object StreamingOps {
             cur match {
               case Some(s) if e.ts_us - s.lastUs <= gapUs =>
                 cur = Some(SessionState(math.min(s.startUs, e.ts_us),
-                  math.max(s.lastUs, e.ts_us), s.n + 1, s.sum + e.value))
+                  math.max(s.lastUs, e.ts_us), s.n + 1, s.sum4 + e.v4))
               case Some(s) =>
-                out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                out += SessionOut(userId, s.startUs, s.lastUs, s.n, emitSum(s.sum4))
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.v4))
               case None =>
-                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.v4))
             }
           }
           cur.foreach { s =>
@@ -380,7 +417,7 @@ object StreamingOps {
             if (timeoutMs <= state.getCurrentWatermarkMs()) {
               // already expired relative to the watermark: emit now (a
               // setTimeoutTimestamp in the past would throw)
-              out += SessionOut(userId, s.startUs, s.lastUs, s.n, s.sum)
+              out += SessionOut(userId, s.startUs, s.lastUs, s.n, emitSum(s.sum4))
             } else {
               state.update(s)
               state.setTimeoutTimestamp(timeoutMs)

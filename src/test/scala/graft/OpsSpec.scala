@@ -117,11 +117,13 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("stateful streaming sessionization equals the batch/SQL formulation") {
+    // sum_value included: the stream's fixed-point session sums must be
+    // BIT-equal to the batch decimal-string route (the shared-oracle claim)
     val stream = graft.streaming.StreamingOps.sessionizeStream(spark, dir)
-      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
       .collect().map(_.toString).sorted
     val batch = graft.streaming.StreamingOps.sessionizeBatch(spark, dir)
-      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
       .collect().map(_.toString).sorted
     assert(stream.length > 0)
     assert(stream.toSeq == batch.toSeq)
