@@ -1163,6 +1163,56 @@ object Queries {
       |WHERE jaccard >= 0.7
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-dup CLUSTERS: transitive closure of the verified minhash-LSH pair
+    * graph via distributed large-star/small-star connected components
+    * (Dedup.connectedComponents). The oracle recomputes the exact all-pairs
+    * edge set (valid for the same 4e-10 miss-probability reason as
+    * dedup_minhash_lsh) and closes it with a recursive CTE — DuckDB pays
+    * O(n*m) reachability, Spark stays in O(log^2 n) min-agg rounds.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(t(s, dir, "documents"), bands = 32))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    // sizes has one row per cluster — broadcast-sized by construction
+    labels.join(broadcast(sizes), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |p AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.7),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM p
+      |  UNION SELECT doc_b, doc_a FROM p),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lbl AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      |  FROM reach GROUP BY u),
+      |sz AS (
+      |  SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id)
+      |SELECT l.doc_id, l.cluster_id, sz.cluster_size
+      |FROM lbl l JOIN sz USING (cluster_id)
+      |ORDER BY l.doc_id""".stripMargin
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"))
 
@@ -1669,6 +1719,7 @@ object Queries {
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_clusters" -> dedupClusters _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
@@ -1739,6 +1790,7 @@ object Queries {
     "agg_approx_distinct" -> approxDistinctSql,
     "sketch_corpus_similarity" -> corpusSimilaritySql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
     "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionizeSql,

@@ -252,4 +252,71 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Distributed connected components over a near-duplicate pair graph:
+    * the alternating LARGE-STAR / SMALL-STAR algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
+    *
+    * Near-dup DEDUPLICATION needs components, not pairs — "keep one doc per
+    * cluster" is only well-defined once transitive closure has merged
+    * overlapping pairs (a~b, b~c => {a,b,c} is one cluster even when a!~c).
+    *
+    * Scale shape: no driver-side graph state and no quadratic stage — each
+    * round is two min-aggregation shuffles keyed on node id, the edge set
+    * never grows beyond its input size (large-star/small-star only ever
+    * REPLACE an endpoint with a smaller one), and convergence takes
+    * O(log^2 n) rounds on adversarial graphs (2 rounds on typical dup
+    * clusters, which are near-cliques). Each round is localCheckpoint'd:
+    * iterative lineage otherwise re-executes the whole history every action.
+    *
+    * Returns (doc_id, cluster_id) for every node that appears in `pairs`,
+    * where cluster_id = min doc_id of the component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 25): DataFrame = {
+    // canonical orientation u > v (self-loops dropped)
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var it = 0
+    var converged = edges.isEmpty
+    while (!converged && it < maxIter) {
+      // LARGE-STAR: every strictly-larger neighbor of u links to
+      // min(N(u) + {u}) — one symmetrized min-agg shuffle + an equi-join
+      val sym = edges.unionAll(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(minsL, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR: u and all its (smaller) neighbors link to min(N(u)+{u})
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val members = large.select(col("u"), col("v").as("x"))
+        .unionAll(minsS.select(col("u"), col("u").as("x")))
+      val small = members.join(minsS, "u")
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint: the edge set stopped changing (set-equality via counts +
+      // one-sided difference; both sides are already distinct)
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    // at the fixpoint the graph is a union of stars: (member -> root)
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v"), col("v")).distinct()
+        .toDF("doc_id", "cluster_id"))
+      .distinct()
+  }
 }

@@ -43,6 +43,23 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), s"LSH emitted sub-threshold pairs ${lsh -- exact}")
   }
 
+  test("connected components: chain + clique + isolated pair label to min id") {
+    import spark.implicits._
+    // chain 0-1-...-15 exercises multi-round large/small-star convergence
+    // (a path is the adversarial diameter case); 100-101-102 clique and the
+    // isolated pair (200,201) must stay separate components
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val clique = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pair = Seq((201L, 200L)) // reversed orientation on purpose
+    val edges = (chain ++ clique ++ pair).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 16 + 3 + 2)
+    (0L to 15L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    (100L to 102L).foreach(i => assert(got(i) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+  }
+
   test("simhash pairs respect the hamming bound and are deterministic") {
     val p1 = Dedup.simhashPairs(docs).collect()
     assert(p1.forall(_.getInt(2) <= 6))
