@@ -631,6 +631,130 @@ object Queries {
       |  (revenue - prev_revenue) / prev_revenue AS pct_change
       |FROM lagged ORDER BY m""".stripMargin
 
+  /** Forward-fill over a complete calendar spine — the gap-repair primitive
+    * a disaggregation pipeline needs before indicators can be used (the
+    * reference requires dense high-freq indexes; ffill is how sparse feeds
+    * get there). Per-priority monthly revenue is masked on a deterministic
+    * rule (month % 3 == 0 simulates late-arriving partitions), then
+    * last-non-null-carry-forward repairs it with a window PARTITIONED BY
+    * series — the partitioned frame is what scales: each series fills
+    * independently, no global sort.
+    */
+  private def fillForward(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("series"),
+        date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("m"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+    val spine = monthly.select(col("series")).distinct()
+      .crossJoin(monthly.select(min(col("m")).as("lo"), max(col("m")).as("hi")))
+      .select(col("series"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("m"))
+    val masked = spine.join(monthly, Seq("series", "m"), "left")
+      .select(col("series"), col("m"),
+        when(month(col("m")) % 3 === 0, lit(null)).otherwise(col("rev")).as("revenue"))
+    val w = Window.partitionBy(col("series")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    masked
+      .select(col("series"), col("m"), col("revenue"),
+        last(col("revenue"), ignoreNulls = true).over(w).as("filled_revenue"))
+      .orderBy(col("series"), col("m"))
+  }
+
+  private val fillForwardSql =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority AS series, date_trunc('month', o_orderdate) AS m,
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT s.series, unnest(generate_series(b.lo, b.hi, INTERVAL 1 MONTH)) AS m
+      |  FROM (SELECT DISTINCT series FROM monthly) s
+      |  CROSS JOIN (SELECT min(m) AS lo, max(m) AS hi FROM monthly) b),
+      |masked AS (
+      |  SELECT sp.series, sp.m,
+      |    CASE WHEN month(sp.m) % 3 = 0 THEN NULL ELSE mo.rev END AS revenue
+      |  FROM spine sp LEFT JOIN monthly mo
+      |    ON mo.series = sp.series AND mo.m = sp.m)
+      |SELECT series, m, revenue,
+      |  last_value(revenue IGNORE NULLS) OVER (
+      |    PARTITION BY series ORDER BY m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_revenue
+      |FROM masked ORDER BY series, m""".stripMargin
+
+  /** Rank-function suite over per-(year, month) revenue: ntile quartiles,
+    * dense_rank, percent_rank, cume_dist in one window pass. The ORDER BY
+    * includes the month as a tiebreak so peer groups are single rows —
+    * deterministic across engines even under revenue ties.
+    */
+  private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"),
+        date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("m"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("y"))
+      .orderBy(col("revenue").desc, col("m"))
+    monthly.select(col("y"), col("m"), col("revenue"),
+        ntile(4).over(w).as("quartile"),
+        dense_rank().over(w).cast(LongType).as("rnk_dense"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("y"), col("m"))
+  }
+
+  private val windowRankSuiteSql =
+    """WITH monthly AS (
+      |  -- CAST: DuckDB year() is BIGINT, Spark's is INT
+      |  SELECT CAST(year(o_orderdate) AS INT) AS y, date_trunc('month', o_orderdate) AS m,
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT y, m, revenue,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  dense_rank() OVER w AS rnk_dense,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cdist
+      |FROM monthly
+      |WINDOW w AS (PARTITION BY y ORDER BY revenue DESC, m)
+      |ORDER BY y, m""".stripMargin
+
+  /** Full-outer merge (upsert view): booked revenue (orders) vs shipped
+    * revenue (lineitem) per month, coalesced into one reconciled series
+    * with presence flags — the standard two-feed reconciliation shape.
+    * Both sides aggregate BEFORE the join, so the outer join runs on
+    * months, not raw rows; at scale both inputs arrive pre-shrunk.
+    */
+  private def joinFullOuterMerge(s: SparkSession, dir: String): DataFrame = {
+    val booked = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate"))
+        .cast(TimestampNTZType).as("m"))
+      .agg(dsum(col("o_totalprice")).as("booked"))
+    val shipped = t(s, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate"))
+        .cast(TimestampNTZType).as("m"))
+      .agg(dsum(col("l_extendedprice")).as("shipped"))
+    booked.join(shipped, Seq("m"), "full_outer")
+      .select(col("m"),
+        col("booked"), col("shipped"),
+        coalesce(col("booked"), lit(0.0)).as("booked_or_zero"),
+        col("booked").isNotNull.as("has_booked"),
+        col("shipped").isNotNull.as("has_shipped"))
+      .orderBy(col("m"))
+  }
+
+  private val joinFullOuterMergeSql =
+    """WITH booked AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m,
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS booked
+      |  FROM orders GROUP BY 1),
+      |shipped AS (
+      |  SELECT date_trunc('month', l_shipdate) AS m,
+      |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS shipped
+      |  FROM lineitem GROUP BY 1)
+      |SELECT coalesce(b.m, s.m) AS m, b.booked, s.shipped,
+      |  coalesce(b.booked, 0.0) AS booked_or_zero,
+      |  b.booked IS NOT NULL AS has_booked,
+      |  s.shipped IS NOT NULL AS has_shipped
+      |FROM booked b FULL OUTER JOIN shipped s ON b.m = s.m
+      |ORDER BY m""".stripMargin
+
   /** Exact discrete quantiles (quantile_disc rule: the value at row
     * ceil(p·n), 1-based) per year — picked values only, no interpolation
     * arithmetic, so the doubles are raw data values and hash-identical
@@ -1695,6 +1819,9 @@ object Queries {
     "window_topk_per_group" -> windowTopKPerGroup _,
     "agg_stats_moments" -> statsMoments _,
     "window_mom_delta" -> windowMomDelta _,
+    "fill_forward" -> fillForward _,
+    "window_rank_suite" -> windowRankSuite _,
+    "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
     "unpivot_metrics" -> unpivotMetrics _,
@@ -1769,6 +1896,9 @@ object Queries {
     "window_topk_per_group" -> windowTopKPerGroupSql,
     "agg_stats_moments" -> statsMomentsSql,
     "window_mom_delta" -> windowMomDeltaSql,
+    "fill_forward" -> fillForwardSql,
+    "window_rank_suite" -> windowRankSuiteSql,
+    "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,
     "unpivot_metrics" -> unpivotMetricsSql,

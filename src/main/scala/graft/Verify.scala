@@ -23,10 +23,14 @@ object Verify {
       }
     }
     // raw disaggregated series for tools/reference_parity.py (the driver
-    // gate reads the consistency views above; parity diffs ŷ itself)
+    // gate reads the consistency views above; parity diffs ŷ itself).
+    // Fixed path OUTSIDE outDir: anything under outDir is scanned by the
+    // driver as a query result and would surface as a spurious
+    // "no_oracle" row in the correctness file.
+    val rawDir = "/root/repo/target/verify_raw"
     Queries.rawDisagg.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/raw/$name")
+        .parquet(s"$rawDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] raw/$name failed: ${e.getMessage}")
       }

@@ -285,7 +285,8 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     var it = 0
-    var converged = edges.isEmpty
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
     while (!converged && it < maxIter) {
       // LARGE-STAR: every strictly-larger neighbor of u links to
       // min(N(u) + {u}) — one symmetrized min-agg shuffle + an equi-join
@@ -307,9 +308,11 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // fixpoint: the edge set stopped changing (set-equality via counts +
-      // one-sided difference; both sides are already distinct)
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // one-sided difference; both sides are already distinct, and the
+      // previous round's count is reused rather than recomputed)
+      val nSmall = small.count()
+      converged = nSmall == nEdges && small.except(edges).isEmpty
+      nEdges = nSmall
       edges = small
       it += 1
     }

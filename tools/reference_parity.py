@@ -2,7 +2,7 @@
 SAME testdata inputs as graft's Verify output and report max relative diffs.
 Usage: python3 tools/reference_parity.py [sfDir] [verifyOut]
 """
-import sys, types
+import os, sys, types
 import numpy as np
 
 scipy = types.ModuleType('scipy')
@@ -124,7 +124,12 @@ for method, agg, name, lf, hf in cases:
             ref = disaggregate_series(lf, hf, **kwargs)
     # raw/<name>: the disagg_* query entries emit the aggregation-consistency
     # view for the DuckDB gate; Verify dumps the raw series separately
-    ours = pd.read_parquet(f'{out}/raw/{name}').sort_values('ts')
+    # Verify dumps raw series to a fixed path outside the driver-scanned
+    # outDir (see Verify.scala); fall back to the legacy in-outDir location
+    raw_base = '/root/repo/target/verify_raw'
+    if not os.path.isdir(f'{raw_base}/{name}'):
+        raw_base = f'{out}/raw'
+    ours = pd.read_parquet(f'{raw_base}/{name}').sort_values('ts')
     vals = ours.iloc[:, 1].values
     rel = np.max(np.abs(ref.values - vals) / np.maximum(np.abs(ref.values), 1e-9))
     print(f'{method:16s} agg={agg:5s} n={len(ref)}  max rel diff vs reference on same data: {rel:.2e}')
