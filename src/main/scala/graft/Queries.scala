@@ -1541,6 +1541,20 @@ object Queries {
   private def textTokenFrequencies(s: SparkSession, dir: String): DataFrame =
     TextOps.saltedTokenFrequencies(t(s, dir, "documents"))
 
+  /** Misra-Gries heavy hitters audited against exact counts: the oracle
+    * replays the exact top-10 and TRUE for the theorem-guaranteed
+    * `sketch_ok` column (see Sketches.heavyHitters for why that is
+    * deterministic under any merge order).
+    */
+  private def sketchHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.heavyHitters(t(s, dir, "documents"))
+
+  private val sketchHeavyHittersSql =
+    """SELECT token, count(*) AS cnt, TRUE AS sketch_ok
+      |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10""".stripMargin
+
   private val textTokenFrequenciesSql =
     """SELECT token, count(*) AS n
       |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -1856,6 +1870,7 @@ object Queries {
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "text_token_frequencies" -> textTokenFrequencies _,
     "text_token_examples" -> textTokenExamples _,
+    "sketch_heavy_hitters" -> sketchHeavyHitters _,
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
@@ -1919,6 +1934,7 @@ object Queries {
     "stream_window_counts" -> streamWindowCountsSql,
     "agg_approx_distinct" -> approxDistinctSql,
     "sketch_corpus_similarity" -> corpusSimilaritySql,
+    "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,

@@ -37,6 +37,43 @@ object MinHashUnion extends Aggregator[(String, Array[Long]), Array[Long], Array
 private[ops] object ExpressionEncoderHelper {
   val arrayLong: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  val mapStringLong: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
+/** MERGEABLE Misra-Gries heavy-hitters sketch (Agarwal et al., "Mergeable
+  * Summaries", PODS'12): at most k counters per buffer, so the partial-agg
+  * shuffle carries O(k) state per partition no matter how many distinct
+  * tokens the corpus has — the 100 TB answer to "top tokens" when the exact
+  * distinct-token table itself is too big to shuffle.
+  *
+  * Guarantees (any merge order): every token with true count > n/(k+1) is
+  * in the final support, and each surviving estimate e satisfies
+  * true - n/(k+1) <= e <= true.
+  */
+class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]]
+    with Serializable {
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+    b.get(t) match {
+      case Some(c)            => b.updated(t, c + 1)
+      case None if b.size < k => b.updated(t, 1L)
+      // full and unseen: decrement every counter (classic MG step)
+      case None => b.collect { case (tk, c) if c > 1 => tk -> (c - 1) }
+    }
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+    if (sum.size <= k) sum
+    else {
+      // subtract the (k+1)-th largest count from all, keep positives —
+      // the mergeable-summaries pruning that preserves the MG error bound
+      val cut = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(k)
+      sum.collect { case (t, c) if c > cut => t -> (c - cut) }
+    }
+  }
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
+  override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoderHelper.mapStringLong
+  override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoderHelper.mapStringLong
 }
 
 object Sketches {
@@ -67,5 +104,39 @@ object Sketches {
           lit(0), (acc, v) => acc + v).cast("double") / lit(MinHashUnion.k))
       .select(col("group_a"), col("group_b"), col("est_jaccard"))
       .orderBy(col("group_a"), col("group_b"))
+  }
+
+  /** Exact top-N token counts audited against a Misra-Gries sketch.
+    *
+    * The EXACT side (token groupBy) exists to audit the sketch at test
+    * scale — at 100 TB you would keep only the sketch pass (O(k) shuffle
+    * state per partition). `sketch_ok` verifies the MG theorem on this
+    * corpus: a supported token's estimate e obeys true - n/(k+1) <= e <=
+    * true, an unsupported token obeys true <= n/(k+1). Both hold for EVERY
+    * merge order, so the column is deterministically TRUE and
+    * oracle-checkable even though the borderline support set itself is not.
+    */
+  def heavyHitters(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 32,
+      topN: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
+    val sketch: Map[String, Long] =
+      toks.as[String].select(new MisraGries(k).toColumn).head()
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val n = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val bound = n.toDouble / (k + 1)
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(topN)
+      .withColumn("est",
+        coalesce(element_at(typedLit(sketch), col("token")), lit(0L)))
+      .withColumn("sketch_ok",
+        when(col("est") > 0,
+          col("est") <= col("cnt") && (col("cnt") - col("est")) <= lit(bound))
+          .otherwise(col("cnt") <= lit(bound)))
+      .select(col("token"), col("cnt"), col("sketch_ok"))
+      .orderBy(col("cnt").desc, col("token").asc)
   }
 }

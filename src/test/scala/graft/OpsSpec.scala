@@ -278,6 +278,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries: heavy hitter survives, estimates within n/(k+1), merge-order-safe") {
+    val k = 8
+    val mg = new graft.ops.MisraGries(k)
+    // skewed stream: "hot" 300x, "warm" 120x, 600 singletons; n = 1020
+    val stream = Seq.fill(300)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 600).map(i => s"t$i")
+    val n = stream.size
+    val bound = n.toDouble / (k + 1) // ~113
+    // two adversarial merge orders must both satisfy the MG bounds
+    val orders = Seq(stream, scala.util.Random.javaRandomToRandom(
+      new java.util.Random(7)).shuffle(stream))
+    orders.foreach { st =>
+      val parts = st.grouped(97).toSeq // uneven partitions
+      val sketch = parts.map(p => p.foldLeft(mg.zero)(mg.reduce))
+        .reduce(mg.merge)
+      assert(sketch.size <= k)
+      assert(sketch.contains("hot"), "count 300 > n/(k+1) must survive")
+      assert(sketch.contains("warm"), "count 120 > n/(k+1) must survive")
+      Seq("hot" -> 300L, "warm" -> 120L).foreach { case (t, c) =>
+        val e = sketch(t)
+        assert(e <= c && c - e <= bound, s"$t est $e vs true $c bound $bound")
+      }
+    }
+  }
+
   test("corpus minhash-union sketch: diagonal ~1, symmetric bounds, mergeable") {
     val sim = ops.Sketches.corpusSimilarity(docs).collect()
     val self = sim.filter(r => r.getString(0) == r.getString(1))
