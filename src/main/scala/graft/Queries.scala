@@ -1337,8 +1337,33 @@ object Queries {
       |FROM lbl l JOIN sz USING (cluster_id)
       |ORDER BY l.doc_id""".stripMargin
 
+  /** Verified-banded simhash == exact all-pairs at hamming<=3 (pigeonhole
+    * over 4x16-bit bands — see Dedup.simhashPairs); signatures replay
+    * cross-engine because token hashes are the md5_number_lower bits.
+    */
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"))
+
+  private val dedupSimhashSql =
+    """WITH th AS (
+      |  SELECT doc_id, md5_number_lower(tok) AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |        FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, bb.b,
+      |    CASE WHEN 2 * sum(CAST((h >> bb.b) & 1 AS BIGINT)) > count(*)
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+      |  GROUP BY doc_id, bb.b),
+      |sig AS (
+      |  SELECT doc_id, CAST(sum(CAST(bit AS UBIGINT) << b) AS UBIGINT) AS sig
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"))
@@ -1937,6 +1962,7 @@ object Queries {
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
     "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionizeSql,
@@ -1962,9 +1988,6 @@ object Queries {
     "disagg_many_series" -> disaggManySeriesSql,
     "disagg_many_chowlin" -> disaggManyChowLinSql
     // intentionally rows-only (not ANSI-SQL-expressible):
-    // dedup_simhash (the 64-bit xxhash64-seeded signature itself has no
-    // DuckDB equivalent, and simhash-near is not exactly characterizable
-    // by a set measure the oracle could replay),
     // sim_cosine_ivf (k-means bucket assignment)
   )
 }

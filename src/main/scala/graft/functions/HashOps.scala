@@ -103,6 +103,52 @@ case class SimHash(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-token MD5 low-64: little-endian read of digest bytes [8,16) — the
+  * exact bits DuckDB's `md5_number_lower(tok)` returns, which is what makes
+  * a simhash built on it CROSS-ENGINE REPLAYABLE (xxhash64 has no DuckDB
+  * equivalent). Input array<string>, output array<long>; one eval per row,
+  * one reused MessageDigest per thread.
+  */
+case class Md5TokensLow64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_md5_low64 requires array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    val d = md5.get()
+    var i = 0
+    while (i < n) {
+      d.reset()
+      val dig = d.digest(xs.getUTF8String(i).getBytes)
+      var h = 0L
+      var b = 15
+      while (b >= 8) { h = (h << 8) | (dig(b) & 0xFFL); b -= 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out.map(java.lang.Long.valueOf(_): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Tokenize -> n-gram -> distinct in one native pass (array<string> out).
   * Equivalent to array_distinct(transform(sequence(...), slice/concat_ws))
   * over split(trim(lower(text))), which costs hundreds of interpreted
@@ -280,4 +326,8 @@ object HashOps {
   /** SimHash of an array<long> of token hashes. */
   def simhash(hashes: Column): Column =
     Bridge.column(SimHash(Bridge.expression(hashes)))
+
+  /** MD5 low-64 hashes of an array<string> (DuckDB md5_number_lower bits). */
+  def md5TokensLow64(tokens: Column): Column =
+    Bridge.column(Md5TokensLow64(Bridge.expression(tokens)))
 }

@@ -142,17 +142,26 @@ object Dedup {
     * (graft.functions.SimHash). Per-row, no shuffle.
     */
   def simhash64(text: Column): Column =
-    graft.functions.HashOps.simhash(transform(tokens(text), t => xxhash64(t)))
+    graft.functions.HashOps.simhash(
+      graft.functions.HashOps.md5TokensLow64(tokens(text)))
 
   /** SimHash near-duplicate pairs: 4 bands of 16 bits for candidate
     * generation (any identical band → candidate), Hamming <= maxHamming via
     * bit_count(xor) for verification.
+    *
+    * With maxHamming <= 3 the output is EXACTLY the all-pairs answer, by
+    * pigeonhole: <= 3 differing bits spread over 4 disjoint 16-bit bands
+    * leave at least one band identical, so every qualifying pair is a
+    * candidate — a deterministic (not probabilistic) recall guarantee,
+    * which is what lets the DuckDB oracle recompute the same set from
+    * scratch. Token hashes are MD5 low-64 (md5_number_lower bits) so the
+    * signature itself replays cross-engine.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 6,
+      maxHamming: Int = 3,
       maxBucket: Int = 256): DataFrame = {
     val withSig = docs.select(col(idCol).as("doc_id"),
       simhash64(col(textCol)).as("sig"))

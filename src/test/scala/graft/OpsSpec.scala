@@ -60,11 +60,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got(200L) == 200L && got(201L) == 200L)
   }
 
-  test("simhash pairs respect the hamming bound and are deterministic") {
+  test("simhash pairs == exact all-pairs at hamming<=3 (pigeonhole recall)") {
     val p1 = Dedup.simhashPairs(docs).collect()
-    assert(p1.forall(_.getInt(2) <= 6))
+    assert(p1.forall(_.getInt(2) <= 3))
     val p2 = Dedup.simhashPairs(docs).collect()
     assert(p1.map(_.toString).toSeq == p2.map(_.toString).toSeq)
+    // exact ground truth: brute-force hamming over full signatures
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+    val exact = a.crossJoin(b).where(col("doc_a") < col("doc_b"))
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = p1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"banded=${lsh.size} exact=${exact.size}")
   }
 
   test("embedding LSH finds exactly the brute-force cosine pairs (planted near-dups)") {
