@@ -1566,6 +1566,41 @@ object Queries {
   private def textTokenFrequencies(s: SparkSession, dir: String): DataFrame =
     TextOps.saltedTokenFrequencies(t(s, dir, "documents"))
 
+  /** DETERMINISTIC train/val/test split (80/10/10) by hashing the document
+    * key — the split every training pipeline needs, done so that any engine
+    * reproduces the same assignment: bucket = pmod(md5_low64(doc_id), 100).
+    * Spark's rand()/sample() are run-order-dependent and unusable for a
+    * stable split; a hash bucket is stable under repartitioning, retries,
+    * incremental reruns, and — because the bits match DuckDB's
+    * md5_number_lower — under engine migration. Per-row projection, no
+    * shuffle except the output sort.
+    */
+  private def sampleSplitDeterministic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.HashOps.md5Low64(col("doc_id").cast(StringType)),
+          lit(100L)).cast(IntegerType).as("bucket"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+
+  private val sampleSplitDeterministicSql =
+    """SELECT doc_id, lang, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  -- md5_number_lower is UBIGINT; rebuild Spark's signed pmod:
+      |  -- reinterpret as two's-complement BIGINT, then ((x%100)+100)%100
+      |  SELECT doc_id, lang,
+      |    CAST(((CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+      |               ELSE h END) % 100 + 100) % 100 AS INT) AS bucket
+      |  FROM (SELECT doc_id, lang,
+      |          md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** Misra-Gries heavy hitters audited against exact counts: the oracle
     * replays the exact top-10 and TRUE for the theorem-guaranteed
     * `sketch_ok` column (see Sketches.heavyHitters for why that is
@@ -1896,6 +1931,7 @@ object Queries {
     "text_token_frequencies" -> textTokenFrequencies _,
     "text_token_examples" -> textTokenExamples _,
     "sketch_heavy_hitters" -> sketchHeavyHitters _,
+    "sample_split_deterministic" -> sampleSplitDeterministic _,
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
@@ -1960,6 +1996,7 @@ object Queries {
     "agg_approx_distinct" -> approxDistinctSql,
     "sketch_corpus_similarity" -> corpusSimilaritySql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
+    "sample_split_deterministic" -> sampleSplitDeterministicSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,

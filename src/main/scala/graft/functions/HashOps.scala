@@ -149,6 +149,44 @@ case class Md5TokensLow64(child: Expression)
     copy(child = newChild)
 }
 
+/** Scalar MD5 low-64 of a string column (same bits as DuckDB's
+  * md5_number_lower): the cross-engine-replayable hash used for
+  * DETERMINISTIC bucketing — train/val/test splits, stratified sampling,
+  * A/B assignment — where Spark's rand()/sample() would be
+  * run-order-dependent and xxhash64 has no oracle-side equivalent.
+  */
+case class Md5Low64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_md5_low64 requires a string column, got ${other.simpleString}")
+    }
+
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  override def nullSafeEval(a: Any): Any = {
+    val d = md5.get()
+    d.reset()
+    val dig = d.digest(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    var h = 0L
+    var b = 15
+    while (b >= 8) { h = (h << 8) | (dig(b) & 0xFFL); b -= 1 }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Tokenize -> n-gram -> distinct in one native pass (array<string> out).
   * Equivalent to array_distinct(transform(sequence(...), slice/concat_ws))
   * over split(trim(lower(text))), which costs hundreds of interpreted
@@ -330,4 +368,8 @@ object HashOps {
   /** MD5 low-64 hashes of an array<string> (DuckDB md5_number_lower bits). */
   def md5TokensLow64(tokens: Column): Column =
     Bridge.column(Md5TokensLow64(Bridge.expression(tokens)))
+
+  /** Scalar MD5 low-64 of a string (DuckDB md5_number_lower bits). */
+  def md5Low64(s: Column): Column =
+    Bridge.column(Md5Low64(Bridge.expression(s)))
 }

@@ -296,6 +296,19 @@ object Dedup {
     var it = 0
     var nEdges = edges.count()
     var converged = nEdges == 0L
+    // size the iteration's shuffles to the EDGE set, not the corpus: the
+    // dup-pair graph is typically orders of magnitude smaller than the
+    // input, and running log^2(n) rounds at corpus parallelism pays
+    // (rounds x stages x partitions) empty-task overhead — ~1M edges per
+    // partition, capped at the session's configured parallelism. Set via
+    // the session conf for the duration of the loop (a repartition of the
+    // input would not resize the groupBy shuffles inside).
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    val ccParts = math.max(1L,
+      math.min(sessionParts.toLong, nEdges / 1000000L + 1L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", ccParts)
+    try {
     while (!converged && it < maxIter) {
       // LARGE-STAR: every strictly-larger neighbor of u links to
       // min(N(u) + {u}) — one symmetrized min-agg shuffle + an equi-join
@@ -325,10 +338,14 @@ object Dedup {
       edges = small
       it += 1
     }
-    // at the fixpoint the graph is a union of stars: (member -> root)
+    // at the fixpoint the graph is a union of stars: (member -> root).
+    // localCheckpoint BEFORE restoring the session's shuffle partitions:
+    // the label view is consumed lazily by the caller, after the finally.
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionAll(edges.select(col("v"), col("v")).distinct()
         .toDF("doc_id", "cluster_id"))
       .distinct()
+      .localCheckpoint()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 }
