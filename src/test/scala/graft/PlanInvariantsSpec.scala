@@ -75,4 +75,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"expected broadcast query vector / TakeOrdered top-k:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("connected-components label view joins hash-to-hash, never all-pairs") {
+    val p = plan("dedup_clusters")
+    forbidden.foreach(op =>
+      assert(!p.contains(op), s"dedup_clusters plan contains $op:\n${p.take(1200)}"))
+  }
+
+  test("forward fill windows are partitioned per series (no global sort fill)") {
+    val p = plan("fill_forward")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, p.take(800))
+    // a Window with an empty partition spec would single-thread the fill
+    windowLines.foreach(l =>
+      assert(l.contains("series"), s"window not partitioned by series: $l"))
+  }
+
+  test("deterministic split is a pure projection: no shuffle before the output sort") {
+    val p = plan("sample_split_deterministic")
+    assert(countExchanges(p) <= 1, s"split must not shuffle:\n$p")
+  }
+
+  test("heavy-hitters exact audit side map-side combines") {
+    val p = plan("sketch_heavy_hitters")
+    assert(p.contains("partial_"), s"token count must partial-aggregate:\n${p.take(800)}")
+  }
 }
