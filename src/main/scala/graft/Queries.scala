@@ -1566,6 +1566,32 @@ object Queries {
   private def textTokenFrequencies(s: SparkSession, dir: String): DataFrame =
     TextOps.saltedTokenFrequencies(t(s, dir, "documents"))
 
+  /** Vocabulary-coverage quality signal (see TextOps.oovRatio): int/int
+    * ratios only, so the oracle replays bit-exactly; vocabulary tiebreak is
+    * (count desc, token asc) on both engines.
+    */
+  private def textOovRatio(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.oovRatio(t(s, dir, "documents"))
+
+  private val textOovRatioSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT token FROM (
+      |    SELECT token, count(*) AS n FROM toks GROUP BY token
+      |    ORDER BY n DESC, token ASC LIMIT 16)),
+      |scored AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |    CAST(sum(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_in_vocab
+      |  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+      |  GROUP BY t.doc_id)
+      |SELECT doc_id, n_tokens, n_in_vocab,
+      |  CAST(n_tokens - n_in_vocab AS DOUBLE) / n_tokens AS oov_ratio
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   /** DETERMINISTIC train/val/test split (80/10/10) by hashing the document
     * key — the split every training pipeline needs, done so that any engine
     * reproduces the same assignment: bucket = pmod(md5_low64(doc_id), 100).
@@ -1932,6 +1958,7 @@ object Queries {
     "text_token_examples" -> textTokenExamples _,
     "sketch_heavy_hitters" -> sketchHeavyHitters _,
     "sample_split_deterministic" -> sampleSplitDeterministic _,
+    "text_oov_ratio" -> textOovRatio _,
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
@@ -1997,6 +2024,7 @@ object Queries {
     "sketch_corpus_similarity" -> corpusSimilaritySql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "sample_split_deterministic" -> sampleSplitDeterministicSql,
+    "text_oov_ratio" -> textOovRatioSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> dedupSimhashSql,

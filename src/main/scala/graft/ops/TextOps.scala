@@ -103,6 +103,31 @@ object TextOps {
       .orderBy(col("token"), col("rank"))
   }
 
+  /** Vocabulary-coverage quality features (Gopher/C4-style filter signal):
+    * per-doc fraction of tokens inside the corpus top-`vocabSize` vocabulary.
+    * Two corpus passes: (1) token counts -> top-V vocabulary (count desc,
+    * token asc tiebreak — deterministic), (2) explode + BROADCAST semi-join
+    * against the vocabulary + one groupBy(doc_id) count. The vocabulary is
+    * O(V) and ships once; the only shuffle is the per-doc aggregation.
+    * All emitted numbers are int/int ratios — bit-identical cross-engine.
+    */
+  def oovRatio(docs: DataFrame, vocabSize: Int = 16): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab_flag"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab_flag"), lit(0))).cast("long").as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"), col("n_in_vocab"),
+        ((col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"))
+          .as("oov_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp shape): byte-level fold
     * h = (h*31 + byte) mod (10^17+3) as ONE native eval per row
     * (graft.functions.RollingPolyHash) — no per-character interpreted HOF
