@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{DotProduct, MinHashSig, NgramShingles, RollingPolyHash, SignRandomProjection, SimHash, SquaredNorm}
+import graft.functions.{DotProduct, Md5Low64, MinHashSig, NgramShingles, RollingPolyHash, SignRandomProjection, SimHash, SquaredNorm}
 
 /** Rewrites the declarative higher-order-function dot-product pattern
   *
@@ -58,7 +58,7 @@ object RewriteVectorHofs extends Rule[LogicalPlan] {
   * SQL surface: graft_dot(a, b), graft_squared_norm(a),
   * graft_shingles(text, n), graft_minhash_sig(hashes, k),
   * graft_simhash(hashes), graft_sign_rp(v, bands, bitsPerBand),
-  * graft_cosine(a, b), graft_rolling_hash(text).
+  * graft_cosine(a, b), graft_rolling_hash(text), graft_md5_low64(s).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -87,6 +87,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(hashes) - 64-bit simhash"),
       (args: Seq[Expression]) => SimHash(args.head)))
+    e.injectFunction((FunctionIdentifier("graft_md5_low64"),
+      info("graft_md5_low64", "graft_md5_low64(s) - signed low 64 bits of md5 (DuckDB md5_number_lower); deterministic bucketing/splits"),
+      (args: Seq[Expression]) => Md5Low64(args.head)))
     e.injectFunction((FunctionIdentifier("graft_rolling_hash"),
       info("graft_rolling_hash", "graft_rolling_hash(text) - modular byte-level rolling fingerprint"),
       (args: Seq[Expression]) => RollingPolyHash(args.head)))

@@ -37,7 +37,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  graft_cosine(va, vb) AS cos,
         |  graft_cosine(array(0.0d, 0.0d), vb) AS cos_zero,
         |  graft_sign_rp(va, 4, 16) AS rp,
-        |  graft_rolling_hash(text) AS rh
+        |  graft_rolling_hash(text) AS rh,
+        |  graft_md5_low64('abc') AS mh
         |FROM vecs""".stripMargin).collect()(0)
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == 14.0)
@@ -55,6 +56,8 @@ class ExtensionsSpec extends AnyFunSuite {
     val expectRh = "a b c d".getBytes("UTF-8").foldLeft(0L)((acc, b) =>
       (acc * 31L + (b & 0xFF)) % graft.functions.RollingPolyHash.M)
     assert(r.getLong(7) == expectRh)
+    // cross-checked against DuckDB: SELECT md5_number_lower('abc')
+    assert(r.getLong(8) == 8250560606382298838L)
   }
 
   test("the optimizer rewrites the HOF dot-product fold into DotProduct") {
