@@ -1,7 +1,7 @@
 import duckdb, json, glob, os, sys
 import pandas as pd
-sf = '/root/testdata/sf0.01'
-out = '/root/repo/target/verify_out'
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/root/repo/target/verify_out'
 con = duckdb.connect()
 for tbl in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')")
