@@ -60,6 +60,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got(200L) == 200L && got(201L) == 200L)
   }
 
+  test("connected components match union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: in-memory union-find with min-label roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+    }
+  }
+
   test("simhash pairs == exact all-pairs at hamming<=3 (pigeonhole recall)") {
     val p1 = Dedup.simhashPairs(docs).collect()
     assert(p1.forall(_.getInt(2) <= 3))
