@@ -1108,6 +1108,26 @@ object Queries {
       "year", 4)
   }
 
+  /** Streaming incremental disaggregation (StreamingOps.incrementalDisagg):
+    * micro-batches of low-freq updates trigger per-touched-series kernel
+    * recompute + dynamic-partition-overwrite upsert. The final upserted
+    * state equals the batch rerun, so the query emits the same
+    * consistency view as disagg_many_series and shares its oracle.
+    */
+  private def streamDisaggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "orders")
+      .withColumn("series_id",
+        split(col("o_orderpriority"), "-").getItem(0).cast(LongType))
+      .groupBy(col("series_id"), date_trunc("year", col("o_orderdate"))
+        .cast(TimestampNTZType).as("ts"))
+      .agg(dsum(col("o_totalprice")).as("value"))
+    val params = Disaggregate.Params(method = "denton-cholette",
+      aggFunc = "sum", targetFreq = Some("QS"))
+    consistencyViewKeyed(keyed,
+      graft.streaming.StreamingOps.incrementalDisagg(keyed, params),
+      "year", 4)
+  }
+
   private val disaggManySeriesSql =
     """SELECT CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS series_id,
       |  date_trunc('year', o_orderdate) AS ts,
@@ -1936,6 +1956,7 @@ object Queries {
     "disagg_denton_y2q" -> disaggDenton _,
     "disagg_denton_cholette_y2q" -> disaggDentonCholette _,
     "disagg_many_series" -> disaggManySeries _,
+    "stream_disagg_incremental" -> streamDisaggIncremental _,
     "disagg_mean_q2m" -> disaggMeanQ2M _,
     "disagg_many_chowlin" -> disaggManySeriesChowLin _,
     "disagg_first_y2q" -> disaggFirstY2Q _,
@@ -2051,6 +2072,7 @@ object Queries {
     "disagg_additive_y2q" -> disaggYearlyCompanionSql,
     "disagg_mean_q2m" -> disaggMeanQ2MSql,
     "disagg_many_series" -> disaggManySeriesSql,
+    "stream_disagg_incremental" -> disaggManySeriesSql,
     "disagg_many_chowlin" -> disaggManyChowLinSql
     // intentionally rows-only (not ANSI-SQL-expressible):
     // sim_cosine_ivf (k-means bucket assignment)

@@ -181,6 +181,24 @@ class OpsSpec extends AnyFunSuite {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("incremental streaming disagg upsert equals the batch many-series rerun") {
+    import spark.implicits._
+    val low = (1L to 5L).flatMap(sid => (1995 to 2001).map(y =>
+      (sid, java.time.LocalDateTime.of(y, 1, 1, 0, 0),
+        100.0 * sid + (y - 1995) * 7.0)))
+      .toDF("series_id", "ts", "value")
+      .select(col("series_id"), col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+    val params = graft.disagg.Disaggregate.Params(
+      method = "denton-cholette", aggFunc = "sum", targetFreq = Some("QS"))
+    val streamed = graft.streaming.StreamingOps.incrementalDisagg(low, params)
+      .collect().map(_.toString).sorted
+    val batch = graft.disagg.Disaggregate.manySeries(low, None, params = params)
+      .orderBy(col("series_id"), col("ts"))
+      .collect().map(_.toString).sorted
+    assert(streamed.length == 5 * 7 * 4)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("a session spanning micro-batches is not split (event-time-timeout state)") {
     import spark.implicits._
     // user 1: events at 0/10/20/30 min, all within the 30-min gap => ONE
