@@ -631,6 +631,48 @@ object Queries {
       |  (revenue - prev_revenue) / prev_revenue AS pct_change
       |FROM lagged ORDER BY m""".stripMargin
 
+  /** Rolling-window ML features per series: trailing 3-month sum / count /
+    * mean of monthly revenue (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+    * the lag-feature shape feature-engineering pipelines generate at scale.
+    * Window is PARTITIONED per series; sums are decimal-routed (exact under
+    * Spark's retractable sliding-frame evaluation, so fp order cannot
+    * matter) and the mean divides the same two exact values on both
+    * engines.
+    */
+  private def windowRollingFeatures(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .withColumn("series_id",
+        split(col("o_orderpriority"), "-").getItem(0).cast(LongType))
+      .groupBy(col("series_id"),
+        date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("m"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("series_id")).orderBy(col("m"))
+      .rowsBetween(-2, Window.currentRow)
+    monthly.select(col("series_id"), col("m"), col("revenue"),
+        sum(col("revenue").cast(DecimalType(18, 4))).over(w)
+          .cast(StringType).cast(DoubleType).as("roll_sum_3m"),
+        count(lit(1)).over(w).as("n_window"))
+      .withColumn("roll_mean_3m", col("roll_sum_3m") / col("n_window"))
+      .orderBy(col("series_id"), col("m"))
+  }
+
+  private val windowRollingFeaturesSql =
+    """WITH monthly AS (
+      |  SELECT CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS series_id,
+      |    date_trunc('month', o_orderdate) AS m,
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT series_id, m, revenue,
+      |  CAST(CAST(sum(CAST(revenue AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE)
+      |    AS roll_sum_3m,
+      |  count(*) OVER w AS n_window,
+      |  CAST(CAST(sum(CAST(revenue AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE)
+      |    / count(*) OVER w AS roll_mean_3m
+      |FROM monthly
+      |WINDOW w AS (PARTITION BY series_id ORDER BY m
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY series_id, m""".stripMargin
+
   /** Forward-fill over a complete calendar spine — the gap-repair primitive
     * a disaggregation pipeline needs before indicators can be used (the
     * reference requires dense high-freq indexes; ffill is how sparse feeds
@@ -1940,6 +1982,7 @@ object Queries {
     "agg_stats_moments" -> statsMoments _,
     "window_mom_delta" -> windowMomDelta _,
     "fill_forward" -> fillForward _,
+    "window_rolling_features" -> windowRollingFeatures _,
     "window_rank_suite" -> windowRankSuite _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
@@ -2021,6 +2064,7 @@ object Queries {
     "agg_stats_moments" -> statsMomentsSql,
     "window_mom_delta" -> windowMomDeltaSql,
     "fill_forward" -> fillForwardSql,
+    "window_rolling_features" -> windowRollingFeaturesSql,
     "window_rank_suite" -> windowRankSuiteSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
