@@ -1403,6 +1403,68 @@ object Queries {
     * over 4x16-bit bands — see Dedup.simhashPairs); signatures replay
     * cross-engine because token hashes are the md5_number_lower bits.
     */
+  /** The dedup APPLY step: keep one canonical doc per near-dup cluster
+    * (the cluster-min id) plus every unclustered doc, then report the
+    * per-language corpus before/after. The anti-join against the (small)
+    * non-canonical member set broadcasts; at scale this is the pattern
+    * that actually shrinks the training corpus, not just finds pairs.
+    */
+  private def pipelineDedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, bands = 32))
+    val dropped = labels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val kept = docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("text")).cast(LongType)).as("chars_kept"))
+      .join(docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total")), Seq("lang"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_removed"), col("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
+  private val pipelineDedupApplySql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |p AS (
+      |  SELECT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  WHERE jaccard >= 0.7),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM p
+      |  UNION SELECT doc_b, doc_a FROM p),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lbl AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      |  FROM reach GROUP BY u),
+      |kept AS (
+      |  SELECT d.* FROM documents d
+      |  WHERE d.doc_id NOT IN
+      |    (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id))
+      |SELECT k.lang, t.n_total, k.n_kept,
+      |  t.n_total - k.n_kept AS n_removed, k.chars_kept
+      |FROM (SELECT lang, count(*) AS n_kept,
+      |        CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars_kept
+      |      FROM kept GROUP BY lang) k
+      |JOIN (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang) t
+      |  USING (lang)
+      |ORDER BY lang""".stripMargin
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"))
 
@@ -2011,6 +2073,7 @@ object Queries {
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
     "dedup_clusters" -> dedupClusters _,
+    "pipeline_dedup_apply" -> pipelineDedupApply _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
@@ -2092,6 +2155,7 @@ object Queries {
     "text_oov_ratio" -> textOovRatioSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
+    "pipeline_dedup_apply" -> pipelineDedupApplySql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
