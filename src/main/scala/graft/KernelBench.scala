@@ -37,14 +37,16 @@ object KernelBench {
     TsFrame(ts, cols.map(_._1).toIndexedSeq, cols.map(_._2).toIndexedSeq)
   }
 
-  private def medianMs(reps: Int)(body: => Unit): Double = {
+  private def medianMs(reps: Int, warmup: Int = 50)(body: => Unit): Double = {
     // generous warmup: these kernels are 0.3-10 ms, so even 50 iterations
     // cost well under a second, and the driver reads a single cold-JVM run
     // of this number — it must reflect C2-compiled code, not JIT warmup.
+    // (The 100ms-class scaling kernels pass a smaller warmup — same code
+    // paths are already C2-hot from the smaller shapes by then.)
     // The GC fence keeps a collection triggered by warmup garbage from
     // landing inside the timed loop (observed 0.7→1.3 ms run-to-run swings
     // on the chow-lin eval without it).
-    (0 until 50).foreach(_ => body)
+    (0 until warmup).foreach(_ => body)
     System.gc()
     val times = (0 until reps).map { _ =>
       val t0 = System.nanoTime()
@@ -122,6 +124,34 @@ object KernelBench {
         targetFreq = Some("MS"))
     }
 
+    // BASELINE.md's LARGEST scaling row (n=4800: reference 6.20 s/eval
+    // objective, 12.45 s denton-cholette): the banded kernels stay
+    // near-linear, so this is where the asymptotic gap is widest. Light
+    // warmup — the same code paths are C2-hot from the n=2400 shapes.
+    val high48 = syntheticHigh("MS", LocalDate.of(1600, 1, 1), 4800, 2)
+    val low48 = {
+      val ts = Frequency.parseValidated("YS").nDatesFrom(LocalDate.of(1600, 1, 1), 400)
+      val v = Array.tabulate(400)(i => 100.0 + 10.0 * math.sin(i * 0.7) + i)
+      TsFrame(ts, IndexedSeq("y"), IndexedSeq(v))
+    }
+    val prep48 = DisaggCore.prepareInputs(low48, Some(high48), None, "chow-lin")
+    val c48 = DisaggCore.buildConversionMatrix(prep48.low.ts, prep48.lowFreq,
+      prep48.high.ts, prep48.factor, "sum")
+    val mask48 = (0 until c48.rows).filter(i => (0 until c48.cols).exists(j => c48(i, j) != 0.0))
+    val c48k = DenseMatrix.tabulate(mask48.length, c48.cols)((i, j) => c48(mask48(i), j))
+    val y48 = DenseVector(mask48.map(low48.data(0)).toArray)
+    val x48 = DenseMatrix.tabulate(4800, 2)((i, j) => high48.data(j)(i))
+    val chowLin48Ms = medianMs(7, warmup = 3) {
+      Kernels.negLogLikObjective(0.8, 0.8, y48, x48, c48k, Kernels.ChowLinCov)
+    }
+    val litterman48Ms = medianMs(7, warmup = 3) {
+      Kernels.negLogLikObjective(0.8, 0.8, y48, x48, c48k, Kernels.LittermanCov)
+    }
+    val dc48Ms = medianMs(7, warmup = 3) {
+      DisaggCore.run(low48, None, method = "denton-cholette", aggFunc = "sum",
+        targetFreq = Some("MS"))
+    }
+
     Seq(
       "denton_a2q_n144_ms" -> dentonMs,
       "denton_cholette_a2q_n144_ms" -> dcMs,
@@ -129,6 +159,9 @@ object KernelBench {
       "litterman_objective_eval_n474_ms" -> littermanEvalMs,
       "chowlin_objective_eval_n2400_ms" -> chowLinBigMs,
       "litterman_objective_eval_n2400_ms" -> littermanBigMs,
-      "denton_cholette_y2m_n2400_ms" -> dcBigMs)
+      "denton_cholette_y2m_n2400_ms" -> dcBigMs,
+      "chowlin_objective_eval_n4800_ms" -> chowLin48Ms,
+      "litterman_objective_eval_n4800_ms" -> litterman48Ms,
+      "denton_cholette_y2m_n4800_ms" -> dc48Ms)
   }
 }

@@ -286,15 +286,21 @@ object DisaggCore {
 
     val proportional = criterion == "proportional"
 
-    val (p: DenseVector[Double], d: DenseMatrix[Double]) = method match {
+    // The distribution matrix is only ever APPLIED to the single residual
+    // vector ul, so each arm returns (p, applyD) and never materializes the
+    // n x nl matrix: the O(nl^2 * n) multi-RHS backsubstitution becomes one
+    // nl-sized solve per series (Kernels.dentonApply / dentonCholetteApply).
+    val (p: DenseVector[Double], applyD: (DenseVector[Double] => DenseVector[Double])) = method match {
       case "denton" =>
         require(k == 1, s"denton supports exactly one indicator column, got $k")
         val xv = x(::, 0)
-        (xv.copy, Kernels.dentonDistribution(n, xv, h, proportional, c))
+        (xv.copy, (ul: DenseVector[Double]) =>
+          Kernels.dentonApply(n, xv, h, proportional, c, ul))
       case "denton-cholette" =>
         require(k == 1, s"denton-cholette supports exactly one indicator column, got $k")
         val xv = x(::, 0)
-        (xv.copy, Kernels.dentonCholetteDistribution(n, nl, c, xv, h, proportional))
+        (xv.copy, (ul: DenseVector[Double]) =>
+          Kernels.dentonCholetteApply(n, nl, c, xv, h, proportional, ul))
       case _ =>
         val kind: Kernels.MlCov =
           if (method == "chow-lin") Kernels.ChowLinCov else Kernels.LittermanCov
@@ -315,12 +321,13 @@ object DisaggCore {
         if (verbose)
           Report.printRegressionReport(target, y, x, merged.columns.filterNot(_ == merged.columns(targetIdx)),
             beta.toArray, rho, sigmaSq, stdBeta.toArray, c, method)
-        // D = S C' (C S C')^-1 = (csct \ (C S))'
-        (x * beta, (prod.csct \ prod.cSigma).t)
+        // D ul = S C' (C S C')^-1 ul: one nl-solve, then the (nl x n)
+        // cSigma transpose-product — never the n x nl matrix
+        (x * beta, (ul: DenseVector[Double]) => prod.cSigma.t * (prod.csct \ ul))
     }
 
-    val ul = y - c * p
-    val yHat = p + d * ul
+    val ul = y - Kernels.sparseRowProductVec(c, p)
+    val yHat = p + applyD(ul)
 
     DisaggOutput(merged.ts, yHat.toArray, target, optim, rhoOut, sigmaOut,
       betaOut, stdOut, dropped)
