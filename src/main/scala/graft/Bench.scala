@@ -64,6 +64,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val many = try manySeriesSec(spark, 10000) catch { case _: Throwable => -1.0 }
+    val many100k = try manySeriesSec(spark, 100000) catch { case _: Throwable => -1.0 }
     // The harness keeps only the LAST ~2000 chars of stdout (observed in
     // BENCH_r01/r02: "tail" is exactly 2000 chars and "parsed" came back
     // null because the full per-query map overflowed it). So: full detail
@@ -73,7 +74,7 @@ object Bench {
     println(s"""{"detail":"per_query_sec","n_queries":${results.size},"queries":$qs}""")
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"kernels_ms":$kernels,"scale":{"many_series_10000_sec":${f3(many)}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"kernels_ms":$kernels,"scale":{"many_series_10000_sec":${f3(many)},"many_series_100000_sec":${f3(many100k)}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
