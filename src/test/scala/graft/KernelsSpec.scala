@@ -108,6 +108,35 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("shared-Cholesky SPD helpers match dense solve and logdet") {
+    import breeze.linalg._
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(4, 17, 40)) {
+      val b = DenseMatrix.tabulate(n, n)((_, _) => rnd.nextDouble() - 0.5)
+      val a = b * b.t + DenseMatrix.eye[Double](n) * n.toDouble
+      val chol = cholesky(a)
+      val rhs = DenseMatrix.tabulate(n, 2)((_, _) => rnd.nextDouble())
+      val errM = max(breeze.numerics.abs((a \ rhs) - Kernels.spdSolveMat(chol, rhs)))
+      assert(errM < 1e-9, s"n=$n spdSolveMat diff $errM")
+      val v = DenseVector.tabulate(n)(_ => rnd.nextDouble())
+      val errV = max(breeze.numerics.abs((a \ v) - Kernels.spdSolveVec(chol, v)))
+      assert(errV < 1e-9, s"n=$n spdSolveVec diff $errV")
+      val ldErr = math.abs(logdet(a)._2 - Kernels.spdLogDet(chol))
+      assert(ldErr < 1e-9, s"n=$n logdet diff $ldErr")
+      // packed precision builders == dense builders (band extraction)
+      for (rho <- Seq(0.3, 0.95)) {
+        val denseB = Kernels.chowLinPrecision(rho, n)
+        val band = Kernels.chowLinPrecisionBand(rho, n)
+        for (d <- 0 to 1; j <- 0 until n - d)
+          assert(band(d)(j) == denseB(j + d, j), s"chowlin band d=$d j=$j")
+        val denseL = Kernels.littermanPrecision(rho, n)
+        val bandL = Kernels.littermanPrecisionBand(rho, n)
+        for (d <- 0 to 2; j <- 0 until n - d)
+          assert(bandL(d)(j) == denseL(j + d, j), s"litterman band d=$d j=$j")
+      }
+    }
+  }
+
   test("banded denton distribution equals the dense-inverse formulation") {
     import breeze.linalg._
     val n = 20
