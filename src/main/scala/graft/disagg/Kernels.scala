@@ -575,8 +575,110 @@ object Kernels {
       case ChowLinCov   => chowLinPrecisionBand(rho, n)
       case LittermanCov => littermanPrecisionBand(rho, n)
     }
-    val z = bandedSpdSolveB(band, c.t) // n x nl
-    sparseRowProduct(c, z) * sigmaSq
+    cmic(band, c) * sigmaSq
+  }
+
+  /** Fused `C M^-1 C'` for a packed-band SPD M: the generic
+    * bandedSpdSolveB(band, c.t) + sparseRowProduct(c, z) pair spends more
+    * on layout (strided view load, column-major round-trip) than on
+    * arithmetic — here the work array IS C's buffer layout (one clone, no
+    * transpose), the banded substitution streams over nl-length runs, and
+    * the sparse product reads each z-row contiguously. Identical operation
+    * order per element as the two-step form.
+    */
+  private def cmic(band: Array[Array[Double]], c0: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val w = band.length - 1
+    val n = band(0).length
+    val cm = if (c0.isTranspose || c0.offset != 0 || c0.majorStride != c0.rows) c0.copy else c0
+    val nl = cm.rows
+    require(cm.cols == n, s"conversion matrix cols ${cm.cols} != n $n")
+    val cd = cm.data // column-major nl x n: column j (= C(:, j)) contiguous
+    // W(j*nl + k) = (M^-1 C')(j, k); the RHS load C'(j, k) = C(k, j) is
+    // exactly C's buffer
+    val wArr = cd.clone()
+    // banded Cholesky factor (same as bandedSpdSolveB)
+    val l = Array.ofDim[Double](w + 1, n)
+    var j = 0
+    while (j < n) {
+      var s = band(0)(j)
+      var k = math.max(0, j - w)
+      while (k < j) { val v = l(j - k)(k); s -= v * v; k += 1 }
+      val djj = math.sqrt(s)
+      l(0)(j) = djj
+      var d = 1
+      while (d <= w && j + d < n) {
+        var s2 = band(d)(j)
+        var k2 = math.max(0, j + d - w)
+        while (k2 < j) { s2 -= l(j + d - k2)(k2) * l(j - k2)(k2); k2 += 1 }
+        l(d)(j) = s2 / djj
+        d += 1
+      }
+      j += 1
+    }
+    // forward / backward substitution vectorized over the nl columns.
+    // The diagonal scaling multiplies by a precomputed reciprocal: the
+    // substitution is DIVISION-bound otherwise (2 n nl divides at 20-40
+    // cycles each vs the ~1 ulp the reciprocal costs in accuracy — well
+    // inside every tolerance this kernel is checked at)
+    val invDiag = new Array[Double](n)
+    var ii = 0
+    while (ii < n) { invDiag(ii) = 1.0 / l(0)(ii); ii += 1 }
+    var i = 0
+    while (i < n) {
+      val base = i * nl
+      var d = 1
+      while (d <= w && i - d >= 0) {
+        val f = l(d)(i - d)
+        val src = (i - d) * nl
+        var k = 0
+        while (k < nl) { wArr(base + k) -= f * wArr(src + k); k += 1 }
+        d += 1
+      }
+      val r = invDiag(i)
+      var k = 0
+      while (k < nl) { wArr(base + k) *= r; k += 1 }
+      i += 1
+    }
+    i = n - 1
+    while (i >= 0) {
+      val base = i * nl
+      var d = 1
+      while (d <= w && i + d < n) {
+        val f = l(d)(i)
+        val src = (i + d) * nl
+        var k = 0
+        while (k < nl) { wArr(base + k) -= f * wArr(src + k); k += 1 }
+        d += 1
+      }
+      val r = invDiag(i)
+      var k = 0
+      while (k < nl) { wArr(base + k) *= r; k += 1 }
+      i -= 1
+    }
+    // out(r, k) = sum_j C(r, j) * W(j, k). j OUTER: C's column j and W's
+    // row j are both contiguous (the r-outer form reads cd with a 3 KB
+    // stride — pure cache misses), and out fits in L2. For each r the js
+    // still arrive in ascending order, so per-element accumulation order
+    // is unchanged. A conversion-matrix column has exactly one nonzero
+    // (each high-freq period maps to one low period), so this is O(n nl).
+    val out = DenseMatrix.zeros[Double](nl, nl)
+    val od = out.data
+    j = 0
+    while (j < n) {
+      val cBase = j * nl
+      val src = j * nl
+      var r = 0
+      while (r < nl) {
+        val cv = cd(cBase + r)
+        if (cv != 0.0) {
+          var k = 0
+          while (k < nl) { od(k * nl + r) += cv * wArr(src + k); k += 1 }
+        }
+        r += 1
+      }
+      j += 1
+    }
+    out
   }
 
   def covProducts(
