@@ -513,6 +513,34 @@ object Queries {
       |FROM orders GROUP BY CUBE (1, 2)
       |ORDER BY y ASC NULLS FIRST, pri ASC NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS — the asymmetric case CUBE/ROLLUP can't express
+    * ((y, pri), (y), ()) but skipping (pri): one Expand + one shuffle, same
+    * physical shape as cube; grouping_id disambiguates a NULL key from a
+    * rolled-up level.
+    */
+  private def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(year(col("o_orderdate")).as("y"),
+        split(col("o_orderpriority"), "-").getItem(0).cast(IntegerType).as("pri"),
+        col("o_totalprice"))
+      .groupingSets(Seq(Seq(col("y"), col("pri")), Seq(col("y")), Seq()),
+        col("y"), col("pri"))
+      .agg(grouping_id().cast(IntegerType).as("gid"),
+        dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+      .select(col("y"), col("pri"), col("gid"), col("revenue"), col("n"))
+      .orderBy(col("y").asc_nulls_first, col("pri").asc_nulls_first)
+
+  private val groupingSetsRevenueSql =
+    """SELECT y, pri, CAST(GROUPING(y, pri) AS INT) AS gid,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM (SELECT CAST(year(o_orderdate) AS INT) AS y,
+      |        CAST(string_split(o_orderpriority, '-')[1] AS INT) AS pri,
+      |        o_totalprice
+      |      FROM orders)
+      |GROUP BY GROUPING SETS ((y, pri), (y), ())
+      |ORDER BY y ASC NULLS FIRST, pri ASC NULLS FIRST""".stripMargin
+
   /** Window breadth #2: top-3 orders by price per year (row_number with a
     * unique tiebreaker, filtered post-window).
     */
@@ -2040,6 +2068,7 @@ object Queries {
     "set_ops_months" -> setOps _,
     "rollup_revenue" -> rollupRevenue _,
     "cube_revenue" -> cubeRevenue _,
+    "grouping_sets_revenue" -> groupingSetsRevenue _,
     "window_topk_per_group" -> windowTopKPerGroup _,
     "agg_stats_moments" -> statsMoments _,
     "window_mom_delta" -> windowMomDelta _,
@@ -2123,6 +2152,7 @@ object Queries {
     "set_ops_months" -> setOpsSql,
     "rollup_revenue" -> rollupRevenueSql,
     "cube_revenue" -> cubeRevenueSql,
+    "grouping_sets_revenue" -> groupingSetsRevenueSql,
     "window_topk_per_group" -> windowTopKPerGroupSql,
     "agg_stats_moments" -> statsMomentsSql,
     "window_mom_delta" -> windowMomDeltaSql,
