@@ -1779,6 +1779,117 @@ object Queries {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination (see PipelineOps.decontaminate): every train
+    * document's 8-gram overlap with the held-out eval split (the same
+    * deterministic md5 buckets sample_split_deterministic emits). Eval
+    * shingles broadcast; the only corpus-sized shuffle is the per-doc
+    * aggregation.
+    */
+  private def pipelineDecontaminate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PipelineOps.decontaminate(t(s, dir, "documents"))
+
+  private val pipelineDecontaminateSql =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(((CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+      |               ELSE h END) % 100 + 100) % 100 AS INT) AS bucket
+      |  FROM (SELECT doc_id, text,
+      |          md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+      |        FROM documents)),
+      |sh AS (
+      |  SELECT doc_id, bucket, list_distinct(
+      |    CASE WHEN len(toks) >= 8 THEN
+      |      list_transform(range(1, len(toks)-6), i -> array_to_string(toks[i:i+7], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, bucket,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM b)),
+      |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE bucket >= 95),
+      |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE bucket < 95)
+      |SELECT t.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  CAST(sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS contamination_ratio,
+      |  sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+      |FROM tr t LEFT JOIN ev e ON t.s = e.s
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  /** Within-doc repetition signals (see TextOps.repetitionSignals): dup
+    * n-gram fractions for n=1..3, pure per-row projection.
+    */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionSignals(t(s, dir, "documents"))
+
+  private val textRepetitionSql =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS INT) AS distinct_1gram,
+      |    CAST(len(list_distinct(
+      |      CASE WHEN len(toks) >= 2 THEN
+      |        list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+      |      ELSE [array_to_string(toks, ' ')] END)) AS INT) AS distinct_2gram,
+      |    CAST(len(list_distinct(
+      |      CASE WHEN len(toks) >= 3 THEN
+      |        list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [array_to_string(toks, ' ')] END)) AS INT) AS distinct_3gram
+      |  FROM tk)
+      |SELECT doc_id, n_tokens, distinct_1gram, distinct_2gram, distinct_3gram,
+      |  CAST(n_tokens - distinct_1gram AS DOUBLE) / n_tokens AS dup_1gram_frac,
+      |  CAST(greatest(n_tokens - 1, 1) - distinct_2gram AS DOUBLE)
+      |    / greatest(n_tokens - 1, 1) AS dup_2gram_frac,
+      |  CAST(greatest(n_tokens - 2, 1) - distinct_3gram AS DOUBLE)
+      |    / greatest(n_tokens - 2, 1) AS dup_3gram_frac
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** Concat-and-chunk packing (see PipelineOps.packTokenBudget): per-lang
+    * streams, 256-token packs, straddle flags.
+    */
+  private def pipelinePackDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PipelineOps.packTokenBudget(t(s, dir, "documents"))
+
+  private val pipelinePackDocsSql =
+    """WITH n AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  -- window sum(BIGINT) widens to HUGEINT in DuckDB: cast back
+      |  SELECT doc_id, lang, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tokens_before
+      |  FROM n)
+      |SELECT doc_id, lang, n_tokens, tokens_before,
+      |  tokens_before // 256 AS pack_id,
+      |  tokens_before // 256 <> (tokens_before + n_tokens - 1) // 256 AS straddles
+      |FROM c ORDER BY lang, doc_id""".stripMargin
+
+  /** Mixture-weight stratified sampling (see PipelineOps.stratifiedSample):
+    * per-lang keep rates via the deterministic salted md5 ticket.
+    */
+  private def pipelineStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PipelineOps.stratifiedSample(t(s, dir, "documents"),
+      rates = Map("en" -> 0.35, "es" -> 0.6, "fr" -> 0.8), defaultRate = 1.0)
+
+  private val pipelineStratifiedSampleSql =
+    """SELECT doc_id, lang, ticket, threshold, ticket < threshold AS kept
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(((CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+      |               ELSE h END) % 10000 + 10000) % 10000 AS INT) AS ticket,
+      |    CASE WHEN lang = 'fr' THEN 8000
+      |         WHEN lang = 'es' THEN 6000
+      |         WHEN lang = 'en' THEN 3500 ELSE 10000 END AS threshold
+      |  FROM (SELECT doc_id, lang,
+      |          md5_number_lower('strat:' || CAST(doc_id AS VARCHAR)) AS h
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** Misra-Gries heavy hitters audited against exact counts: the oracle
     * replays the exact top-10 and TRUE for the theorem-guaranteed
     * `sketch_ok` column (see Sketches.heavyHitters for why that is
@@ -2115,6 +2226,10 @@ object Queries {
     "sketch_heavy_hitters" -> sketchHeavyHitters _,
     "sample_split_deterministic" -> sampleSplitDeterministic _,
     "text_oov_ratio" -> textOovRatio _,
+    "pipeline_decontaminate" -> pipelineDecontaminate _,
+    "text_repetition" -> textRepetition _,
+    "pipeline_pack_docs" -> pipelinePackDocs _,
+    "pipeline_stratified_sample" -> pipelineStratifiedSample _,
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
@@ -2183,6 +2298,10 @@ object Queries {
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "sample_split_deterministic" -> sampleSplitDeterministicSql,
     "text_oov_ratio" -> textOovRatioSql,
+    "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "text_repetition" -> textRepetitionSql,
+    "pipeline_pack_docs" -> pipelinePackDocsSql,
+    "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,

@@ -128,6 +128,36 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition signals (the Gopher "repetition" filters,
+    * rescoped to word n-grams): for n = 1,2,3, the fraction of n-gram
+    * positions occupied by a repeat of an earlier n-gram —
+    * `(total_n − distinct_n) / total_n`. Degenerate docs (looping scrapes,
+    * boilerplate spam) score high and get filtered before training.
+    *
+    * Pure per-row projection — the n-gram sets come from the one-pass native
+    * NgramShingles expression (already distinct), so there is no explode and
+    * no shuffle; every emitted number is an int or an int/int ratio, hence
+    * bit-exact cross-engine.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    def distinctN(n: Int): Column =
+      size(Dedup.shingles(col("text"), n)).cast(IntegerType)
+    def totalN(n: Int): Column =
+      greatest(size(toks) - (n - 1), lit(1)).cast(IntegerType)
+    def dupFrac(n: Int): Column =
+      ((totalN(n) - distinctN(n)).cast(DoubleType) / totalN(n))
+        .as(s"dup_${n}gram_frac")
+    docs.select(
+      col("doc_id"),
+      size(toks).cast(IntegerType).as("n_tokens"),
+      distinctN(1).as("distinct_1gram"),
+      distinctN(2).as("distinct_2gram"),
+      distinctN(3).as("distinct_3gram"),
+      dupFrac(1), dupFrac(2), dupFrac(3))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling polynomial fingerprint (Rabin-Karp shape): byte-level fold
     * h = (h*31 + byte) mod (10^17+3) as ONE native eval per row
     * (graft.functions.RollingPolyHash) — no per-character interpreted HOF

@@ -420,4 +420,79 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getString(1) == TextOps.langProfiles(best)._1)
     }
   }
+
+  test("decontamination flags exactly the docs sharing an 8-gram with the eval split") {
+    import spark.implicits._
+    import graft.ops.PipelineOps
+    // find ids landing in the eval (>=95) and train (<95) buckets under the
+    // REAL hash — planting text, not planting buckets
+    val buckets = spark.range(0, 300)
+      .select(col("id"),
+        pmod(graft.functions.HashOps.md5Low64(col("id").cast("string")), lit(100L))
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalId = buckets.collectFirst { case (id, b) if b >= 95 => id }.get
+    val trainIds = buckets.collect { case (id, b) if b < 95 => id }.take(2).toSeq
+    val evalText = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val dirty = s"prefix tokens then w2 w3 w4 w5 w6 w7 w8 w9 trailing" // 8-gram hit
+    val clean = "totally different content with no overlapping eight gram run here"
+    val docs = Seq(
+      (evalId, evalText), (trainIds.head, dirty), (trainIds(1), clean))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.decontaminate(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got.keySet == trainIds.toSet, "eval doc must not appear in output")
+    assert(got(trainIds.head)._1 == 1L && got(trainIds.head)._2,
+      s"planted 8-gram not flagged: $got")
+    assert(got(trainIds(1))._1 == 0L && !got(trainIds(1))._2)
+  }
+
+  test("repetition signals: known dup fractions on degenerate and clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),              // 4 tokens, 1 distinct
+      (2L, "w x y z"),              // no repetition at any n
+      (3L, "spam ham spam ham spam")) // alternating: bigrams repeat
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getInt(1) == 4 && d1.getInt(2) == 1)
+    assert(d1.getDouble(5) == 3.0 / 4 && d1.getDouble(6) == 2.0 / 3 &&
+      d1.getDouble(7) == 1.0 / 2)
+    val d2 = got(2L)
+    assert(d2.getDouble(5) == 0.0 && d2.getDouble(6) == 0.0 && d2.getDouble(7) == 0.0)
+    val d3 = got(3L) // 5 toks: bigrams {spam ham, ham spam}x2 -> dup 2/4
+    assert(d3.getInt(3) == 2 && d3.getDouble(6) == 2.0 / 4)
+  }
+
+  test("packing: greedy concat-and-chunk pack ids and straddle flags, per lang") {
+    import spark.implicits._
+    import graft.ops.PipelineOps
+    // en: 3,3,2 tokens at budget 4 -> packs 0, 0(straddle), 1; fr independent
+    val docs = Seq(
+      (1L, "en", "t1 t2 t3"), (2L, "en", "t1 t2 t3"), (3L, "en", "t1 t2"),
+      (4L, "fr", "a b c d e")) // fr starts its own stream at pack 0
+      .toDF("doc_id", "lang", "text")
+    val got = PipelineOps.packTokenBudget(docs, budget = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(1L) == ((0L, 0L, false)))
+    assert(got(2L) == ((3L, 0L, true)), "doc 2 spans the pack-0/1 boundary")
+    assert(got(3L) == ((6L, 1L, false)))
+    assert(got(4L) == ((0L, 0L, true)), "5 tokens at budget 4 straddles")
+  }
+
+  test("stratified sample: kept == ticket under threshold, stable under repartition") {
+    import graft.ops.PipelineOps
+    val rates = Map("en" -> 0.35, "es" -> 0.6, "fr" -> 0.8)
+    val out = PipelineOps.stratifiedSample(docs, rates).collect()
+    out.foreach { r =>
+      val expected = rates.getOrElse(r.getString(1), 1.0)
+      assert(r.getInt(3) == (expected * 10000).toInt, s"threshold for ${r.getString(1)}")
+      assert(r.getBoolean(4) == (r.getInt(2) < r.getInt(3)))
+    }
+    val again = PipelineOps.stratifiedSample(docs.repartition(7), rates).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "assignment must be partitioning-independent")
+  }
 }

@@ -100,4 +100,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val p = plan("sketch_heavy_hitters")
     assert(p.contains("partial_"), s"token count must partial-aggregate:\n${p.take(800)}")
   }
+
+  test("decontamination broadcasts the eval shingles; train side never sort-merges") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shingle shuffle crept in:\n${p.take(1200)}")
+    forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
+  }
+
+  test("doc packing windows are partitioned per lang (no global total order)") {
+    val p = plan("pipeline_pack_docs")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, p.take(800))
+    windowLines.foreach(l =>
+      assert(l.contains("lang"), s"window not partitioned by lang: $l"))
+  }
+
+  test("stratified sample and repetition signals are pure projections") {
+    for (name <- Seq("pipeline_stratified_sample", "text_repetition")) {
+      val p = plan(name)
+      assert(countExchanges(p) <= 1,
+        s"$name must not shuffle before the output sort:\n$p")
+    }
+  }
 }
