@@ -1562,6 +1562,34 @@ object Queries {
       |SELECT vec_a, vec_b, cosine FROM pairs
       |WHERE cosine >= 0.9 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Blocked exact k-NN graph (see Similarity.knnGraphBlocked): top-3
+    * neighbors per vector within its label block; the oracle replays the
+    * exact within-block search (the join is label-blocked on BOTH engines,
+    * so the oracle is the same semantics, not an all-pairs stand-in).
+    */
+  private def simKnnGraph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphBlocked(t(s, dir, "embeddings"), k = 3)
+
+  private val simKnnGraphSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      |  FROM e),
+      |p AS (
+      |  SELECT a.vec_id, a.label AS block, b.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM p)
+      |SELECT vec_id, block, rank, neighbor_id, cosine
+      |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+
   private def simCosineBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)
 
@@ -2219,6 +2247,7 @@ object Queries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "sim_cosine_brute" -> simCosineBrute _,
     "sim_cosine_ivf" -> simCosineIvf _,
+    "sim_knn_graph" -> simKnnGraph _,
     "text_lang_id" -> textLangId _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "text_token_frequencies" -> textTokenFrequencies _,
@@ -2288,6 +2317,7 @@ object Queries {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "sim_cosine_brute" -> simCosineBruteSql,
+    "sim_knn_graph" -> simKnnGraphSql,
     "text_lang_id" -> textLangIdSql,
     "text_token_frequencies" -> textTokenFrequenciesSql,
     "text_token_examples" -> textTokenExamplesSql,

@@ -136,6 +136,35 @@ object Similarity {
   def assignBuckets(embeddings: DataFrame, nBuckets: Int = 16): DataFrame =
     assignBucketsWith(embeddings, trainCentroids(embeddings, nBuckets))
 
+  /** Exact k-NN neighbor graph WITHIN a blocking key — the SemDeDup /
+    * embedding-clustering primitive: block the corpus (here the labeled
+    * blocks the testdata provides; at 100 TB the IVF bucket from
+    * [[trainCentroids]], which is a partition column), then exact-search
+    * inside each block only. The pair stage is an EQUI-join on the block
+    * key — candidate count is Σ block², never corpus² — and per-node top-k
+    * is one window partitioned by the source vector, so its sort scales
+    * with block size, not corpus size.
+    */
+  def knnGraphBlocked(
+      embeddings: DataFrame, k: Int = 3, blockCol: String = "label"): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col(blockCol).as("block"),
+      asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id"), col("block"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("block"), col("v").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.join(b, Seq("block"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("block"), col("neighbor_id"),
+        cosine(col("va"), col("vb")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("block"), col("rank"), col("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** IVF-style ANN: probe the `nProbe` centroid buckets closest to the
     * query, exact cosine within them.
     */

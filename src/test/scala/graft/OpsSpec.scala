@@ -482,6 +482,27 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, true)), "5 tokens at budget 4 straddles")
   }
 
+  test("blocked knn graph: per-node degree, rank contiguity, nonincreasing cosine") {
+    val k = 3
+    val got = Similarity.knnGraphBlocked(embeddings, k = k).collect()
+    val blockSizes = embeddings.groupBy(col("label")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val byVec = got.groupBy(_.getLong(0))
+    assert(byVec.size == embeddings.count(), "every vector needs neighbors")
+    byVec.foreach { case (vec, rows) =>
+      val block = rows.head.getInt(1)
+      val expected = math.min(k.toLong, blockSizes(block) - 1)
+      assert(rows.length == expected, s"vec $vec degree ${rows.length} != $expected")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length),
+        s"vec $vec ranks not contiguous")
+      val cosines = rows.sortBy(_.getInt(2)).map(_.getDouble(4))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y },
+        s"vec $vec cosines not nonincreasing")
+      assert(rows.forall(r => !r.isNullAt(3) && r.getLong(3) != vec),
+        s"vec $vec lists itself")
+    }
+  }
+
   test("stratified sample: kept == ticket under threshold, stable under repartition") {
     import graft.ops.PipelineOps
     val rates = Map("en" -> 0.35, "es" -> 0.6, "fr" -> 0.8)
