@@ -1517,6 +1517,34 @@ object Queries {
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact-substring duplication windows (see
+    * Dedup.substringDuplicateWindows): verbatim 32-char boilerplate shared
+    * across documents, replayed hash-for-hash by the oracle.
+    */
+  private def dedupSubstringWindows(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDuplicateWindows(t(s, dir, "documents"))
+
+  private val dedupSubstringWindowsSql =
+    """WITH f AS (
+      |  SELECT doc_id, txt, length(txt) AS len
+      |  FROM (SELECT doc_id, trim(lower(text)) AS txt FROM documents)
+      |  WHERE length(txt) >= 32),
+      |wdw AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, (len-32)//16 + 1),
+      |    i -> md5_number_lower(substr(txt, CAST(i*16+1 AS INT), 32)))) AS h
+      |  FROM f),
+      |sgn AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN h >= 9223372036854775808
+      |              THEN h - 18446744073709551616 ELSE h END AS BIGINT)
+      |      AS win_hash
+      |  FROM wdw)
+      |SELECT win_hash, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_occurrences,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM sgn GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY win_hash""".stripMargin
+
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"))
 
@@ -2244,6 +2272,7 @@ object Queries {
     "pipeline_dedup_apply" -> pipelineDedupApply _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_substring_windows" -> dedupSubstringWindows _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "sim_cosine_brute" -> simCosineBrute _,
     "sim_cosine_ivf" -> simCosineIvf _,
@@ -2316,6 +2345,7 @@ object Queries {
     "text_fingerprint" -> textFingerprintSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_substring_windows" -> dedupSubstringWindowsSql,
     "sim_cosine_brute" -> simCosineBruteSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "text_lang_id" -> textLangIdSql,

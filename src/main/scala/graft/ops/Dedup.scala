@@ -348,4 +348,39 @@ object Dedup {
       .localCheckpoint()
     } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
+
+  /** Exact-substring duplication detector (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" signal,
+    * windowed): hash every full `w`-char window at stride `s` of the
+    * normalized text and report windows occurring in ≥2 documents — verbatim
+    * boilerplate that MinHash (whole-doc similarity) cannot see.
+    *
+    * Scale shape: a suffix array is a single-machine structure; strided
+    * window hashes are its distributed stand-in — the blow-up is a bounded
+    * len/s × 8-byte hash per doc (not len suffixes), windows hash inside ONE
+    * native eval per row (Md5TokensLow64 over the window array), and the
+    * only shuffle is the hash groupBy (count(*) partial-aggregates map-side;
+    * the distinct-doc count runs Spark's standard two-phase distinct
+    * aggregate). Hashes are MD5-low-64, so the oracle replays them with
+    * md5_number_lower.
+    */
+  def substringDuplicateWindows(
+      docs: DataFrame, w: Int = 32, s: Int = 16): DataFrame = {
+    val prepped = docs
+      .select(col("doc_id"), trim(lower(col("text"))).as("txt"))
+      .withColumn("len", length(col("txt")))
+      .where(col("len") >= w) // short docs are exact-dedup territory
+    val winHashes = prepped.select(col("doc_id"),
+      explode(graft.functions.HashOps.md5TokensLow64(
+        transform(sequence(lit(0), expr(s"(len - $w) DIV $s")),
+          i => col("txt").substr(i * s + 1, lit(w))))).as("win_hash"))
+    winHashes
+      .groupBy(col("win_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("win_hash"))
+  }
 }

@@ -482,6 +482,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, true)), "5 tokens at budget 4 straddles")
   }
 
+  test("substring windows: planted 32-char boilerplate found; offset shifts are invisible") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate string is shared verbatim" // 49 chars
+    val docs = Seq(
+      (1L, s"$boiler plus unique tail one"),
+      (2L, s"$boiler plus other material here"),
+      // same boilerplate at a NON-stride-aligned offset: windowed hashing
+      // (unlike a suffix array) only sees stride-aligned duplicates — the
+      // documented approximation
+      (3L, s"xy $boiler completely different ending"),
+      (4L, "no shared content in this document at all, long enough to window"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDuplicateWindows(docs).collect()
+    assert(got.nonEmpty, "aligned planted boilerplate must be detected")
+    got.foreach { r =>
+      assert(r.getLong(1) >= 2L)
+      val (lo, hi) = (r.getLong(3), r.getLong(4))
+      assert(Set(lo, hi).subsetOf(Set(1L, 2L)),
+        s"only the aligned pair shares windows, got docs $lo..$hi")
+    }
+    // doc pair (1,2) shares windows at offsets 0 and 16 inside the 49-char
+    // prefix -> exactly 2 duplicate windows
+    assert(got.length == 2, s"expected 2 shared windows, got ${got.length}")
+  }
+
   test("blocked knn graph: per-node degree, rank contiguity, nonincreasing cosine") {
     val k = 3
     val got = Similarity.knnGraphBlocked(embeddings, k = k).collect()
