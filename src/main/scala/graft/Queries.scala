@@ -1636,6 +1636,72 @@ object Queries {
   private def simCosineIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)
 
+  /** Full DuckDB replay of the IVF pipeline INCLUDING k-means training
+    * (Similarity.trainCentroids): every floating-point step on the Spark
+    * side is an explicit deterministic fold, so the oracle reruns the whole
+    * algorithm — md5-ordered sample, lowest-vec_id init, 3 unrolled Lloyd's
+    * iterations (argmax assignment + vec_id-ordered mean folds, empty
+    * buckets carrying the previous centroid), full-corpus assignment,
+    * nProbe=4 probing, exact top-10 — and lands on bit-identical doubles.
+    * list_sum(list(...)) is a left-to-right double fold in DuckDB, matching
+    * Spark's aggregate()/native DotProduct fold; md5_number_lower is
+    * reinterpreted signed to match graft_md5_low64.
+    */
+  private val simCosineIvfSql: String = {
+    def cos(a: String, b: String): String =
+      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    val iters = 3
+    val head =
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |samp AS (
+        |  SELECT vec_id, v FROM (
+        |    SELECT vec_id, v,
+        |      (CASE WHEN h >= 9223372036854775808 THEN CAST(h - 18446744073709551616 AS BIGINT)
+        |            ELSE CAST(h AS BIGINT) END) AS hs
+        |    FROM (SELECT vec_id, v, md5_number_lower(CAST(vec_id AS VARCHAR)) AS h FROM e))
+        |  ORDER BY hs, vec_id LIMIT 16384),
+        |c0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS bucket, v AS cv
+        |  FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 16))""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT vec_id, bucket, v FROM (
+         |    SELECT s.vec_id, c.bucket, s.v,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${cos("s.v", "c.cv")} DESC, c.bucket ASC) AS rn
+         |    FROM samp s CROSS JOIN $p c) WHERE rn = 1),
+         |m$i AS (
+         |  SELECT bucket, dim, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+         |  FROM (SELECT vec_id, bucket, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a$i)
+         |  GROUP BY bucket, dim),
+         |u$i AS (SELECT bucket, list(m ORDER BY dim) AS cv FROM m$i GROUP BY bucket),
+         |c$i AS (SELECT * FROM u$i UNION ALL
+         |  SELECT * FROM $p WHERE bucket NOT IN (SELECT bucket FROM u$i))""".stripMargin
+    }
+    val tail =
+      s"""q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT bucket FROM (
+         |    SELECT c.bucket, ${cos("c.cv", "q.qv")} AS sim FROM c$iters c, q)
+         |  ORDER BY sim DESC, bucket ASC LIMIT 4),
+         |asg AS (
+         |  SELECT vec_id, bucket, v FROM (
+         |    SELECT e.vec_id, c.bucket, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.bucket ASC) AS rn
+         |    FROM e CROSS JOIN c$iters c) WHERE rn = 1)
+         |SELECT a.vec_id, ${cos("a.v", "q.qv")} AS cosine
+         |FROM asg a JOIN probes p USING (bucket), q
+         |WHERE a.vec_id <> 0
+         |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+    (head +: iterCtes :+ tail).mkString(",\n")
+  }
+
   private def textLangId(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val feat = TextOps.langIdFeatures(col("text"))
@@ -2347,6 +2413,7 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_substring_windows" -> dedupSubstringWindowsSql,
     "sim_cosine_brute" -> simCosineBruteSql,
+    "sim_cosine_ivf" -> simCosineIvfSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "text_lang_id" -> textLangIdSql,
     "text_token_frequencies" -> textTokenFrequenciesSql,
@@ -2391,7 +2458,5 @@ object Queries {
     "disagg_many_series" -> disaggManySeriesSql,
     "stream_disagg_incremental" -> disaggManySeriesSql,
     "disagg_many_chowlin" -> disaggManyChowLinSql
-    // intentionally rows-only (not ANSI-SQL-expressible):
-    // sim_cosine_ivf (k-means bucket assignment)
   )
 }

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional trailing args: run only these queries (fast local iteration;
+    // the driver always passes exactly two args, so its behavior is fixed)
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,11 +19,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (only.isEmpty || only(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // raw disaggregated series for tools/reference_parity.py (the driver
     // gate reads the consistency views above; parity diffs ŷ itself).
@@ -28,7 +32,7 @@ object Verify {
     // driver as a query result and would surface as a spurious
     // "no_oracle" row in the correctness file.
     val rawDir = "/root/repo/target/verify_raw"
-    Queries.rawDisagg.foreach { case (name, fn) =>
+    (if (only.isEmpty) Queries.rawDisagg else Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$rawDir/$name")
       catch { case e: Throwable =>

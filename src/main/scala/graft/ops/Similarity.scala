@@ -52,15 +52,24 @@ object Similarity {
 
   /** Deterministic Lloyd's k-means over the embedding column, Spark-first:
     * each iteration is one broadcast nested-loop assignment (map-side, no
-    * shuffle of vectors) + one partial-aggregating groupBy computing the
-    * per-bucket elementwise mean via `posexplode` — the shuffle carries
-    * (bucket, dim, partialSum) triples, never raw vectors. Initialization is
-    * the lowest `k` vec_ids (deterministic, no RNG at runtime); empty
-    * clusters keep their previous centroid. Returns (bucket, cv).
+    * shuffle of vectors) + one grouped centroid update whose shuffle carries
+    * (bucket, dim, vec_id, x) rows of the BOUNDED sample only, never the
+    * corpus. Initialization is the lowest `k` vec_ids (deterministic, no RNG
+    * at runtime); empty clusters keep their previous centroid. Returns
+    * (bucket, cv).
+    *
+    * Every floating-point step is CROSS-ENGINE deterministic, so the whole
+    * training run replays bit-exactly in ANSI SQL (the sim_cosine_ivf
+    * oracle): the sample is the lowest `sampleCap` ids by graft_md5_low64
+    * (== DuckDB md5_number_lower reinterpreted signed); assignment argmax
+    * uses the left-fold cosine (bit-equal to list_sum(list_transform(...)));
+    * and the centroid mean folds each (bucket, dim) group's values in
+    * vec_id order — an explicit sorted left-to-right sum, not an
+    * order-dependent distributed avg().
     *
     * At 100 TB this is the standard scale shape: centroids stay a broadcast
-    * table, data is scanned once per iteration, and the update shuffle is
-    * O(k * dim) per task regardless of corpus size.
+    * table, training touches a TakeOrdered sample, and the update shuffle is
+    * O(sampleCap * dim) regardless of corpus size.
     */
   def trainCentroids(
       embeddings: DataFrame, nBuckets: Int = 16, iterations: Int = 3,
@@ -72,7 +81,8 @@ object Similarity {
     // the full 100 TB corpus every query would be the anti-pattern; k-means
     // on a uniform sample is the standard scale recipe)
     val e = prepared(embeddings)
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(graft.functions.HashOps.md5Low64(col("vec_id").cast(StringType)),
+        col("vec_id"))
       .limit(sampleCap)
     // centroids live as a DRIVER-side array between iterations (k x dim
     // doubles — O(kB), the one collect an iterative algorithm genuinely
@@ -93,10 +103,18 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("bucket"), col("v")),
           struct(col("sim"), -col("bucket"))).as("best"))
-        .select(col("best.bucket").as("bucket"), posexplode(col("best.v")))
-        .toDF("bucket", "dim", "x")
+        .select(col("vec_id"), col("best.bucket").as("bucket"),
+          posexplode(col("best.v")))
+        .toDF("vec_id", "bucket", "dim", "x")
         .groupBy(col("bucket"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        // deterministic mean: fold the group's values in vec_id order
+        // (left-to-right double sum, bit-replayable by DuckDB's
+        // list_sum(list(x ORDER BY vec_id))), then ONE division — never a
+        // distributed avg(), whose partial-merge order is nondeterministic
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+        .select(col("bucket"), col("dim"),
+          (aggregate(col("xs"), lit(0.0),
+            (acc, e2) => acc + e2.getField("x")) / size(col("xs"))).as("m"))
         .groupBy(col("bucket"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("bucket"), transform(col("dm"), p => p.getField("m")).as("cv"))
