@@ -1702,6 +1702,63 @@ object Queries {
     (head +: iterCtes :+ tail).mkString(",\n")
   }
 
+  /** SemDeDup block pruning (see Similarity.semDedupPrune): keep/drop
+    * decision table at cosine >= 0.3 within label blocks; the oracle
+    * replays the one-join witness search with arg_min.
+    */
+  private def simSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPrune(t(s, dir, "embeddings"), threshold = 0.3)
+
+  private val simSemDedupSql =
+    """WITH e AS (
+      |  SELECT vec_id, label AS block,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, block, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM e),
+      |p AS (
+      |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+      |      / (a.nrm * b.nrm) AS c
+      |  FROM n a JOIN n b ON a.block = b.block AND b.vec_id < a.vec_id),
+      |w AS (
+      |  SELECT vec_id, min(neighbor_id) AS witness_id,
+      |    arg_min(c, neighbor_id) AS witness_cosine
+      |  FROM p WHERE c >= 0.3 GROUP BY vec_id)
+      |SELECT e.vec_id, e.block, w.vec_id IS NULL AS kept,
+      |  w.witness_id, w.witness_cosine
+      |FROM e LEFT JOIN w ON e.vec_id = w.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
+  /** Exact-rational TF-IDF top-3 per document (see TextOps.tfidfTopK):
+    * score = tf*N/df as one double division of exact integers — replays
+    * bit-exactly, unlike any log-based form.
+    */
+  private def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopK(t(s, dir, "documents"), k = 3)
+
+  private val textTfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    CAST(tf.tf * nd.n_docs AS DOUBLE) / df.df AS score
+      |  FROM tf JOIN df USING (token), nd),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, token ASC) AS INT) AS rank
+      |  FROM s)
+      |SELECT doc_id, rank, token, CAST(tf AS BIGINT) AS tf,
+      |  CAST(df AS BIGINT) AS df, score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   private def textLangId(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val feat = TextOps.langIdFeatures(col("text"))
@@ -2343,6 +2400,8 @@ object Queries {
     "sim_cosine_brute" -> simCosineBrute _,
     "sim_cosine_ivf" -> simCosineIvf _,
     "sim_knn_graph" -> simKnnGraph _,
+    "sim_semdedup" -> simSemDedup _,
+    "text_tfidf" -> textTfidf _,
     "text_lang_id" -> textLangId _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
     "text_token_frequencies" -> textTokenFrequencies _,
@@ -2414,6 +2473,8 @@ object Queries {
     "dedup_substring_windows" -> dedupSubstringWindowsSql,
     "sim_cosine_brute" -> simCosineBruteSql,
     "sim_cosine_ivf" -> simCosineIvfSql,
+    "sim_semdedup" -> simSemDedupSql,
+    "text_tfidf" -> textTfidfSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "text_lang_id" -> textLangIdSql,
     "text_token_frequencies" -> textTokenFrequenciesSql,

@@ -183,6 +183,50 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** SemDeDup pruning (Abbas et al. 2023, arXiv:2303.09540 — semantic
+    * dedup inside embedding clusters), lowest-id-witness variant: within
+    * each block, a vector is DROPPED when a lower-id vector in the same
+    * block has cosine >= threshold to it (the witness is the lowest such
+    * id). Non-recursive — the witness need not itself be kept — which is
+    * the one-join formulation both engines can express identically; the
+    * recursive greedy variant differs only when near-dup chains exceed two
+    * hops at the threshold.
+    *
+    * Scale shape mirrors [[knnGraphBlocked]]: the pair stage is an
+    * EQUI-join on the block key (Σ block² candidates, never corpus²; at
+    * 100 TB the block is the IVF bucket from [[trainCentroids]], a
+    * partition column), followed by one partial-aggregating min per vector
+    * — no window sort, no all-pairs stage.
+    *
+    * Returns (vec_id, block, kept, witness_id, witness_cosine) — the full
+    * decision table, so the filter step downstream is a trivial
+    * `where(kept)`.
+    */
+  def semDedupPrune(
+      embeddings: DataFrame, threshold: Double = 0.3,
+      blockCol: String = "label"): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col(blockCol).as("block"),
+      asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id"), col("block"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("neighbor_id"), col("block"),
+      col("v").as("vb"))
+    val wit = a.join(b, Seq("block"))
+      .where(col("neighbor_id") < col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("va"), col("vb")).as("c"))
+      .where(col("c") >= threshold)
+      .groupBy(col("vec_id"))
+      // lowest-id witness + its cosine in one partial-aggregating min
+      // (struct ordering leads on neighbor_id, which is unique per group)
+      .agg(min(struct(col("neighbor_id"), col("c"))).as("w"))
+    e.join(wit, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("block"),
+        col("w").isNull.as("kept"),
+        col("w.neighbor_id").as("witness_id"),
+        col("w.c").as("witness_cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-style ANN: probe the `nProbe` centroid buckets closest to the
     * query, exact cosine within them.
     */

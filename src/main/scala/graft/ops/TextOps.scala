@@ -167,4 +167,39 @@ object TextOps {
     */
   def rollingFingerprint(text: Column): Column =
     graft.functions.HashOps.rollingPolyHash(text)
+
+  /** Per-document distinctive terms by TF-IDF, on the EXACT-RATIONAL score
+    * surface `tf * N / df` (one correctly-rounded double division of exact
+    * integers) instead of `tf * log(N/df)` — log() is not guaranteed
+    * correctly rounded across engines/libms, the plain ratio is, and it is
+    * order-isomorphic to the log form for fixed tf, so top-k per document is
+    * the standard ranking while every emitted double replays bit-exactly.
+    *
+    * Scale shape: one explode + one (doc_id, token) partial-aggregating
+    * shuffle builds TF; DF derives from the TF table (vocabulary-sized, NOT
+    * corpus-sized) and broadcasts back; N ships as a broadcast scalar (no
+    * driver collect); final per-doc top-k is one window partitioned by
+    * doc_id. No corpus-sized state beyond the TF shuffle that any TF-IDF
+    * must pay.
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(dfT), Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast(DoubleType) / col("df")).as("score"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

@@ -541,4 +541,52 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq,
       "assignment must be partitioning-independent")
   }
+
+  test("semdedup: witness is the LOWEST qualifying lower-id neighbor; kept iff none") {
+    val tau = 0.3
+    val out = Similarity.semDedupPrune(embeddings, threshold = tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(out.map(_._1).toSet.size == out.size, "one decision row per vector")
+    // brute-force ground truth: all lower-id same-block neighbors above tau
+    val e = embeddings.select(col("vec_id"), col("label"),
+      Similarity.asDouble(col("embedding")).as("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = e.map(t => t._1 -> t).toMap
+    out.foreach { case (id, block, kept, witness) =>
+      val (_, lbl, v) = byId(id)
+      assert(lbl == block)
+      val qualifying = e.filter(t => t._2 == lbl && t._1 < id && cos(t._3, v) >= tau)
+        .map(_._1)
+      if (kept) assert(witness.isEmpty && qualifying.isEmpty,
+        s"vec $id kept but has qualifying neighbors ${qualifying.take(3).toSeq}")
+      else assert(witness.contains(qualifying.min),
+        s"vec $id witness $witness != min qualifying ${qualifying.min}")
+    }
+  }
+
+  test("tfidf: ranks are 1..k per doc, scores descend, score == tf*N/df exactly") {
+    val n = docs.count()
+    val out = TextOps.tfidfTopK(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.size == docs.count(), "every document gets ranked terms")
+    byDoc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      val scores = sorted.map(_._6).toSeq
+      assert(scores == scores.sorted.reverse, "scores descend with rank")
+    }
+    out.foreach { case (_, _, _, tf, df, score) =>
+      assert(score == (tf * n).toDouble / df, "exact-rational score surface")
+    }
+    // df sanity: a token appearing in every doc scores N/df == 1 per occurrence
+    assert(out.forall { case (_, _, _, tf, df, _) => tf >= 1 && df >= 1 && df <= n })
+  }
 }
