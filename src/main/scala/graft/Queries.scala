@@ -494,6 +494,38 @@ object Queries {
       |FROM orders GROUP BY ROLLUP (1, 2)
       |ORDER BY y ASC NULLS FIRST, q ASC NULLS FIRST""".stripMargin
 
+  /** Fixed-width histogram of order totals — the profiling primitive. The
+    * bucket key is EXACT integer arithmetic on the decimal's cent value
+    * (cents div 5_000_000 → $50k buckets): no double cast, no
+    * width_bucket boundary-rounding differences between engines. One
+    * algebraic groupBy — partial-aggregates map-side, shuffles |buckets|
+    * rows per task regardless of corpus size.
+    */
+  private def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_totalprice"),
+        (col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .select(col("o_totalprice"),
+        expr("cents div 5000000").cast(IntegerType).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+      .select(col("bucket"),
+        (col("bucket").cast(DoubleType) * 50000.0).as("lo"),
+        ((col("bucket") + 1).cast(DoubleType) * 50000.0).as("hi"),
+        col("n"), col("revenue"))
+      .orderBy(col("bucket"))
+
+  private val aggHistogramSql =
+    """SELECT bucket,
+      |  CAST(bucket AS DOUBLE) * 50000.0 AS lo,
+      |  CAST(bucket + 1 AS DOUBLE) * 50000.0 AS hi,
+      |  count(*) AS n,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM (SELECT o_totalprice,
+      |        CAST(CAST(o_totalprice * 100 AS BIGINT) // 5000000 AS INT) AS bucket
+      |      FROM orders)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Hierarchical aggregation breadth #2: full CUBE over (year, priority) —
     * all four grouping sets in one pass (Spark expands to a single shuffle
     * with a grouping-id column; no per-set rescan).
@@ -2357,6 +2389,7 @@ object Queries {
     "join_star_pricing" -> joinStarPricing _,
     "set_ops_months" -> setOps _,
     "rollup_revenue" -> rollupRevenue _,
+    "agg_histogram" -> aggHistogram _,
     "cube_revenue" -> cubeRevenue _,
     "grouping_sets_revenue" -> groupingSetsRevenue _,
     "window_topk_per_group" -> windowTopKPerGroup _,
@@ -2449,6 +2482,7 @@ object Queries {
     "join_star_pricing" -> joinStarPricingSql,
     "set_ops_months" -> setOpsSql,
     "rollup_revenue" -> rollupRevenueSql,
+    "agg_histogram" -> aggHistogramSql,
     "cube_revenue" -> cubeRevenueSql,
     "grouping_sets_revenue" -> groupingSetsRevenueSql,
     "window_topk_per_group" -> windowTopKPerGroupSql,

@@ -282,6 +282,22 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned < full && pruned > 0)
   }
 
+  test("ORC source round-trips the documents table") {
+    // source breadth: same pipeline over an ORC copy of the corpus — the
+    // columnar alternatives (parquet/ORC) and the row formats (JSON/CSV)
+    // all feed the identical operator surface
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp)
+    assert(back.count() == docs.count())
+    val viaOrc = TextOps.tfidfTopK(back).collect().map(_.toString)
+    val viaParquet = TextOps.tfidfTopK(
+      docs.select("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(_.toString)
+    assert(viaOrc.toSeq == viaParquet.toSeq)
+  }
+
   test("JSON source round-trips the documents table") {
     // source breadth: the same pipeline runs when the corpus arrives as
     // JSON lines instead of parquet

@@ -125,4 +125,62 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"$name must not shuffle before the output sort:\n$p")
     }
   }
+
+  test("semdedup pair stage equi-joins on the block key, never all-pairs") {
+    val p = plan("sim_semdedup")
+    forbidden.foreach(op =>
+      assert(!p.contains(op), s"sim_semdedup plan contains $op:\n${p.take(1200)}"))
+    assert(p.contains("partial_min"),
+      s"witness search must partial-aggregate map-side:\n${p.take(1200)}")
+  }
+
+  test("tfidf DF table broadcasts back onto TF (vocabulary-sized, never a corpus shuffle join)") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df join must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-sized shuffle join crept in:\n${p.take(1200)}")
+  }
+
+  test("histogram is one partial-aggregating shuffle over |buckets| keys") {
+    val p = plan("agg_histogram")
+    assert(countExchanges(p) <= 2, s"histogram shuffles too much:\n$p")
+    assert(p.contains("partial_"), s"must map-side combine:\n${p.take(800)}")
+  }
+
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    // The 1000-executor co-location story: both sides bucketed on the join
+    // key at write time -> SortMergeJoin consumes the bucketing directly,
+    // zero Exchange in the plan. This is the layout a 100 TB fact-fact
+    // join (e.g. lineitem x orders) ships with.
+    val s = spark
+    import s.implicits._
+    val orders = s.read.parquet(s"${this.dir}/orders.parquet")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+    val lineitem = s.read.parquet(s"${this.dir}/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity")
+    // at 100 TB neither fact side broadcasts — force the large-join planner
+    // so the test exercises the layout the bucketing exists for (restored
+    // below: the session is shared across suites)
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("bkt_orders")
+      lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("bkt_lineitem")
+      val joined = s.table("bkt_lineitem")
+        .join(s.table("bkt_orders"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey").agg(org.apache.spark.sql.functions.sum($"l_quantity"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${p.take(1500)}")
+      assert(joined.count() > 0)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS bkt_orders")
+      s.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
 }
