@@ -2115,6 +2115,44 @@ object Queries {
       |      FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 10""".stripMargin
 
+  /** Count-Min frequency estimates audited against exact counts: unlike
+    * the MG sketch, the CM counter matrix is PURELY ADDITIVE and therefore
+    * merge-order independent, so the oracle recomputes the whole matrix
+    * (cell (j,c) = occurrences whose md5-low-64 of token||j lands on c)
+    * and replays the exact same minima — the estimates themselves are
+    * hash-checkable, not just a theorem boolean.
+    */
+  private def sketchCountMin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.countMinAudit(t(s, dir, "documents"))
+
+  private val sketchCountMinSql =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |h AS (
+      |  SELECT token, j,
+      |    CAST(((CASE WHEN hm >= 9223372036854775808 THEN CAST(hm - 18446744073709551616 AS BIGINT)
+      |                ELSE CAST(hm AS BIGINT) END) % 16 + 16) % 16 AS INT) AS cell
+      |  FROM (SELECT token, j,
+      |          md5_number_lower(token || chr(1) || CAST(j AS VARCHAR)) AS hm
+      |        FROM toks, range(4) r(j))),
+      |counters AS (SELECT j, cell, count(*) AS c FROM h GROUP BY j, cell),
+      |counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 10),
+      |tc AS (
+      |  SELECT token, cnt, j,
+      |    CAST(((CASE WHEN hm >= 9223372036854775808 THEN CAST(hm - 18446744073709551616 AS BIGINT)
+      |                ELSE CAST(hm AS BIGINT) END) % 16 + 16) % 16 AS INT) AS cell
+      |  FROM (SELECT t0.token, t0.cnt, r0.j,
+      |          md5_number_lower(t0.token || chr(1) || CAST(r0.j AS VARCHAR)) AS hm
+      |        FROM top t0, range(4) r0(j))),
+      |est AS (
+      |  SELECT tc.token, tc.cnt, min(co.c) AS est
+      |  FROM tc JOIN counters co ON tc.j = co.j AND tc.cell = co.cell
+      |  GROUP BY tc.token, tc.cnt)
+      |SELECT token, cnt, est, est - cnt AS overcount, est >= cnt AS sketch_ok
+      |FROM est ORDER BY cnt DESC, token ASC""".stripMargin
+
   private val textTokenFrequenciesSql =
     """SELECT token, count(*) AS n
       |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -2440,6 +2478,7 @@ object Queries {
     "text_token_frequencies" -> textTokenFrequencies _,
     "text_token_examples" -> textTokenExamples _,
     "sketch_heavy_hitters" -> sketchHeavyHitters _,
+    "sketch_count_min" -> sketchCountMin _,
     "sample_split_deterministic" -> sampleSplitDeterministic _,
     "text_oov_ratio" -> textOovRatio _,
     "pipeline_decontaminate" -> pipelineDecontaminate _,
@@ -2518,6 +2557,7 @@ object Queries {
     "agg_approx_distinct" -> approxDistinctSql,
     "sketch_corpus_similarity" -> corpusSimilaritySql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
+    "sketch_count_min" -> sketchCountMinSql,
     "sample_split_deterministic" -> sampleSplitDeterministicSql,
     "text_oov_ratio" -> textOovRatioSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,

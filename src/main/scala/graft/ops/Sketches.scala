@@ -76,7 +76,101 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[Strin
   override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoderHelper.mapStringLong
 }
 
+/** MERGEABLE Count-Min sketch (Cormode & Muthukrishnan 2005): d hash rows ×
+  * w counters of PURELY ADDITIVE state, so unlike most sketches the final
+  * counter matrix is merge-order INDEPENDENT (every cell is a plain sum of
+  * indicator contributions) — the estimates are therefore deterministic and
+  * replay EXACTLY in ANSI SQL, not merely within a theorem bound. Shuffle
+  * state is d·w longs (512 B here) per partition regardless of
+  * distinct-token count; estimates are one-sided (est >= true, always).
+  * Hashes are md5-low-64 of token‖0x01‖rowDigit (the cross-engine
+  * [[graft.functions.Md5Low64]] bits), so DuckDB rebuilds the identical
+  * matrix.
+  */
+object CountMin extends Aggregator[String, Array[Long], Array[Long]] {
+  val d = 4
+  // w sized BELOW the test-corpus vocabulary on purpose: the audit then
+  // shows genuinely lossy estimates (nonzero overcounts) rather than a
+  // disguised exact counter. At production scale w = ceil(e / epsilon).
+  val w = 16
+  private val sep = "\u0001"
+
+  def cell(token: String, j: Int): Int = {
+    val m = (Sketches.md5Low64String(token + sep + j.toString) % w).toInt
+    if (m < 0) m + w else m
+  }
+
+  override def zero: Array[Long] = new Array[Long](d * w)
+  override def reduce(b: Array[Long], t: String): Array[Long] = {
+    var j = 0
+    while (j < d) { b(j * w + cell(t, j)) += 1; j += 1 }
+    b
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+}
+
 object Sketches {
+
+  /** JVM-side twin of the native [[graft.functions.Md5Low64]] expression
+    * (little-endian read of MD5 digest bytes [8,16) over the UTF-8 bytes) —
+    * DuckDB md5_number_lower reinterpreted signed. Used where the hash is
+    * needed inside typed Aggregator code rather than a Column.
+    */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Low64String(s: String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val dig = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 15
+    while (b >= 8) { h = (h << 8) | (dig(b) & 0xFFL); b -= 1 }
+    h
+  }
+
+  /** Exact top-N token counts audited against the Count-Min sketch: emits
+    * (token, cnt, est, overcount, sketch_ok) where est is the CM point
+    * estimate — bit-reproducible, so the oracle recomputes the whole
+    * counter matrix and the same minima. `sketch_ok` pins the one-sided CM
+    * guarantee est >= true, which holds deterministically.
+    *
+    * Scale: one token scan feeds both the sketch (O(d·w) state) and the
+    * exact audit side (which exists only to grade the sketch at test
+    * scale; at 100 TB only the sketch pass runs). The estimate lookup is a
+    * broadcast of the tiny counter matrix as four literal arrays.
+    */
+  def countMinAudit(
+      docs: DataFrame,
+      textCol: String = "text",
+      topN: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
+    val sketch: Array[Long] = toks.as[String].select(CountMin.toColumn).head()
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val rowEst = (0 until CountMin.d).map { j =>
+      val rowCounters = sketch.slice(j * CountMin.w, (j + 1) * CountMin.w).toSeq
+      element_at(typedLit(rowCounters),
+        (pmod(graft.functions.HashOps.md5Low64(
+          concat(col("token"), lit("\u0001"), lit(j.toString))),
+          lit(CountMin.w)) + 1).cast("int"))
+    }
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(topN)
+      .withColumn("est", least(rowEst: _*))
+      .select(col("token"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"),
+        (col("est") >= col("cnt")).as("sketch_ok"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
 
   /** Per-group unified MinHash signatures + estimated pairwise Jaccard
     * between groups. Output: (group_a, group_b, est_jaccard), ordered.

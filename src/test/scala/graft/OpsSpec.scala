@@ -558,6 +558,33 @@ class OpsSpec extends AnyFunSuite {
       "assignment must be partitioning-independent")
   }
 
+  test("count-min sketch is merge-order independent and one-sided over EVERY token") {
+    import graft.ops.{CountMin, Sketches}
+    val toks = docs.select(explode(Dedup.tokens(col("text"))).as("token"))
+    val s = spark
+    import s.implicits._
+    val sk1 = toks.as[String].select(CountMin.toColumn).head()
+    val sk2 = toks.repartition(7).as[String].select(CountMin.toColumn).head()
+    val sk3 = toks.coalesce(1).as[String].select(CountMin.toColumn).head()
+    assert(sk1.toSeq == sk2.toSeq && sk1.toSeq == sk3.toSeq,
+      "additive counters must be identical under any partitioning")
+    // one-sided guarantee on the FULL vocabulary, not just the audited top-10
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    exact.foreach { case (t, cnt) =>
+      val est = (0 until CountMin.d)
+        .map(j => sk1(j * CountMin.w + CountMin.cell(t, j))).min
+      assert(est >= cnt, s"CM undercounted '$t': $est < $cnt")
+    }
+    // the sketch must be genuinely lossy at this sizing (w < vocabulary):
+    // at least one token overcounts, or the audit demonstrates nothing
+    val lossy = exact.exists { case (t, cnt) =>
+      (0 until CountMin.d).map(j => sk1(j * CountMin.w + CountMin.cell(t, j))).min > cnt
+    }
+    assert(lossy, "w is so wide the sketch degenerated into an exact counter")
+  }
+
   test("semdedup: witness is the LOWEST qualifying lower-id neighbor; kept iff none") {
     val tau = 0.3
     val out = Similarity.semDedupPrune(embeddings, threshold = tau).collect()
