@@ -2479,6 +2479,8 @@ object Queries {
     "text_token_examples" -> textTokenExamples _,
     "sketch_heavy_hitters" -> sketchHeavyHitters _,
     "sketch_count_min" -> sketchCountMin _,
+    "stream_count_min" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamCountMin(s, dir)),
     "sample_split_deterministic" -> sampleSplitDeterministic _,
     "text_oov_ratio" -> textOovRatio _,
     "pipeline_decontaminate" -> pipelineDecontaminate _,
@@ -2558,6 +2560,9 @@ object Queries {
     "sketch_corpus_similarity" -> corpusSimilaritySql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "sketch_count_min" -> sketchCountMinSql,
+    // streamed CM accumulation is bit-equal to batch by additivity, so the
+    // streaming query replays the SAME oracle
+    "stream_count_min" -> sketchCountMinSql,
     "sample_split_deterministic" -> sampleSplitDeterministicSql,
     "text_oov_ratio" -> textOovRatioSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,

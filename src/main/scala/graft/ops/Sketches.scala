@@ -151,11 +151,27 @@ object Sketches {
   def countMinAudit(
       docs: DataFrame,
       textCol: String = "text",
-      topN: Int = 10): DataFrame = {
+      topN: Int = 10): DataFrame =
+    countMinAuditWith(docs, countMinSketch(docs, textCol), textCol, topN)
+
+  /** One distributed pass building the CM counter matrix. */
+  def countMinSketch(docs: DataFrame, textCol: String = "text"): Array[Long] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
+      .as[String].select(CountMin.toColumn).head()
+  }
+
+  /** The audit side against an already-built counter matrix (shared by the
+    * batch query and the streaming accumulation, whose sketches are
+    * bit-identical by additivity).
+    */
+  def countMinAuditWith(
+      docs: DataFrame,
+      sketch: Array[Long],
+      textCol: String = "text",
+      topN: Int = 10): DataFrame = {
     val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("token"))
-    val sketch: Array[Long] = toks.as[String].select(CountMin.toColumn).head()
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val rowEst = (0 until CountMin.d).map { j =>
       val rowCounters = sketch.slice(j * CountMin.w, (j + 1) * CountMin.w).toSeq

@@ -535,4 +535,59 @@ object StreamingOps {
         .orderBy(col("series_id"), col("ts"))
     }
   }
+
+  /** STREAMING Count-Min accumulation: the corpus arrives as a file stream
+    * (one staged chunk per micro-batch), each micro-batch folds its tokens
+    * into the per-batch CM matrix, and the driver adds matrices. Because CM
+    * state is PURELY ADDITIVE (graft.ops.CountMin), the streamed total is
+    * BIT-IDENTICAL to the one-pass batch sketch under any chunking — the
+    * strongest mergeability statement a sketch can make, and why this query
+    * shares the batch sketch_count_min oracle verbatim. The audit side then
+    * grades the streamed matrix against exact batch counts.
+    *
+    * At scale this is the shape of a continuously-updated corpus frequency
+    * monitor: O(d·w) state total, no per-key streaming state store at all.
+    */
+  def streamCountMin(spark: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(spark, 8) {
+      import graft.ops.{CountMin, Sketches}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("stream_cm")
+      def stage(df: DataFrame, name: String): Unit = {
+        val staging = tmp.resolve(s"_stage_$name")
+        df.coalesce(1).write.parquet(staging.toString)
+        val part = java.nio.file.Files.list(staging)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(part, tmp.resolve(s"$name.parquet"))
+      }
+      val nChunks = 3
+      (0 until nChunks).foreach(i =>
+        stage(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), s"chunk$i"))
+
+      val total = new Array[Long](CountMin.d * CountMin.w)
+      var batches = 0
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val part = Sketches.countMinSketch(batch.toDF())
+          total.synchronized {
+            var i = 0
+            while (i < total.length) { total(i) += part(i); i += 1 }
+            batches += 1
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      require(batches >= 2,
+        s"chunked staging must yield multiple micro-batches, got $batches")
+      Sketches.countMinAuditWith(docs, total)
+    }
 }

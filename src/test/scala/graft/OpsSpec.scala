@@ -585,6 +585,15 @@ class OpsSpec extends AnyFunSuite {
     assert(lossy, "w is so wide the sketch degenerated into an exact counter")
   }
 
+  test("streamed count-min accumulation is bit-equal to the batch sketch") {
+    val streamed = graft.streaming.StreamingOps.streamCountMin(spark, dir)
+      .collect().map(_.toString)
+    val batch = graft.ops.Sketches.countMinAudit(
+      docs.select(col("doc_id"), col("text"))).collect().map(_.toString)
+    assert(streamed.toSeq == batch.toSeq,
+      "additive sketch must not depend on micro-batch chunking")
+  }
+
   test("semdedup: witness is the LOWEST qualifying lower-id neighbor; kept iff none") {
     val tau = 0.3
     val out = Similarity.semDedupPrune(embeddings, threshold = tau).collect()
