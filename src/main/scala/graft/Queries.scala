@@ -2026,6 +2026,65 @@ object Queries {
       |FROM tr t LEFT JOIN ev e ON t.s = e.s
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  /** Bloom-filter decontamination (see PipelineOps.decontaminateBloom):
+    * 2 KiB OR-additive bit set instead of a broadcast shingle set; the
+    * oracle rebuilds the identical bits (OR is merge-order independent)
+    * and replays every probe, false positives included.
+    */
+  private def pipelineDecontaminateBloom(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PipelineOps.decontaminateBloom(t(s, dir, "documents"))
+
+  private val pipelineDecontaminateBloomSql = {
+    def bitExpr(arg: String): String =
+      s"""CAST(((CASE WHEN hm >= 9223372036854775808 THEN CAST(hm - 18446744073709551616 AS BIGINT)
+         |                ELSE CAST(hm AS BIGINT) END) % 16384 + 16384) % 16384 AS INT)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    CAST(((CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+       |               ELSE h END) % 100 + 100) % 100 AS INT) AS bucket
+       |  FROM (SELECT doc_id, text,
+       |          md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+       |        FROM documents)),
+       |sh AS (
+       |  SELECT doc_id, bucket, list_distinct(
+       |    CASE WHEN len(toks) >= 8 THEN
+       |      list_transform(range(1, len(toks)-6), i -> array_to_string(toks[i:i+7], ' '))
+       |    ELSE [array_to_string(toks, ' ')] END) AS sh
+       |  FROM (SELECT doc_id, bucket,
+       |          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM b)),
+       |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE bucket >= 95),
+       |bits AS (
+       |  SELECT DISTINCT ${bitExpr("hm")} AS bit
+       |  FROM (SELECT md5_number_lower(e.s || CAST(r.j AS VARCHAR)) AS hm
+       |        FROM ev e, range(3) r(j))),
+       |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE bucket < 95),
+       |tb AS (
+       |  SELECT doc_id, s, j, ${bitExpr("hm")} AS bit
+       |  FROM (SELECT doc_id, s, r.j,
+       |          md5_number_lower(s || CAST(r.j AS VARCHAR)) AS hm
+       |        FROM tr, range(3) r(j))),
+       |probe AS (
+       |  SELECT doc_id, s,
+       |    (count(*) FILTER (WHERE bt.bit IS NOT NULL) = 3) AS bloom_hit_sh
+       |  FROM tb LEFT JOIN bits bt ON tb.bit = bt.bit
+       |  GROUP BY doc_id, s),
+       |per_sh AS (
+       |  SELECT p.doc_id, p.bloom_hit_sh,
+       |    (e.s IS NOT NULL) AS exact_hit_sh
+       |  FROM probe p LEFT JOIN ev e ON p.s = e.s)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN bloom_hit_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       |  CAST(sum(CASE WHEN exact_hit_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       |  sum(CASE WHEN bloom_hit_sh THEN 1 ELSE 0 END) > 0 AS bloom_contaminated,
+       |  sum(CASE WHEN exact_hit_sh THEN 1 ELSE 0 END) > 0 AS exact_contaminated,
+       |  CAST(sum(CASE WHEN bloom_hit_sh THEN 1 ELSE 0 END)
+       |     - sum(CASE WHEN exact_hit_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+       |  sum(CASE WHEN bloom_hit_sh THEN 1 ELSE 0 END)
+       |    >= sum(CASE WHEN exact_hit_sh THEN 1 ELSE 0 END) AS sound
+       |FROM per_sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Within-doc repetition signals (see TextOps.repetitionSignals): dup
     * n-gram fractions for n=1..3, pure per-row projection.
     */
@@ -2484,6 +2543,7 @@ object Queries {
     "sample_split_deterministic" -> sampleSplitDeterministic _,
     "text_oov_ratio" -> textOovRatio _,
     "pipeline_decontaminate" -> pipelineDecontaminate _,
+    "pipeline_decontaminate_bloom" -> pipelineDecontaminateBloom _,
     "text_repetition" -> textRepetition _,
     "pipeline_pack_docs" -> pipelinePackDocs _,
     "pipeline_stratified_sample" -> pipelineStratifiedSample _,
@@ -2566,6 +2626,7 @@ object Queries {
     "sample_split_deterministic" -> sampleSplitDeterministicSql,
     "text_oov_ratio" -> textOovRatioSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "pipeline_decontaminate_bloom" -> pipelineDecontaminateBloomSql,
     "text_repetition" -> textRepetitionSql,
     "pipeline_pack_docs" -> pipelinePackDocsSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,

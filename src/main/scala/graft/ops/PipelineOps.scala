@@ -52,6 +52,58 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination — the shape [[decontaminate]] takes when
+    * even broadcasting the exact eval shingle SET is too big (multi-GB
+    * benchmark suites, thousands of evals): the eval side compresses to an
+    * m-bit Bloom filter (here 16384 bits — 2 KiB — via the OR-additive
+    * [[graft.ops.BloomBits]] aggregator), and the train side probes k bit
+    * positions per shingle with NO join at all — pure projection against a
+    * closure literal. No false negatives by construction, so
+    * `sound` (n_bloom_hits >= n_exact_hits) is deterministically TRUE;
+    * false positives are real and the audit column counts them against the
+    * exact broadcast-join path.
+    *
+    * m is the textbook ~10 bits/element regime (~1% FP at k=3), so the
+    * audit shows a small nonzero false-positive count at test scale —
+    * lossy enough to be a real Bloom filter, tight enough to be usable.
+    */
+  def decontaminateBloom(docs: DataFrame, n: Int = 8, evalMin: Int = 95): DataFrame = {
+    import graft.ops.{BloomBits, Sketches}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withBucket = docs.withColumn("bucket", splitBucket)
+    val evalShingles = withBucket.filter(col("bucket") >= evalMin)
+      .select(explode(Dedup.shingles(col("text"), n)).as("sh"))
+      .distinct()
+    val bloom: Array[Long] =
+      evalShingles.as[String].select(BloomBits.toColumn).head()
+    val bits: Seq[Boolean] = (0 until BloomBits.mBits)
+      .map(i => (bloom(i >> 6) >> (i & 63) & 1L) == 1L)
+    val probe = (0 until BloomBits.kHashes).map { j =>
+      element_at(typedLit(bits),
+        (pmod(graft.functions.HashOps.md5Low64(
+          concat(col("sh"), lit(j.toString))),
+          lit(BloomBits.mBits)) + 1).cast("int"))
+    }.reduce(_ && _)
+    val trainShingles = withBucket.filter(col("bucket") < evalMin)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("sh"))
+    trainShingles
+      .join(broadcast(evalShingles.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .select(col("doc_id"), probe.as("bloom_hit_sh"),
+        coalesce(col("hit"), lit(0)).as("exact_hit_sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"),
+        sum(col("bloom_hit_sh").cast(LongType)).cast(LongType).as("n_bloom_hits"),
+        sum(col("exact_hit_sh")).cast(LongType).as("n_exact_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        col("n_exact_hits"),
+        (col("n_bloom_hits") > 0).as("bloom_contaminated"),
+        (col("n_exact_hits") > 0).as("exact_contaminated"),
+        (col("n_bloom_hits") - col("n_exact_hits")).as("n_false_positives"),
+        (col("n_bloom_hits") >= col("n_exact_hits")).as("sound"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Concat-and-chunk context-window packing: documents are laid out
     * back-to-back in deterministic (doc_id) order and cut into fixed
     * token-budget packs — each doc's pack is floor(tokens_before / budget),

@@ -116,6 +116,43 @@ object CountMin extends Aggregator[String, Array[Long], Array[Long]] {
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
 }
 
+/** MERGEABLE Bloom filter (m bits as m/64 longs, k salted md5-low-64
+  * hashes): OR-additive state, so like [[CountMin]] the final bit set is
+  * merge-order independent (OR is commutative, associative, idempotent) and
+  * every membership probe replays exactly in SQL. No false negatives by
+  * construction — the deterministic half of the Bloom theorem; false
+  * positives are data-dependent and the audit surfaces them explicitly.
+  */
+object BloomBits extends Aggregator[String, Array[Long], Array[Long]] {
+  val mBits = 16384
+  val kHashes = 3
+
+  def bit(s: String, j: Int): Int = {
+    // s + single-digit salt: unambiguous (equal total length forces equal s)
+    val m = (Sketches.md5Low64String(s + j.toString) % mBits).toInt
+    if (m < 0) m + mBits else m
+  }
+
+  override def zero: Array[Long] = new Array[Long](mBits / 64)
+  override def reduce(b: Array[Long], s: String): Array[Long] = {
+    var j = 0
+    while (j < kHashes) {
+      val i = bit(s, j)
+      b(i >> 6) |= (1L << (i & 63))
+      j += 1
+    }
+    b
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+}
+
 object Sketches {
 
   /** JVM-side twin of the native [[graft.functions.Md5Low64]] expression

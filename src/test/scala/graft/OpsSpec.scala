@@ -585,6 +585,28 @@ class OpsSpec extends AnyFunSuite {
     assert(lossy, "w is so wide the sketch degenerated into an exact counter")
   }
 
+  test("bloom decontamination: no false negatives, real false positives, order-independent bits") {
+    import graft.ops.{BloomBits, PipelineOps}
+    val s = spark
+    import s.implicits._
+    val out = PipelineOps.decontaminateBloom(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nBloom, nExact) = (r.getLong(2), r.getLong(3))
+      assert(nBloom >= nExact, s"false negative on doc ${r.getLong(0)}")
+      assert(r.getBoolean(7), "sound column must be deterministically true")
+      if (r.getBoolean(5)) assert(r.getBoolean(4),
+        "exact contamination must imply bloom contamination")
+    }
+    assert(out.map(_.getLong(6)).sum > 0,
+      "m sizing should surface at least one false positive at test scale")
+    // OR-additivity: bit set identical under any partitioning
+    val ev = docs.select(explode(Dedup.shingles(col("text"), 8)).as("sh")).distinct()
+    val b1 = ev.as[String].select(BloomBits.toColumn).head()
+    val b2 = ev.repartition(7).as[String].select(BloomBits.toColumn).head()
+    assert(b1.toSeq == b2.toSeq)
+  }
+
   test("streamed count-min accumulation is bit-equal to the batch sketch") {
     val streamed = graft.streaming.StreamingOps.streamCountMin(spark, dir)
       .collect().map(_.toString)
