@@ -2212,6 +2212,46 @@ object Queries {
       |SELECT token, cnt, est, est - cnt AS overcount, est >= cnt AS sketch_ok
       |FROM est ORDER BY cnt DESC, token ASC""".stripMargin
 
+  /** KMV distinct-count sketch per lang (see Sketches.kmvDistinct): the
+    * k smallest distinct hashes are a deterministic function of the
+    * shingle SET, so the DuckDB oracle recomputes the k-th smallest hash
+    * (ORDER BY LIMIT) and lands on the identical DOUBLE estimate.
+    */
+  private def sketchKmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvDistinct(t(s, dir, "documents"))
+
+  private val sketchKmvDistinctSql =
+    """WITH sh AS (
+      |  SELECT lang, unnest(list_distinct(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END)) AS s
+      |  FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |d AS (SELECT DISTINCT lang, s FROM sh),
+      |h AS (
+      |  SELECT lang,
+      |    (CASE WHEN hm >= 9223372036854775808 THEN CAST(hm - 18446744073709551616 AS BIGINT)
+      |          ELSE CAST(hm AS BIGINT) END) AS hv
+      |  FROM (SELECT lang, md5_number_lower(s) AS hm FROM d)),
+      |r AS (
+      |  SELECT lang, hv,
+      |    row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM (SELECT DISTINCT lang, hv FROM h)),
+      |kth AS (SELECT lang, hv AS hk, n FROM r WHERE rn = 64),
+      |exact AS (SELECT lang, count(*) AS n_distinct FROM d GROUP BY lang)
+      |SELECT e.lang, e.n_distinct,
+      |  CASE WHEN k.hk IS NULL THEN CAST(least(e.n_distinct, 64) AS DOUBLE)
+      |       ELSE 63.0 / ((CAST(k.hk AS DOUBLE) + 9223372036854775808.0)
+      |                    / 18446744073709551616.0) END AS est,
+      |  abs((CASE WHEN k.hk IS NULL THEN CAST(least(e.n_distinct, 64) AS DOUBLE)
+      |       ELSE 63.0 / ((CAST(k.hk AS DOUBLE) + 9223372036854775808.0)
+      |                    / 18446744073709551616.0) END) / e.n_distinct - 1.0)
+      |    <= 0.5 AS sketch_ok
+      |FROM exact e LEFT JOIN kth k USING (lang)
+      |ORDER BY e.lang""".stripMargin
+
   private val textTokenFrequenciesSql =
     """SELECT token, count(*) AS n
       |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -2538,6 +2578,7 @@ object Queries {
     "text_token_examples" -> textTokenExamples _,
     "sketch_heavy_hitters" -> sketchHeavyHitters _,
     "sketch_count_min" -> sketchCountMin _,
+    "sketch_kmv_distinct" -> sketchKmvDistinct _,
     "stream_count_min" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamCountMin(s, dir)),
     "sample_split_deterministic" -> sampleSplitDeterministic _,
@@ -2620,6 +2661,7 @@ object Queries {
     "sketch_corpus_similarity" -> corpusSimilaritySql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "sketch_count_min" -> sketchCountMinSql,
+    "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     // streamed CM accumulation is bit-equal to batch by additivity, so the
     // streaming query replays the SAME oracle
     "stream_count_min" -> sketchCountMinSql,

@@ -585,6 +585,29 @@ class OpsSpec extends AnyFunSuite {
     assert(lossy, "w is so wide the sketch degenerated into an exact counter")
   }
 
+  test("kmv distinct sketch: order-independent, sorted-distinct buffer, sane estimates") {
+    import graft.ops.{KMinValues, Sketches}
+    val s = spark
+    import s.implicits._
+    val sh = docs.select(col("lang"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .as[(String, String)]
+    val agg = new KMinValues(64)
+    val a = sh.groupByKey(_._1).agg(agg.toColumn).collect().toMap
+    val b = sh.repartition(7).groupByKey(_._1).agg(agg.toColumn).collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (lang, arr) =>
+      assert(arr.toSeq == b(lang).toSeq, s"$lang sketch differs by partitioning")
+      assert(arr.toSeq == arr.toSeq.sorted && arr.toSeq.distinct.size == arr.length,
+        "buffer must stay sorted and distinct")
+    }
+    val out = Sketches.kmvDistinct(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(3), s"estimate out of bound for ${r.getString(0)}: " +
+        s"est=${r.getDouble(2)} exact=${r.getLong(1)}")
+    }
+  }
+
   test("bloom decontamination: no false negatives, real false positives, order-independent bits") {
     import graft.ops.{BloomBits, PipelineOps}
     val s = spark
