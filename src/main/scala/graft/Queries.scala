@@ -1791,6 +1791,42 @@ object Queries {
       |  CAST(df AS BIGINT) AS df, score
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Int8 embedding quantization (see Similarity.quantizeInt8): per-row
+    * projection; the oracle replays scale, every quantized value (md5 over
+    * the joined array), and the reconstruction-error stats.
+    */
+  private def embedQuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"))
+
+  private val embedQuantizeInt8Sql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    CASE WHEN m = 0.0 THEN 1.0 ELSE m END AS scale
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) / 127.0 AS m
+      |        FROM e)),
+      |q AS (
+      |  SELECT vec_id, v, scale,
+      |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+      |  FROM s),
+      |r AS (
+      |  SELECT vec_id, v, scale, qv,
+      |    list_transform(range(1, len(v)+1),
+      |      i -> abs(v[i] - CAST(qv[i] AS DOUBLE) * scale)) AS err
+      |  FROM q)
+      |SELECT vec_id,
+      |  CAST(len(v) AS INT) AS n_dims,
+      |  scale,
+      |  md5(array_to_string(qv, ',')) AS q_hash,
+      |  CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT))) AS BIGINT) AS q_l1,
+      |  list_max(err) AS max_abs_err,
+      |  list_sum(list_transform(err, x -> x * x)) / len(v) AS mse,
+      |  list_max(err) <= scale / 2 AS bound_ok
+      |FROM r ORDER BY vec_id""".stripMargin
+
   private def textLangId(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val feat = TextOps.langIdFeatures(col("text"))
@@ -2571,6 +2607,7 @@ object Queries {
     "sim_cosine_ivf" -> simCosineIvf _,
     "sim_knn_graph" -> simKnnGraph _,
     "sim_semdedup" -> simSemDedup _,
+    "embed_quantize_int8" -> embedQuantizeInt8 _,
     "text_tfidf" -> textTfidf _,
     "text_lang_id" -> textLangId _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
@@ -2650,6 +2687,7 @@ object Queries {
     "sim_cosine_brute" -> simCosineBruteSql,
     "sim_cosine_ivf" -> simCosineIvfSql,
     "sim_semdedup" -> simSemDedupSql,
+    "embed_quantize_int8" -> embedQuantizeInt8Sql,
     "text_tfidf" -> textTfidfSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "text_lang_id" -> textLangIdSql,

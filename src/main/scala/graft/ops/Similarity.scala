@@ -227,6 +227,46 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Symmetric per-vector int8 quantization — the 4×→1 byte storage
+    * reduction step an embedding store runs before ANN indexing: scale =
+    * max|x|/127, q_i = floor(x_i/scale + 0.5). floor(+0.5) instead of
+    * round() because the two engines disagree on round-half ties (HALF_UP
+    * vs away-from-zero) while floor is tie-free and bit-identical; max is
+    * order-independent, and every remaining step is one correctly-rounded
+    * double op, so the whole quantized vector replays exactly — pinned by
+    * an md5 over its comma-joined values. The reconstruction bound
+    * max|x − q·scale| ≤ scale/2 is a theorem, emitted as `bound_ok`.
+    *
+    * Pure per-row projection: zero shuffles before the output sort, embeds
+    * in any scan. Returns (vec_id, n_dims, scale, q_hash, q_l1, max_abs_err,
+    * mse, bound_ok).
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val e = prepared(embeddings)
+    val scaleRaw = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
+    // zero vectors: scale 0 would divide-by-zero under ANSI; quantize to
+    // all-zeros via a 1.0 stand-in (q = floor(0/1 + 0.5) = 0)
+    val scale = when(scaleRaw === 0.0, lit(1.0)).otherwise(scaleRaw)
+    val q = transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast(IntegerType))
+    val err = zip_with(col("v"), col("q"),
+      (x, qi) => abs(x - qi.cast(DoubleType) * col("scale")))
+    e.withColumn("scale", scale)
+      .withColumn("q", q)
+      .withColumn("err", err)
+      .select(col("vec_id"),
+        size(col("v")).as("n_dims"),
+        col("scale"),
+        md5(concat_ws(",", transform(col("q"), x => x.cast(StringType)))
+          .cast(BinaryType)).as("q_hash"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + abs(x).cast(LongType))
+          .as("q_l1"),
+        array_max(col("err")).as("max_abs_err"),
+        (aggregate(col("err"), lit(0.0), (acc, x) => acc + x * x) /
+          size(col("v"))).as("mse"),
+        (array_max(col("err")) <= col("scale") / 2).as("bound_ok"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-style ANN: probe the `nProbe` centroid buckets closest to the
     * query, exact cosine within them.
     */

@@ -585,6 +585,21 @@ class OpsSpec extends AnyFunSuite {
     assert(lossy, "w is so wide the sketch degenerated into an exact counter")
   }
 
+  test("int8 quantization: reconstruction bound holds, values stay in [-127,127]") {
+    val out = Similarity.quantizeInt8(embeddings).collect()
+    assert(out.length == embeddings.count())
+    out.foreach { r =>
+      assert(r.getBoolean(7), s"reconstruction bound violated for vec ${r.getLong(0)}")
+      assert(r.getDouble(5) <= r.getDouble(2) / 2 + 1e-15)
+    }
+    // q_l1 <= 127 * dims pins the value range without materializing q
+    out.foreach(r => assert(r.getLong(4) <= 127L * r.getInt(1)))
+    val again = Similarity.quantizeInt8(embeddings.repartition(7))
+      .collect().map(_.toString).sorted
+    assert(again.toSeq == out.map(_.toString).sorted.toSeq,
+      "quantization must be partitioning-independent")
+  }
+
   test("kmv distinct sketch: order-independent, sorted-distinct buffer, sane estimates") {
     import graft.ops.{KMinValues, Sketches}
     val s = spark
