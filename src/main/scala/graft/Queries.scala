@@ -2625,6 +2625,8 @@ object Queries {
     "text_repetition" -> textRepetition _,
     "pipeline_pack_docs" -> pipelinePackDocs _,
     "pipeline_stratified_sample" -> pipelineStratifiedSample _,
+    "stream_stratified_sample" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamStratifiedSample(s, dir)),
     "sketch_corpus_similarity" -> corpusSimilarity _,
     "multimodal_features" -> multimodalFeatures _,
     "multimodal_frames" -> multimodalFrames _,
@@ -2710,6 +2712,9 @@ object Queries {
     "text_repetition" -> textRepetitionSql,
     "pipeline_pack_docs" -> pipelinePackDocsSql,
     "pipeline_stratified_sample" -> pipelineStratifiedSampleSql,
+    // deterministic-ticket sampling is a pure hash projection, so the
+    // streamed run emits the identical rows and shares the batch oracle
+    "stream_stratified_sample" -> pipelineStratifiedSampleSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,

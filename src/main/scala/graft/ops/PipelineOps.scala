@@ -144,7 +144,8 @@ object PipelineOps {
   def stratifiedSample(
       docs: DataFrame,
       rates: Map[String, Double],
-      defaultRate: Double = 1.0): DataFrame = {
+      defaultRate: Double = 1.0,
+      sorted: Boolean = true): DataFrame = {
     val ticket = pmod(
       graft.functions.HashOps.md5Low64(
         concat(lit("strat:"), col("doc_id").cast(StringType))),
@@ -153,10 +154,12 @@ object PipelineOps {
       case (acc, (lang, rate)) =>
         when(col("lang") === lang, lit((rate * 10000).toInt)).otherwise(acc)
     }
-    docs
+    val out = docs
       .select(col("doc_id"), col("lang"), ticket.as("ticket"),
         threshold.cast(IntegerType).as("threshold"))
       .withColumn("kept", col("ticket") < col("threshold"))
-      .orderBy(col("doc_id"))
+    // sorted=false for streaming callers: a global ORDER BY is not allowed
+    // on an append-mode stream, and the projection itself is identical
+    if (sorted) out.orderBy(col("doc_id")) else out
   }
 }

@@ -536,6 +536,51 @@ object StreamingOps {
     }
   }
 
+  /** STREAMING mixture-weight sampling: the SAME stratifiedSample
+    * projection (PipelineOps) applied to a streamed corpus. The point is
+    * the determinism property: the keep decision is a pure hash of doc_id,
+    * so a document keeps or drops IDENTICALLY whether it arrives in batch,
+    * in this stream, in a replay after failure, or split across
+    * micro-batches — where a rand()/sample()-based sampler would resample
+    * on every retry and silently shift the training mixture. Stateless:
+    * zero streaming state, and the result shares the batch oracle
+    * verbatim.
+    */
+  def streamStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(spark, 8) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"))
+      val tmp = java.nio.file.Files.createTempDirectory("stream_strat")
+      def stage(df: DataFrame, name: String): Unit = {
+        val staging = tmp.resolve(s"_stage_$name")
+        df.coalesce(1).write.parquet(staging.toString)
+        val part = java.nio.file.Files.list(staging)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(part, tmp.resolve(s"$name.parquet"))
+      }
+      val nChunks = 3
+      (0 until nChunks).foreach(i =>
+        stage(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), s"chunk$i"))
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val sampled = graft.ops.PipelineOps.stratifiedSample(stream,
+        rates = Map("en" -> 0.35, "es" -> 0.6, "fr" -> 0.8), defaultRate = 1.0,
+        sorted = false)
+      val name = s"stream_strat_${System.identityHashCode(spark)}"
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = sampled.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).orderBy(col("doc_id"))
+    }
+
   /** STREAMING Count-Min accumulation: the corpus arrives as a file stream
     * (one staged chunk per micro-batch), each micro-batch folds its tokens
     * into the per-batch CM matrix, and the driver adds matrices. Because CM

@@ -558,6 +558,18 @@ class OpsSpec extends AnyFunSuite {
       "assignment must be partitioning-independent")
   }
 
+  test("streamed stratified sample emits exactly the batch rows") {
+    val streamed = graft.streaming.StreamingOps.streamStratifiedSample(spark, dir)
+      .collect().map(_.toString)
+    val batch = graft.ops.PipelineOps.stratifiedSample(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      rates = Map("en" -> 0.35, "es" -> 0.6, "fr" -> 0.8))
+      .select("doc_id", "lang", "ticket", "threshold", "kept")
+      .collect().map(_.toString)
+    assert(streamed.toSeq == batch.toSeq,
+      "hash-deterministic sampling must be stream/batch/replay invariant")
+  }
+
   test("count-min sketch is merge-order independent and one-sided over EVERY token") {
     import graft.ops.{CountMin, Sketches}
     val toks = docs.select(explode(Dedup.tokens(col("text"))).as("token"))
