@@ -80,10 +80,14 @@ object Similarity {
     // training cost is O(sampleCap) regardless of corpus size (training on
     // the full 100 TB corpus every query would be the anti-pattern; k-means
     // on a uniform sample is the standard scale recipe)
+    // persist the BOUNDED sample (sampleCap rows, not the corpus): without
+    // it every iteration's action re-runs the TakeOrdered over the full
+    // corpus — iterations+2 scans of 100 TB instead of one
     val e = prepared(embeddings)
       .orderBy(graft.functions.HashOps.md5Low64(col("vec_id").cast(StringType)),
         col("vec_id"))
       .limit(sampleCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // centroids live as a DRIVER-side array between iterations (k x dim
     // doubles — O(kB), the one collect an iterative algorithm genuinely
     // needs): rebuilding a literal frame each round keeps every iteration's
@@ -124,6 +128,7 @@ object Similarity {
       centRows = updated ++ centRows.filterNot(c => updatedIds(c._1))
       it += 1
     }
+    e.unpersist(blocking = false)
     centFrame(spark, centRows)
   }
 
