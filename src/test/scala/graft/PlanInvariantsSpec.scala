@@ -148,6 +148,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"must map-side combine:\n${p.take(800)}")
   }
 
+  test("int8 quantization is a pure projection: no shuffle before the output sort") {
+    val p = plan("embed_quantize_int8")
+    assert(countExchanges(p) <= 1, s"quantization must not shuffle:\n$p")
+    forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
+  }
+
+  test("kmv sketch shuffles carry partial arrays, never the distinct-value set") {
+    val p = plan("sketch_kmv_distinct")
+    // shingle->kmv agg + exact-distinct agg + join + output sort
+    forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
+    assert(p.contains("partial"), s"KMV must partial-aggregate map-side:\n${p.take(800)}")
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     // The 1000-executor co-location story: both sides bucketed on the join
     // key at write time -> SortMergeJoin consumes the bucketing directly,
