@@ -161,6 +161,46 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial"), s"KMV must partial-aggregate map-side:\n${p.take(800)}")
   }
 
+  test("AQE splits skewed join partitions at runtime (the hot-key safety net)") {
+    // At 100 TB a single hot join key (one viral document, one degenerate
+    // hash bucket) turns a shuffle join into one straggler task. AQE's
+    // skew-join split is the runtime fix; this pins that our session
+    // config actually triggers it on a 1000:1 skewed key.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{when, lit, concat}
+    val prev = Map(
+      "spark.sql.adaptive.enabled" -> s.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"))
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // thresholds scaled DOWN to test size so the 1000:1 key trips the same
+    // detector a 256 MB default trips in production
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val left = s.range(0, 20000)
+        .select(when($"id" < 19000, lit(7L)).otherwise($"id").as("k"),
+          concat(lit("payload_payload_payload_"), $"id").as("pl"))
+      val right = s.range(0, 200).select($"id".as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // execute THROUGH this QueryExecution — collect() runs the dataset's
+      // own plan (count()/write() build a separate one), so executedPlan
+      // below is the AQE FINAL plan with runtime skew annotations
+      assert(joined.collect().length == 19000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected AQE skew-join split in final plan:\n${p.take(1500)}")
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     // The 1000-executor co-location story: both sides bucketed on the join
     // key at write time -> SortMergeJoin consumes the bucketing directly,
