@@ -139,19 +139,28 @@ object Similarity {
     rows.toSeq.sortBy(_._1).toDF("bucket", "cv")
   }
 
-  /** Assignment against an existing centroid table: broadcast nested-loop
-    * (map-side), then argmax per vector via max_by — one partial-aggregating
-    * shuffle, no window sort; ties break to the lowest bucket id via
-    * (sim, -bucket). Returns (vec_id, v, bucket).
+  /** Assignment against an existing centroid table: ZERO-shuffle map-side
+    * argmax. The centroid table is k×dim — driver-small by construction
+    * (trainCentroids materializes it locally anyway) — so it ships as a
+    * closure literal and each row scores all k centroids in one projection:
+    * no crossJoin row multiplication, no corpus-sized argmax shuffle. The
+    * argmax is array_max over (sim, −bucket) structs — lexicographic max ≡
+    * highest sim, ties to the lowest bucket id, identical to the previous
+    * max_by formulation (oracle replay unchanged). Returns (vec_id, v,
+    * bucket).
     */
-  def assignBucketsWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    prepared(embeddings).crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(struct(col("bucket"), col("v")),
-          struct(col("sim"), -col("bucket"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"), col("best.bucket").as("bucket"))
+  def assignBucketsWith(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr: Seq[(Long, Seq[Double])] = cents.orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val lit = typedLit(centArr) // array<struct<_1: bucket, _2: cv>>
+    val scored = transform(lit, c => struct(
+      cosine(col("v"), c.getField("_2")).as("sim"),
+      (-c.getField("_1")).as("nb"),
+      c.getField("_1").as("bucket")))
+    prepared(embeddings)
+      .withColumn("best", array_max(scored))
+      .select(col("vec_id"), col("v"), col("best.bucket").as("bucket"))
+  }
 
   /** Deterministic IVF bucket assignment: nearest of the `nBuckets`
     * k-means centroids ([[trainCentroids]]). Returns (vec_id, v, bucket).

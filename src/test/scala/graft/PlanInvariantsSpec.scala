@@ -148,6 +148,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"must map-side combine:\n${p.take(800)}")
   }
 
+  test("IVF query plan never shuffles the corpus: assignment is a map-side argmax") {
+    // trainCentroids' iteration jobs run eagerly (bounded sample); the
+    // RETURNED plan — full-corpus assignment + probe join + top-k — must be
+    // scan + projection + broadcast join + TakeOrdered, with no
+    // hash-partitioned exchange of embedding rows anywhere
+    val p = plan("sim_cosine_ivf")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffle crept into the IVF serving path:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("int8 quantization is a pure projection: no shuffle before the output sort") {
     val p = plan("embed_quantize_int8")
     assert(countExchanges(p) <= 1, s"quantization must not shuffle:\n$p")
