@@ -101,14 +101,12 @@ object Similarity {
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
     var it = 0
     while (it < iterations) {
-      val cents = centFrame(spark, centRows)
-      val updated = e.crossJoin(broadcast(cents))
-        .withColumn("sim", cosine(col("v"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("bucket"), col("v")),
-          struct(col("sim"), -col("bucket"))).as("best"))
+      // same zero-shuffle map-side argmax as assignBucketsWith: score all
+      // k centroids per sample row in one projection, no crossJoin
+      val updated = e
+        .withColumn("best", bestBucket(centRows.toSeq))
         .select(col("vec_id"), col("best.bucket").as("bucket"),
-          posexplode(col("best.v")))
+          posexplode(col("v")))
         .toDF("vec_id", "bucket", "dim", "x")
         .groupBy(col("bucket"), col("dim"))
         // deterministic mean: fold the group's values in vec_id order
@@ -152,14 +150,21 @@ object Similarity {
   def assignBucketsWith(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     val centArr: Seq[(Long, Seq[Double])] = cents.orderBy(col("bucket"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    val lit = typedLit(centArr) // array<struct<_1: bucket, _2: cv>>
-    val scored = transform(lit, c => struct(
+    prepared(embeddings)
+      .withColumn("best", bestBucket(centArr))
+      .select(col("vec_id"), col("v"), col("best.bucket").as("bucket"))
+  }
+
+  /** (sim, −bucket, bucket) argmax over a driver-local centroid array as a
+    * single per-row projection: array_max's lexicographic struct order ≡
+    * highest cosine, ties to the lowest bucket. Expects a `v` column.
+    */
+  private def bestBucket(centArr: Seq[(Long, Seq[Double])]): Column = {
+    val scored = transform(typedLit(centArr), c => struct(
       cosine(col("v"), c.getField("_2")).as("sim"),
       (-c.getField("_1")).as("nb"),
       c.getField("_1").as("bucket")))
-    prepared(embeddings)
-      .withColumn("best", array_max(scored))
-      .select(col("vec_id"), col("v"), col("best.bucket").as("bucket"))
+    array_max(scored)
   }
 
   /** Deterministic IVF bucket assignment: nearest of the `nBuckets`
