@@ -48,15 +48,18 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    // Two full sweeps, report the second: the first pass eats JIT/codegen
-    // compilation, parquet footer caching, and streaming state-store init.
-    // Comparing r02/r03 driver benches showed ~5s one-off penalties landing
-    // on whichever queries happened to run first in map order — the warm
-    // sweep makes the reported numbers steady-state plan cost, which is the
-    // quantity that actually extrapolates to a long-running 100TB job.
+    // One warm sweep (eats JIT/codegen compilation, parquet footer caching,
+    // streaming state-store init), then TWO timed sweeps reporting the
+    // per-query MIN: comparing r02/r03 driver benches showed ~5s one-off
+    // penalties landing on whichever queries happened to run first in map
+    // order, and even after a warm sweep a single timed pass still catches
+    // stragglers (GC, late codegen) on random queries. min-of-2 is the
+    // steady-state plan cost — the quantity that actually extrapolates to
+    // a long-running 100TB job.
     val names = SparkEntry.queries.keys.toSeq
     names.foreach(runOnce)
-    val results = names.map(n => n -> runOnce(n)).toMap
+    val sweep1 = names.map(n => n -> runOnce(n)).toMap
+    val results = names.map(n => n -> math.min(sweep1(n), runOnce(n))).toMap
     def f3(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT,
         if (java.lang.Double.isFinite(v)) v else -1.0)
