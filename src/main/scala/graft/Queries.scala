@@ -2386,6 +2386,133 @@ object Queries {
       |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
       |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The WHOLE pretraining data pipeline as ONE Spark DAG — quality
+    * filter → exact dedup → deterministic split → benchmark
+    * decontamination → context-window packing — emitting the per
+    * (lang, split) corpus summary a dataset card reports. Every stage is
+    * an operator proven independently above; the composition is the
+    * point: one corpus scan feeds the whole chain, the only corpus-sized
+    * shuffles are the narrow (fp, doc_id) dedup pairs and the per-lang
+    * packing window, and the loser/contaminated sets broadcast back as
+    * anti-joins (both are small relative to the corpus; at extreme dup
+    * rates AQE would switch the anti-join to shuffle). Fully
+    * deterministic end to end — md5 digests, hash-bucket split, hash
+    * tickets — so DuckDB replays all five stages in one WITH chain.
+    */
+  private def pipelineFullE2E(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col("text")), "\\s+")
+    val feat = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(lower(trim(col("text")))).as("fp"),
+        size(toks).as("n_tokens"),
+        (length(regexp_replace(col("text"), "[a-z ]", "")).cast(DoubleType) /
+          length(col("text"))).as("nonalpha"))
+      .where(col("n_tokens") >= 5 && col("nonalpha") < 0.3)
+    // exact dedup, apply form: narrow (fp, doc_id) shuffle finds the
+    // non-canonical members; they broadcast back as an anti-join so text
+    // never crosses a shuffle
+    val wins = feat.select(col("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+    val losers = feat.select(col("fp"), col("doc_id")).join(wins, "fp")
+      .where(col("doc_id") =!= col("keep_id")).select(col("doc_id"))
+    val deduped = feat.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    // deterministic split (same buckets as sample_split_deterministic)
+    val withSplit = deduped
+      .withColumn("bucket", pmod(graft.functions.HashOps.md5Low64(
+        col("doc_id").cast(StringType)), lit(100L)).cast(IntegerType))
+      .withColumn("split", when(col("bucket") < 80, "train")
+        .when(col("bucket") < 90, "val").otherwise("test"))
+    // decontamination: the held-out docs' 8-grams (post-cleaning, bucket
+    // >= 95 — the same eval set pipeline_decontaminate uses) broadcast;
+    // contaminated TRAIN docs drop
+    val evalSh = withSplit.where(col("bucket") >= 95)
+      .select(explode(Dedup.shingles(col("text"), 8)).as("sh")).distinct()
+    val contaminated = withSplit.where(col("split") === "train")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 8)).as("sh"))
+      .join(broadcast(evalSh), Seq("sh"))
+      .select(col("doc_id")).distinct()
+    val clean = withSplit.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // pack the surviving training stream per lang (same shape as
+    // pipeline_pack_docs), then summarize
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packCounts = clean.where(col("split") === "train")
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens").cast(LongType)).over(w), lit(0L)))
+      .withColumn("pack_id", expr("tokens_before DIV 256"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("pack_id")).as("n_packs"))
+    clean.groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(LongType)).as("total_tokens"))
+      .join(packCounts.withColumn("split", lit("train")),
+        Seq("lang", "split"), "left")
+      .select(col("lang"), col("split"), col("n_docs"), col("total_tokens"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private val pipelineFullE2ESql =
+    """WITH feat AS (
+      |  SELECT doc_id, lang, text,
+      |    md5(lower(trim(text))) AS fp,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
+      |      length(text) AS nonalpha
+      |  FROM documents),
+      |kept AS (SELECT * FROM feat WHERE n_tokens >= 5 AND nonalpha < 0.3),
+      |wins AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp),
+      |dedup AS (
+      |  SELECT k.* FROM kept k JOIN wins w USING (fp)
+      |  WHERE k.doc_id = w.keep_id),
+      |b AS (
+      |  SELECT *,
+      |    CAST(((CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+      |               ELSE h END) % 100 + 100) % 100 AS INT) AS bucket
+      |  FROM (SELECT d.*, md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+      |        FROM dedup d)),
+      |s AS (
+      |  SELECT *, CASE WHEN bucket < 80 THEN 'train'
+      |                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM b),
+      |sh AS (
+      |  SELECT doc_id, bucket, split, lang, n_tokens, list_distinct(
+      |    CASE WHEN len(toks) >= 8 THEN
+      |      list_transform(range(1, len(toks)-6), i -> array_to_string(toks[i:i+7], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, bucket, split, lang, n_tokens,
+      |          regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM s)),
+      |evs AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE bucket >= 95),
+      |cont AS (
+      |  SELECT DISTINCT t.doc_id
+      |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE split = 'train') t
+      |  JOIN evs e ON t.g = e.g),
+      |clean AS (
+      |  SELECT * FROM s
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |packed AS (
+      |  SELECT lang,
+      |    COALESCE(sum(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY lang
+      |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS tokens_before
+      |  FROM clean WHERE split = 'train'),
+      |pc AS (
+      |  SELECT lang, count(DISTINCT tokens_before // 256) AS n_packs
+      |  FROM packed GROUP BY lang),
+      |agg AS (
+      |  SELECT lang, split, count(*) AS n_docs,
+      |    CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+      |  FROM clean GROUP BY lang, split)
+      |SELECT a.lang, a.split, a.n_docs, a.total_tokens,
+      |  CAST(COALESCE(CASE WHEN a.split = 'train' THEN p.n_packs END, 0)
+      |    AS BIGINT) AS n_packs
+      |FROM agg a LEFT JOIN pc p ON a.lang = p.lang
+      |ORDER BY a.lang, a.split""".stripMargin
+
   private def textRollingFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -2577,6 +2704,7 @@ object Queries {
     "unpivot_metrics" -> unpivotMetrics _,
     "text_pipeline_fused" -> textPipelineFused _,
     "pipeline_pretraining_filter" -> pipelinePretrainingFilter _,
+    "pipeline_full_e2e" -> pipelineFullE2E _,
     "text_clean" -> textClean _,
     "stream_sliding_counts" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamSlidingCounts(s, dir)),
@@ -2678,6 +2806,7 @@ object Queries {
     "unpivot_metrics" -> unpivotMetricsSql,
     "text_pipeline_fused" -> textPipelineFusedSql,
     "pipeline_pretraining_filter" -> pipelinePretrainingFilterSql,
+    "pipeline_full_e2e" -> pipelineFullE2ESql,
     "text_clean" -> textCleanSql,
     "stream_sliding_counts" -> graft.streaming.StreamingOps.streamSlidingCountsSql,
     "text_token_count" -> textTokenCountSql,

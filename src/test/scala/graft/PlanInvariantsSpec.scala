@@ -148,6 +148,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"must map-side combine:\n${p.take(800)}")
   }
 
+  test("full e2e pipeline: loser/contaminated sets broadcast back, never all-pairs") {
+    val p = plan("pipeline_full_e2e")
+    forbidden.foreach(op =>
+      assert(!p.contains(op), s"pipeline_full_e2e plan contains $op:\n${p.take(1200)}"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"anti-joins must broadcast the small drop sets:\n${p.take(1200)}")
+  }
+
   test("IVF query plan never shuffles the corpus: assignment is a map-side argmax") {
     // trainCentroids' iteration jobs run eagerly (bounded sample); the
     // RETURNED plan — full-corpus assignment + probe join + top-k — must be
