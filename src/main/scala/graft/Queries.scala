@@ -2391,13 +2391,18 @@ object Queries {
     * decontamination → context-window packing — emitting the per
     * (lang, split) corpus summary a dataset card reports. Every stage is
     * an operator proven independently above; the composition is the
-    * point: one corpus scan feeds the whole chain, the only corpus-sized
-    * shuffles are the narrow (fp, doc_id) dedup pairs and the per-lang
-    * packing window, and the loser/contaminated sets broadcast back as
-    * anti-joins (both are small relative to the corpus; at extreme dup
-    * rates AQE would switch the anti-join to shuffle). Fully
-    * deterministic end to end — md5 digests, hash-bucket split, hash
-    * tickets — so DuckDB replays all five stages in one WITH chain.
+    * point: the only corpus-sized shuffles are the narrow (fp, doc_id)
+    * dedup pairs and the per-lang packing window, and the
+    * loser/contaminated sets broadcast back as anti-joins (both are small
+    * relative to the corpus; at extreme dup rates AQE would switch the
+    * anti-join to shuffle). The declarative DAG's branches (dedup pairs,
+    * eval shingles, train shingles, final agg) each re-scan the source —
+    * fine at demo scale and pruned to the columns each branch needs; a
+    * 100 TB deployment checkpoints the post-dedup stage to parquet
+    * (exactly what stream_disagg_incremental demonstrates) so each
+    * stage's scan reads the already-shrunk corpus. Fully deterministic
+    * end to end — md5 digests, hash-bucket split, hash tickets — so
+    * DuckDB replays all five stages in one WITH chain.
     */
   private def pipelineFullE2E(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
