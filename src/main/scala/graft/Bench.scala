@@ -68,16 +68,55 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val many = try manySeriesSec(spark, 10000) catch { case _: Throwable => -1.0 }
     val many100k = try manySeriesSec(spark, 100000) catch { case _: Throwable => -1.0 }
+    // EMPIRICAL 10x SCALE POINT: if a 10x-the-bench-dir dataset exists
+    // (tools/gen_scaled.py writes one to target/testdata_10x; override via
+    // SPARK_GRAFT_SCALE_DIR), re-run the 10 most expensive queries there
+    // and report the per-query growth exponent e = log10(t_10x / t_base):
+    // e <= 1 is at-worst-linear scaling, the property the banded/bucketed
+    // designs claim. One timed run per query — the JVM and codegen are
+    // fully warm after three sweeps, and at 10x data the run is dominated
+    // by data volume, not per-query one-offs.
+    val scaleDir = sys.env.get("SPARK_GRAFT_SCALE_DIR")
+      .orElse(Some("/root/repo/target/testdata_10x"))
+      .filter(d => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d, "documents.parquet")))
+    val scaling: Map[String, (Double, Double, Double)] = scaleDir match {
+      case None => Map.empty
+      case Some(d) =>
+        results.toSeq.sortBy(-_._2).take(10).map { case (name, base) =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, d)
+            .write.mode("overwrite").format("noop").save() }
+          catch { case _: Throwable => () }
+          val sec = (System.nanoTime() - t0) / 1e9
+          name -> (base, sec, math.log10(math.max(sec, 1e-3) / math.max(base, 1e-3)))
+        }.toMap
+    }
+    val scalingJson = scaling.toSeq.sortBy(-_._2._3).map { case (k, (b, s, e)) =>
+      s"\"$k\":{\"base_sec\":${f3(b)},\"x10_sec\":${f3(s)},\"exponent\":${f3(e)}}"
+    }.mkString("{", ",", "}")
+    val exps = scaling.values.map(_._3).toSeq.sorted
+    val expMedian = if (exps.isEmpty) -1.0 else exps(exps.size / 2)
     // The harness keeps only the LAST ~2000 chars of stdout (observed in
     // BENCH_r01/r02: "tail" is exactly 2000 chars and "parsed" came back
     // null because the full per-query map overflowed it). So: full detail
     // first on its own line, then a compact final line — total, kernel
     // medians (the BASELINE.md comparison), scale shape, and the slowest
-    // queries — sized to always fit the window in full.
-    println(s"""{"detail":"per_query_sec","n_queries":${results.size},"queries":$qs}""")
+    // queries — sized to always fit the window in full. The COMPLETE
+    // result additionally lands in target/bench.json, which stays
+    // machine-readable no matter what sbt appends to stdout afterwards.
+    val detail = s"""{"detail":"per_query_sec","n_queries":${results.size},"queries":$qs,"scaling_10x":$scalingJson}"""
+    println(detail)
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"kernels_ms":$kernels,"scale":{"many_series_10000_sec":${f3(many)},"many_series_100000_sec":${f3(many100k)}},"sf":"$sfDir"}""")
+    val scaleJson = s"""{"many_series_10000_sec":${f3(many)},"many_series_100000_sec":${f3(many100k)},"exp10x_median":${f3(expMedian)}}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"kernels_ms":$kernels,"scale":$scaleJson,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, detail + "\n" + line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

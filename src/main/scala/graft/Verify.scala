@@ -32,7 +32,15 @@ object Verify {
     // driver as a query result and would surface as a spurious
     // "no_oracle" row in the correctness file.
     val rawDir = "/root/repo/target/verify_raw"
-    (if (only.isEmpty) Queries.rawDisagg else Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]).foreach { case (name, fn) =>
+    // Under a query filter, still refresh the raw dumps the filter names
+    // (raw names share the disagg query names) so tools/reference_parity.py
+    // never diffs a filtered run against stale outputs; warn about the rest.
+    val raw = if (only.isEmpty) Queries.rawDisagg
+      else Queries.rawDisagg.view.filterKeys(only).toMap
+    if (only.nonEmpty && raw.size < Queries.rawDisagg.size)
+      System.err.println(s"[verify] query filter active: ${Queries.rawDisagg.size - raw.size} " +
+        s"verify_raw entries NOT refreshed (stale for reference_parity.py)")
+    raw.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$rawDir/$name")
       catch { case e: Throwable =>

@@ -136,7 +136,11 @@ object Disaggregate {
     * so throughput scales linearly with executors and no O(n^2) matrix ever
     * crosses the wire. Series whose kernel fails (bad calendar, singular
     * system) are skipped — at pipeline scale one poisoned series must not
-    * kill the job.
+    * kill the job — but never SILENTLY: every skip increments
+    * `skippedSeries` (a named accumulator, visible in the Spark UI per
+    * stage), so a pipeline can alert on data loss. Pass your own
+    * accumulator to read the count after an action; otherwise a fresh
+    * `graft.manySeries.skipped` accumulator is registered per call.
     */
   def manySeries(
       low: DataFrame,
@@ -145,9 +149,12 @@ object Disaggregate {
       tsCol: String = "ts",
       valueCol: String = "value",
       indicatorCols: Seq[String] = Seq("indicator"),
-      params: Params = Params()): DataFrame = {
+      params: Params = Params(),
+      skippedSeries: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = low.sparkSession
     import spark.implicits._
+    val skipped = skippedSeries.getOrElse(
+      spark.sparkContext.longAccumulator("graft.manySeries.skipped"))
 
     val lowDs: Dataset[KeyedLow] = low.select(
       col(seriesCol).cast(LongType).as("series_id"),
@@ -198,7 +205,10 @@ object Disaggregate {
             }
           }
         } catch {
-          case _: Exception => Iterator.empty
+          // counted, not silent: accumulators from retried/speculative
+          // tasks can overcount, so treat the value as an alert signal
+          // (zero IS exact: no task ever skipped)
+          case _: Exception => skipped.add(1L); Iterator.empty
         }
     }
     out.toDF(seriesCol, tsCol, valueCol)

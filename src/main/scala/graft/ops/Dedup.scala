@@ -74,9 +74,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.7,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 256,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
 
     // shingle -> hash -> signature in ONE corpus pass; nothing corpus-sized
     // is cached (a corpus-wide shingle persist is 100TB-scale state — the
@@ -110,8 +112,11 @@ object Dedup {
       // the pair list feeds two consumers (candidate-id extraction + the
       // final verification join): materialize it once, eagerly. Unlike
       // persist(), a localCheckpoint'd RDD is ContextCleaner-eligible, so
-      // repeated calls in one session do not accumulate pinned cache blocks
-      .localCheckpoint()
+      // repeated calls in one session do not accumulate pinned cache
+      // blocks. checkpointDir switches to a RELIABLE checkpoint (survives
+      // executor loss — the right mode on a real cluster).
+      .transform(df =>
+        if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint())
 
     // exact verification on HASH-typed shingles (array<long> — 8 bytes per
     // shingle instead of the string), recomputed for the candidate set only:
@@ -285,68 +290,96 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    // iterative-truncation primitive: localCheckpoint (zero-IO, executor
+    // blocks — right for local[] and short loops) by default; passing
+    // checkpointDir switches every round to RELIABLE checkpoints on shared
+    // storage, which a real cluster needs — a local checkpoint dies with
+    // its executor mid-loop. (setCheckpointDir creates a fresh UUID subdir
+    // per invocation, so concurrent runs never collide.)
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def mat(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
     // canonical orientation u > v (self-loops dropped)
-    var edges = pairs
+    var edges = mat(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var it = 0
-    var nEdges = edges.count()
+    // ONE aggregate action per round: |E| plus an order-independent set
+    // fingerprint (exact decimal sum of per-edge hashes — decimal because
+    // ANSI mode throws on Long-sum overflow). Fixpoint = count AND
+    // fingerprint unchanged; this replaces the former count + except()
+    // pair, which ran a full extra distributed set-difference every round.
+    // (Both sides are distinct sets of the same orientation, so count +
+    // 64-bit-hash-sum equality is a set-equality check up to a hash
+    // collision that also preserves the sum — not a concern against
+    // edge sets produced by a deterministic contraction.)
+    def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var (nEdges, fp) = stats(edges)
     var converged = nEdges == 0L
     // size the iteration's shuffles to the EDGE set, not the corpus: the
     // dup-pair graph is typically orders of magnitude smaller than the
     // input, and running log^2(n) rounds at corpus parallelism pays
     // (rounds x stages x partitions) empty-task overhead — ~1M edges per
-    // partition, capped at the session's configured parallelism. Set via
-    // the session conf for the duration of the loop (a repartition of the
-    // input would not resize the groupBy shuffles inside).
-    val spark = pairs.sparkSession
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    // partition, capped at the session's configured parallelism. Sized via
+    // EXPLICIT repartition on the loop frames, never by mutating the
+    // session's shuffle-partition conf: that mutation leaked the shrunken
+    // partition count to any query running concurrently on the session.
+    // Each repartition below hash-partitions on u, which satisfies the
+    // clustering requirement of the groupBy/join/distinct that follows it
+    // (same-u rows land in one partition), so no additional Exchange at
+    // session parallelism appears between them.
+    val sessionParts =
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toLong
     val ccParts = math.max(1L,
-      math.min(sessionParts.toLong, nEdges / 1000000L + 1L)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", ccParts)
-    try {
+      math.min(sessionParts, nEdges / 1000000L + 1L)).toInt
     while (!converged && it < maxIter) {
       // LARGE-STAR: every strictly-larger neighbor of u links to
       // min(N(u) + {u}) — one symmetrized min-agg shuffle + an equi-join
       val sym = edges.unionAll(
-        edges.select(col("v").as("u"), col("u").as("v")))
+          edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(ccParts, col("u"))
       val minsL = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.join(minsL, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
+        .repartition(ccParts, col("u"))
         .distinct()
       // SMALL-STAR: u and all its (smaller) neighbors link to min(N(u)+{u})
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
       val members = large.select(col("u"), col("v").as("x"))
         .unionAll(minsS.select(col("u"), col("u").as("x")))
-      val small = members.join(minsS, "u")
+        .repartition(ccParts, col("u"))
+      val small = mat(members.join(minsS, "u")
         .where(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
-      // fixpoint: the edge set stopped changing (set-equality via counts +
-      // one-sided difference; both sides are already distinct, and the
-      // previous round's count is reused rather than recomputed)
-      val nSmall = small.count()
-      converged = nSmall == nEdges && small.except(edges).isEmpty
+        .repartition(ccParts, col("u"))
+        .distinct())
+      val (nSmall, fpSmall) = stats(small)
+      converged = nSmall == nEdges && fpSmall.compareTo(fp) == 0
       nEdges = nSmall
+      fp = fpSmall
       edges = small
       it += 1
     }
-    // at the fixpoint the graph is a union of stars: (member -> root).
-    // localCheckpoint BEFORE restoring the session's shuffle partitions:
-    // the label view is consumed lazily by the caller, after the finally.
-    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+    // at the fixpoint the graph is a union of stars: (member -> root),
+    // materialized so the caller's consumption never replays the loop.
+    mat(edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
       .unionAll(edges.select(col("v"), col("v")).distinct()
         .toDF("doc_id", "cluster_id"))
-      .distinct()
-      .localCheckpoint()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      .distinct())
   }
 
   /** Exact-substring duplication detector (the Lee et al. 2022

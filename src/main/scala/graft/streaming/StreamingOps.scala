@@ -43,6 +43,39 @@ object StreamingOps {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Write `df` as ONE parquet file `<destDir>/<name>.parquet`, made
+    * visible with a single atomic move: a running file-stream source can
+    * never observe a partial stage, so each staged file is exactly one
+    * micro-batch with full-batch sorting (multi-part staging would let a
+    * trigger catch half a stage and split it across batches in arbitrary
+    * time order). The directory listing stream is closed (each unclosed
+    * Files.list leaks a directory handle) and the staging dir removed.
+    */
+  private def stageOne(df: DataFrame, destDir: java.nio.file.Path, name: String): Unit = {
+    val staging = destDir.resolve(s"_stage_$name")
+    df.coalesce(1).write.parquet(staging.toString)
+    val listing = java.nio.file.Files.list(staging)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
+    java.nio.file.Files.move(part, destDir.resolve(s"$name.parquet"))
+    deleteRecursively(staging)
+  }
+
+  /** Best-effort recursive delete of a staged temp dir once its stream has
+    * stopped — each invocation otherwise leaves a corpus-sized copy on
+    * disk, and Bench alone runs every streaming query three times.
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
+
   def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
     // rejects; read it as raw nanos and rebuild a microsecond timestamp
@@ -356,19 +389,7 @@ object StreamingOps {
         unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
         .head().toSeq.map(_.asInstanceOf[Long]).toArray
       val midUs = minUs + (maxUs - minUs) / 2
-      def stage(df: DataFrame, name: String): Unit = {
-        // ONE file per stage, made visible with a single atomic move: the
-        // running query's file listing can never observe a partial stage,
-        // so each stage is exactly one micro-batch with full-batch sorting
-        // (multi-part staging would let a trigger catch half a stage and
-        // split it across batches in arbitrary time order)
-        val staging = tmp.resolve(s"_stage_$name")
-        df.coalesce(1).write.parquet(staging.toString)
-        val part = java.nio.file.Files.list(staging).filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        java.nio.file.Files.move(part, tmp.resolve(s"$name.parquet"))
-      }
-      stage(ev.where(unix_micros(col("ts")) <= midUs), "batch1")
+      stageOne(ev.where(unix_micros(col("ts")) <= midUs), tmp, "batch1")
 
       val schema = ev.schema
       val stream = spark.readStream
@@ -438,15 +459,17 @@ object StreamingOps {
         .queryName(name)
         .start()
       q.processAllAvailable()
-      stage(ev.where(unix_micros(col("ts")) > midUs), "batch2")
+      stageOne(ev.where(unix_micros(col("ts")) > midUs), tmp, "batch2")
       q.processAllAvailable()
       // sentinel: one event for a reserved user id, far enough ahead that
       // watermark = sentinel - delay clears every possible timeout
       val sentinelUs = maxUs + gapUs + delayUs + 86400L * 1000000L
-      stage(spark.range(1).select(lit(-1L).as("user_id"),
-        timestamp_micros(lit(sentinelUs)).as("ts"), lit(0.0).as("value")), "sentinel")
+      stageOne(spark.range(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(sentinelUs)).as("ts"), lit(0.0).as("value")), tmp, "sentinel")
       q.processAllAvailable()
       q.stop()
+      // the memory sink holds the rows; the staged source is dead weight
+      deleteRecursively(tmp)
       spark.table(name)
         .where(col("user_id") >= 0)
         .orderBy(col("user_id"), col("session_start_us"))
@@ -484,14 +507,6 @@ object StreamingOps {
       val stateDir = java.nio.file.Files.createTempDirectory("graft_disagg_state")
       val resultDir = java.nio.file.Files.createTempDirectory("graft_disagg_result")
 
-      def stage(df: DataFrame, name: String): Unit = {
-        val staging = srcDir.resolve(s"_stage_$name")
-        df.coalesce(1).write.parquet(staging.toString)
-        val part = java.nio.file.Files.list(staging)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(part, srcDir.resolve(s"$name.parquet"))
-      }
-
       // split the input into micro-batches by time: later years arrive
       // later, so every series is created in batch 1 and UPDATED in batch 2
       // (the upsert path is actually exercised)
@@ -524,15 +539,20 @@ object StreamingOps {
         }
         .start()
       (1 to nBatches).foreach { b =>
-        stage(bounds.where(col("b") === b).drop("b"), s"batch$b")
+        stageOne(bounds.where(col("b") === b).drop("b"), srcDir, s"batch$b")
         q.processAllAvailable()
       }
       q.stop()
       // partitionBy moves series_id into the directory key; restore column
-      // order and types for the consumer
-      spark.read.parquet(resultDir.toString)
+      // order and types for the consumer. localCheckpoint materializes the
+      // result BEFORE its parquet source is deleted with the other temp
+      // state (the returned frame is consumed lazily by the caller).
+      val result = spark.read.parquet(resultDir.toString)
         .select(col("series_id").cast("long"), col("ts"), col("value"))
         .orderBy(col("series_id"), col("ts"))
+        .localCheckpoint()
+      Seq(srcDir, stateDir, resultDir).foreach(deleteRecursively)
+      result
     }
   }
 
@@ -551,16 +571,9 @@ object StreamingOps {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"))
       val tmp = java.nio.file.Files.createTempDirectory("stream_strat")
-      def stage(df: DataFrame, name: String): Unit = {
-        val staging = tmp.resolve(s"_stage_$name")
-        df.coalesce(1).write.parquet(staging.toString)
-        val part = java.nio.file.Files.list(staging)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(part, tmp.resolve(s"$name.parquet"))
-      }
       val nChunks = 3
       (0 until nChunks).foreach(i =>
-        stage(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), s"chunk$i"))
+        stageOne(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), tmp, s"chunk$i"))
       val stream = spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
@@ -578,6 +591,7 @@ object StreamingOps {
         .start()
       q.processAllAvailable()
       q.stop()
+      deleteRecursively(tmp)
       spark.table(name).orderBy(col("doc_id"))
     }
 
@@ -599,31 +613,31 @@ object StreamingOps {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val tmp = java.nio.file.Files.createTempDirectory("stream_cm")
-      def stage(df: DataFrame, name: String): Unit = {
-        val staging = tmp.resolve(s"_stage_$name")
-        df.coalesce(1).write.parquet(staging.toString)
-        val part = java.nio.file.Files.list(staging)
-          .filter(_.toString.endsWith(".parquet")).findFirst().get()
-        java.nio.file.Files.move(part, tmp.resolve(s"$name.parquet"))
-      }
       val nChunks = 3
       (0 until nChunks).foreach(i =>
-        stage(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), s"chunk$i"))
+        stageOne(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), tmp, s"chunk$i"))
 
       val total = new Array[Long](CountMin.d * CountMin.w)
-      var batches = 0
+      // foreachBatch is AT-LEAST-ONCE: a retried micro-batch arrives with
+      // the SAME batchId, and adding its matrix twice would silently break
+      // the claimed bit-equality with the batch sketch — so batchIds are
+      // recorded and replays skipped (idempotent accumulation).
+      val seen = scala.collection.mutable.Set.empty[Long]
       val stream = spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp.toString)
       val q = stream.writeStream
         .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val part = Sketches.countMinSketch(batch.toDF())
-          total.synchronized {
-            var i = 0
-            while (i < total.length) { total(i) += part(i); i += 1 }
-            batches += 1
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!total.synchronized(seen.contains(batchId))) {
+            val part = Sketches.countMinSketch(batch.toDF())
+            total.synchronized {
+              if (seen.add(batchId)) {
+                var i = 0
+                while (i < total.length) { total(i) += part(i); i += 1 }
+              }
+            }
           }
           ()
         }
@@ -631,8 +645,9 @@ object StreamingOps {
         .start()
       q.processAllAvailable()
       q.stop()
-      require(batches >= 2,
-        s"chunked staging must yield multiple micro-batches, got $batches")
+      deleteRecursively(tmp)
+      require(total.synchronized(seen.size) >= 2,
+        s"chunked staging must yield multiple micro-batches, got ${seen.size}")
       Sketches.countMinAuditWith(docs, total)
     }
 }

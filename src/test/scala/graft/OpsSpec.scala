@@ -85,6 +85,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components never mutate the session shuffle-partition conf") {
+    import spark.implicits._
+    // the loop used to shrink spark.sql.shuffle.partitions session-wide and
+    // restore it in a finally — a concurrent query on the same session
+    // silently inherited the shrunken count. Sample the conf from another
+    // thread for the whole run: every observation must equal the session
+    // setting (the sizing now happens via explicit repartition on the loop
+    // frames only).
+    val expected = spark.conf.get("spark.sql.shuffle.partitions")
+    @volatile var sampling = true
+    val violations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sampler = new Thread(() => {
+      while (sampling) {
+        if (spark.conf.get("spark.sql.shuffle.partitions") != expected)
+          violations.incrementAndGet()
+        Thread.sleep(1)
+      }
+    })
+    sampler.start()
+    try {
+      val edges = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = Dedup.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got.size == 31 && got.values.forall(_ == 0L))
+    } finally { sampling = false; sampler.join() }
+    assert(violations.get() == 0,
+      s"session conf observed mutated ${violations.get()} times during the CC loop")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == expected)
+  }
+
+  test("connected components: reliable-checkpoint mode yields identical labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    try {
+      val reliable = Dedup.connectedComponents(edges,
+          checkpointDir = Some(ckptDir.toString))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliable == local, "checkpoint modes must agree")
+    } finally {
+      val walk = java.nio.file.Files.walk(ckptDir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
+      finally walk.close()
+    }
+  }
+
   test("simhash pairs == exact all-pairs at hamming<=3 (pigeonhole recall)") {
     val p1 = Dedup.simhashPairs(docs).collect()
     assert(p1.forall(_.getInt(2) <= 3))

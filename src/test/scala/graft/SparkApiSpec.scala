@@ -74,11 +74,16 @@ class SparkApiSpec extends AnyFunSuite {
     val good = (0 until 5).map(i => (1L, java.sql.Timestamp.valueOf(s"${2000 + i}-01-01 00:00:00"), 100.0 + i))
     val bad = Seq((2L, java.sql.Timestamp.valueOf("2000-01-01 00:00:00"), 50.0))
     val low = (good ++ bad).toDF("series_id", "ts", "value")
+    // skips must be observable, not silent: the accumulator counts exactly
+    // the one poisoned series while the good series' output stays intact
+    val skipped = spark.sparkContext.longAccumulator("test.manySeries.skipped")
     val out = Disaggregate.manySeries(low, None,
-      params = Disaggregate.Params(method = "denton-cholette", targetFreq = Some("QS")))
+      params = Disaggregate.Params(method = "denton-cholette", targetFreq = Some("QS")),
+      skippedSeries = Some(skipped))
       .collect()
     val bySeries = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
     assert(bySeries == Map(1L -> 20), s"expected only series 1 (5y x 4q), got $bySeries")
+    assert(skipped.value == 1L, s"skipped-series accumulator: ${skipped.value}")
   }
 
   test("non-UTC session timezone does not shift disaggregation dates") {
