@@ -20,6 +20,17 @@ class OpsSpec extends AnyFunSuite {
   private def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
   private def embeddings: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Recursive delete for test temp dirs (repeated suite runs were
+    * accumulating corpus copies under /tmp).
+    */
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
+      finally walk.close()
+    }
+
   test("minhash-LSH finds every pair the exact all-pairs Jaccard rates >= 0.9") {
     // ground truth: exact Jaccard across ALL pairs (no blocking) on 500 docs
     val withSh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
@@ -128,12 +139,7 @@ class OpsSpec extends AnyFunSuite {
           checkpointDir = Some(ckptDir.toString))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(reliable == local, "checkpoint modes must agree")
-    } finally {
-      val walk = java.nio.file.Files.walk(ckptDir)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
-      finally walk.close()
-    }
+    } finally rmTree(ckptDir)
   }
 
   test("simhash pairs == exact all-pairs at hamming<=3 (pigeonhole recall)") {
@@ -337,29 +343,33 @@ class OpsSpec extends AnyFunSuite {
     // source breadth: same pipeline over an ORC copy of the corpus — the
     // columnar alternatives (parquet/ORC) and the row formats (JSON/CSV)
     // all feed the identical operator surface
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
-    docs.select("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").orc(tmp)
-    val back = spark.read.orc(tmp)
-    assert(back.count() == docs.count())
-    val viaOrc = TextOps.tfidfTopK(back).collect().map(_.toString)
-    val viaParquet = TextOps.tfidfTopK(
-      docs.select("doc_id", "text", "lang", "source", "n_chars"))
-      .collect().map(_.toString)
-    assert(viaOrc.toSeq == viaParquet.toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+    try {
+      docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").orc(tmp.toString)
+      val back = spark.read.orc(tmp.toString)
+      assert(back.count() == docs.count())
+      val viaOrc = TextOps.tfidfTopK(back).collect().map(_.toString)
+      val viaParquet = TextOps.tfidfTopK(
+        docs.select("doc_id", "text", "lang", "source", "n_chars"))
+        .collect().map(_.toString)
+      assert(viaOrc.toSeq == viaParquet.toSeq)
+    } finally rmTree(tmp)
   }
 
   test("JSON source round-trips the documents table") {
     // source breadth: the same pipeline runs when the corpus arrives as
     // JSON lines instead of parquet
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
-    docs.select("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").json(tmp)
-    val back = spark.read.json(tmp)
-    assert(back.count() == docs.count())
-    val viaJson = TextOps.saltedTokenFrequencies(back).collect().map(_.toString)
-    val viaParquet = TextOps.saltedTokenFrequencies(docs).collect().map(_.toString)
-    assert(viaJson.toSeq == viaParquet.toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json")
+    try {
+      docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(tmp.toString)
+      val back = spark.read.json(tmp.toString)
+      assert(back.count() == docs.count())
+      val viaJson = TextOps.saltedTokenFrequencies(back).collect().map(_.toString)
+      val viaParquet = TextOps.saltedTokenFrequencies(docs).collect().map(_.toString)
+      assert(viaJson.toSeq == viaParquet.toSeq)
+    } finally rmTree(tmp)
   }
 
   test("filters and projection reach the parquet scan (pushdown + pruning)") {
@@ -395,6 +405,7 @@ class OpsSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS orders_bucketed")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      rmTree(java.nio.file.Paths.get(wh))
     }
   }
 

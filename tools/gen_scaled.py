@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Generate an N-times-scaled copy of a testdata dir (default: 10x sf0.1).
+
+Driver-side tooling only (pyarrow/numpy, like tools/check_oracle.py) — the
+engine under test never imports this. The scaled dataset feeds Bench's
+empirical scaling block: Bench re-runs its 10 most expensive queries against
+target/testdata_10x (if present) and reports per-query growth exponents,
+turning the "plans survive a 10x scale-up" claim into a measured number.
+
+Scaling must preserve the DATA DISTRIBUTION, not just the row count, or the
+exponents measure a different problem:
+
+- relational tables (customer/supplier/part/orders/lineitem/events): N key-
+  offset copies; foreign keys are offset consistently so join fan-outs and
+  group cardinalities scale linearly, dates/values untouched (per-year
+  series stay 7 years long — only the rows aggregated per year grow).
+- documents: N copies under a PER-COPY TOKEN BIJECTION (every whitespace
+  token gets the copy digit appended). A bijective token rename preserves
+  every within-copy similarity statistic EXACTLY (shingle sets biject, so
+  Jaccard, minhash collisions, simhash distances, and exact-dup groups are
+  copy-invariant) while cross-copy token sets are disjoint — so the
+  near-duplicate RATE stays constant instead of every doc gaining N-1
+  cross-copy twins (which would grow LSH output quadratically and poison
+  the exponent). Naive replication (identical text) is even worse: every
+  doc becomes an exact dup. copy 0 is the original bytes.
+- embeddings: N copies under a per-copy deterministic SIGN PATTERN
+  (element i of copy c flipped iff bit-parity of (c*1315423911 + i) says
+  so). Sign flips are exact in IEEE floats and cancel in within-copy dot
+  products (cos(s*a, s*b) == cos(a, b) bit-for-bit), while cross-copy
+  cosines scatter to ~0 — constant near-dup structure at N times the rows.
+- region/nation: fixed dimensions, copied verbatim (as in TPC-H).
+
+Everything is deterministic — no RNG.
+
+Usage: python3 tools/gen_scaled.py [--src DIR] [--dst DIR] [--copies N]
+"""
+import argparse
+import os
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TOKEN_SPLIT = re.compile(r"(\s+)")
+
+
+def read(src, name):
+    return pq.read_table(os.path.join(src, f"{name}.parquet"))
+
+
+def write(dst, name, table):
+    pq.write_table(table, os.path.join(dst, f"{name}.parquet"))
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def offset_copy(table, copies, offsets):
+    """N copies with per-copy key offsets: offsets = {col: stride}."""
+    out = []
+    for c in range(copies):
+        t = table
+        if c > 0:
+            for col, stride in offsets.items():
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t.column(col), pa.scalar(c * stride, t.schema.field(col).type))
+                t = t.set_column(idx, t.schema.field(col), shifted)
+        out.append(t)
+    return pa.concat_tables(out)
+
+
+def stride(table, col):
+    """Key stride: max+1, so copies never collide even with sparse keys."""
+    return pc.max(table.column(col)).as_py() + 1
+
+
+def suffix_tokens(text, tag):
+    return "".join(
+        part if i % 2 == 1 or not part else part + tag
+        for i, part in enumerate(TOKEN_SPLIT.split(text))
+    )
+
+
+def scale_documents(table, copies):
+    texts = table.column("text").to_pylist()
+    ids = table.column("doc_id").to_pylist()
+    langs = table.column("lang")
+    sources = table.column("source")
+    doc_stride = max(ids) + 1
+    out = [table]
+    for c in range(1, copies):
+        tag = str(c)
+        new_texts = [suffix_tokens(t, tag) for t in texts]
+        out.append(
+            pa.table(
+                {
+                    "doc_id": pa.array([i + c * doc_stride for i in ids], pa.int64()),
+                    "text": pa.array(new_texts, pa.string()),
+                    "lang": langs,
+                    "source": sources,
+                    "n_chars": pa.array([len(t) for t in new_texts], pa.int64()),
+                },
+                schema=table.schema,
+            )
+        )
+    return pa.concat_tables(out)
+
+
+def scale_embeddings(table, copies):
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = table.column("label")
+    vecs = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
+    vec_stride = int(ids.max()) + 1
+    out = [table]
+    for c in range(1, copies):
+        h = (np.uint64(c) * np.uint64(1315423911)
+             + np.arange(dim, dtype=np.uint64)) * np.uint64(2654435761)
+        h ^= h >> np.uint64(16)
+        signs = np.where(h & np.uint64(1) == 0, np.float32(1.0), np.float32(-1.0))
+        flipped = vecs * signs  # exact: sign flips never round
+        out.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids + c * vec_stride),
+                    "embedding": pa.array(list(flipped), pa.list_(pa.float32())),
+                    "label": labels,
+                },
+                schema=table.schema,
+            )
+        )
+    return pa.concat_tables(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/root/repo/target/testdata_10x")
+    ap.add_argument("--copies", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+    n = args.copies
+    print(f"scaling {args.src} x{n} -> {args.dst}")
+
+    for name in ("region", "nation"):
+        write(args.dst, name, read(args.src, name))
+
+    customer = read(args.src, "customer")
+    supplier = read(args.src, "supplier")
+    part = read(args.src, "part")
+    orders = read(args.src, "orders")
+    cust_stride = stride(customer, "c_custkey")
+    supp_stride = stride(supplier, "s_suppkey")
+    part_stride = stride(part, "p_partkey")
+    order_stride = stride(orders, "o_orderkey")
+
+    write(args.dst, "customer", offset_copy(customer, n, {"c_custkey": cust_stride}))
+    write(args.dst, "supplier", offset_copy(supplier, n, {"s_suppkey": supp_stride}))
+    write(args.dst, "part", offset_copy(part, n, {"p_partkey": part_stride}))
+    write(args.dst, "orders", offset_copy(
+        orders, n, {"o_orderkey": order_stride, "o_custkey": cust_stride}))
+    lineitem = read(args.src, "lineitem")
+    write(args.dst, "lineitem", offset_copy(lineitem, n, {
+        "l_orderkey": order_stride,
+        "l_partkey": part_stride,
+        "l_suppkey": supp_stride,
+    }))
+    events = read(args.src, "events")
+    write(args.dst, "events", offset_copy(events, n, {
+        "event_id": stride(events, "event_id"),
+        "user_id": stride(events, "user_id"),
+    }))
+    write(args.dst, "documents", scale_documents(read(args.src, "documents"), n))
+    write(args.dst, "embeddings", scale_embeddings(read(args.src, "embeddings"), n))
+    print("done")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
