@@ -2378,6 +2378,93 @@ object Queries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** PII redaction (TextOps.piiScrub) with per-doc match counts. The
+    * synthetic corpus carries no natural PII (grep-verified: zero natural
+    * matches for any of the three patterns), so the query PLANTS a
+    * deterministic contact footer on every 20th doc in its own derivation
+    * — both engines build the identical string from doc_id — making the
+    * oracle verify real redactions rather than two engines agreeing on a
+    * no-op (the same de-vacuizing pattern as dedup_embedding_cosine).
+    * Linear, zero-shuffle projection before the output sort.
+    */
+  private def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val footer = concat(
+      lit(" contact user"), col("doc_id").cast(StringType),
+      lit("@example.com ip 10."), pmod(col("doc_id"), lit(256)).cast(StringType),
+      lit(".0.1 call +1555"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"))
+    val withPii = when(pmod(col("doc_id"), lit(20)) === 0,
+      concat(col("text"), footer)).otherwise(col("text"))
+    val counted = t(s, dir, "documents")
+      .select(col("doc_id") +: TextOps.piiScrub(withPii).as("scrubbed") +:
+        TextOps.piiCounts(withPii).map { case (n, c) => c.as(n) }: _*)
+    counted.select(col("doc_id"),
+        col("n_emails"), col("n_ips"), col("n_phones"),
+        (col("n_emails") + col("n_ips") + col("n_phones") > 0).as("had_pii"),
+        length(col("scrubbed")).as("len_scrubbed"),
+        md5(col("scrubbed")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textPiiScrubSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 20 = 0 THEN text
+      |      || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.0.1 call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS txt
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, txt,
+      |    CAST(len(regexp_extract_all(txt,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |    CAST(len(regexp_extract_all(txt,
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+      |    CAST(len(regexp_extract_all(txt, '\+\d{7,15}')) AS INT) AS n_phones,
+      |    regexp_replace(regexp_replace(regexp_replace(txt,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\+\d{7,15}', '<PHONE>', 'g') AS scrubbed
+      |  FROM p)
+      |SELECT doc_id, n_emails, n_ips, n_phones,
+      |  (n_emails + n_ips + n_phones) > 0 AS had_pii,
+      |  CAST(length(scrubbed) AS INT) AS len_scrubbed,
+      |  md5(scrubbed) AS scrub_md5
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Mixture-weight planning (PipelineOps.mixtureWeights): the step that
+    * COMPUTES the per-language rates pipeline_stratified_sample then
+    * applies. One map-side-combined aggregation; the doubles replay
+    * bit-exactly (exact-integer divisions in a fixed order).
+    */
+  private def pipelineMixWeights(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PipelineOps.mixtureWeights(t(s, dir, "documents"),
+      targets = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.15))
+
+  private val pipelineMixWeightsSql =
+    """WITH per AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+      |      AS lang_tokens
+      |  FROM documents GROUP BY lang),
+      |t AS (
+      |  SELECT *, CAST(sum(lang_tokens) OVER () AS BIGINT) AS total_tokens,
+      |    CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+      |              WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END
+      |      AS target_share
+      |  FROM per),
+      |n AS (
+      |  SELECT *, CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+      |    AS natural_share
+      |  FROM t),
+      |r AS (SELECT *, target_share / natural_share AS ratio FROM n),
+      |sr AS (SELECT *, ratio / max(ratio) OVER () AS sample_rate FROM r)
+      |SELECT lang, n_docs, lang_tokens, natural_share, target_share,
+      |  sample_rate, CAST(lang_tokens AS DOUBLE) * sample_rate AS expected_tokens
+      |FROM sr ORDER BY lang""".stripMargin
+
   /** End-to-end pretraining-data pipeline in one query: quality-feature
     * computation fused into the scan → threshold filter → exact dedup
     * keeping the lowest doc_id per fingerprint (one shuffle on the digest)
@@ -2808,7 +2895,9 @@ object Queries {
     "stream_dedup_events" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamDedupEvents(s, dir)),
     "stream_join_click_purchase" -> ((s: SparkSession, dir: String) =>
-      graft.streaming.StreamingOps.streamClickPurchaseJoin(s, dir))
+      graft.streaming.StreamingOps.streamClickPurchaseJoin(s, dir)),
+    "text_pii_scrub" -> textPiiScrub _,
+    "pipeline_mix_weights" -> pipelineMixWeights _
   )
 
   val oracles: Map[String, String] = Map(
@@ -2913,6 +3002,8 @@ object Queries {
     "disagg_mean_q2m" -> disaggMeanQ2MSql,
     "disagg_many_series" -> disaggManySeriesSql,
     "stream_disagg_incremental" -> disaggManySeriesSql,
-    "disagg_many_chowlin" -> disaggManyChowLinSql
+    "disagg_many_chowlin" -> disaggManyChowLinSql,
+    "text_pii_scrub" -> textPiiScrubSql,
+    "pipeline_mix_weights" -> pipelineMixWeightsSql
   )
 }

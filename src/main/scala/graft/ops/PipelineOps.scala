@@ -162,4 +162,46 @@ object PipelineOps {
     // on an append-mode stream, and the projection itself is identical
     if (sorted) out.orderBy(col("doc_id")) else out
   }
+
+  /** Mixture-weight PLANNING — the step before [[stratifiedSample]]: given
+    * target language shares for the training mixture, compute the
+    * per-language sampling rate that realizes them by downsampling only
+    * (the language most underrepresented relative to its target keeps
+    * rate 1.0; everything else scales down proportionally — no
+    * upsampling/duplication).
+    *
+    *   rate_l = (target_l / natural_l) / max_k(target_k / natural_k)
+    *
+    * Scale shape: ONE map-side-combined aggregation over the corpus
+    * (lang, token-count sums), then windows over the |languages|-row
+    * result. The empty-frame windows are a deliberate single-partition
+    * reduction of an already-tiny post-agg frame (|langs| rows), not a
+    * corpus-wide window. Every emitted double is a division/multiplication
+    * of exact integers and literal targets in a fixed order, so the DuckDB
+    * oracle lands on identical bits.
+    */
+  def mixtureWeights(
+      docs: DataFrame,
+      targets: Map[String, Double],
+      defaultTarget: Double = 0.0): DataFrame = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
+    val target = targets.foldLeft(lit(defaultTarget)) {
+      case (acc, (l, t)) => when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    docs.select(col("lang"), nTokens.as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("lang_tokens"))
+      .withColumn("total_tokens", sum(col("lang_tokens")).over(w))
+      .withColumn("target_share", target)
+      .withColumn("natural_share",
+        col("lang_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+      .withColumn("ratio", col("target_share") / col("natural_share"))
+      .withColumn("sample_rate", col("ratio") / max(col("ratio")).over(w))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        col("natural_share"), col("target_share"), col("sample_rate"),
+        (col("lang_tokens").cast(DoubleType) * col("sample_rate"))
+          .as("expected_tokens"))
+      .orderBy(col("lang"))
+  }
 }

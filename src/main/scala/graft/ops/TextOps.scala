@@ -202,4 +202,35 @@ object TextOps {
         col("score"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  // ------------------------------------------------------------ PII scrub
+
+  /** PII patterns for the redaction step (the C4-style scrub; see Raffel
+    * et al. 2020 §2.2's line-level filters for the genre). Lookaround-free
+    * so Spark's Java regex and the DuckDB oracle's RE2 agree
+    * match-for-match; \b and \w mean the same character class in both.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{7,15}"
+
+  /** Redact emails, IPv4 addresses and +international digit runs with
+    * typed tags. One codegen'd projection — linear, zero shuffle: the
+    * side-effect-free map shape that scrubs 100 TB at scan speed. Order
+    * matters (emails first: their domains contain dots that the later
+    * patterns must not see as fragments); no replacement tag can match a
+    * later pattern.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII match counts (on the unscrubbed text). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)),
+    "n_ips" -> regexp_count(text, lit(Ipv4Re)),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)))
 }

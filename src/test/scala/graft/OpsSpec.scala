@@ -409,6 +409,49 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii scrub redacts emails/ips/phones with exact counts, idempotently") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write bob.smith+x@mail.example.org or see 10.1.2.3 call +4915551234567"),
+      (2L, "no pii here, just 1.2 numbers and an at sign @ alone"),
+      (3L, "two mails a@b.co c@d.io and ips 1.2.3.4 255.255.255.255")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +:
+        TextOps.piiScrub(col("text")).as("scrubbed") +:
+        TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == (("write <EMAIL> or see <IP> call <PHONE>", 1, 1, 1)))
+    assert(out(2L)._1 == "no pii here, just 1.2 numbers and an at sign @ alone")
+    assert((out(2L)._2, out(2L)._3, out(2L)._4) == ((0, 0, 0)))
+    assert(out(3L) == (("two mails <EMAIL> <EMAIL> and ips <IP> <IP>", 2, 2, 0)))
+    // idempotent: the tags never re-match any pattern
+    val twice = df.select(TextOps.piiScrub(TextOps.piiScrub(col("text"))).as("s"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == out.values.map(_._1).toSet)
+  }
+
+  test("mixture weights: max rate is 1, rates downsample toward the target shares") {
+    val targets = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val rows = graft.ops.PipelineOps.mixtureWeights(docs, targets).collect()
+    assert(rows.length >= 2)
+    val rates = rows.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(math.abs(rates.values.max - 1.0) < 1e-12, s"max rate: $rates")
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    rows.foreach { r =>
+      val (tokens, natural, target, rate, expected) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(math.abs(expected - tokens * rate) < 1e-9)
+      assert(natural > 0 && target > 0)
+    }
+    // post-sampling shares must be proportional to the targets:
+    // expected_l / target_l is constant across languages
+    val keyed = rows.map(r => r.getDouble(6) / r.getDouble(4))
+    assert(keyed.forall(v => math.abs(v - keyed.head) / keyed.head < 1e-12),
+      s"resampled mixture not proportional to targets: ${keyed.toSeq}")
+  }
+
   test("misra-gries: heavy hitter survives, estimates within n/(k+1), merge-order-safe") {
     val k = 8
     val mg = new graft.ops.MisraGries(k)
