@@ -45,6 +45,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("Scan parquet"), p.take(300))
   }
 
+  test("pii scrub is a pure projection: one scan, no exchange before the sort") {
+    val p = plan("text_pii_scrub")
+    assert(countExchanges(p) == 1, s"expected only the sort exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p.take(600))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"projection not pruned to (doc_id, text): $readSchema")
+  }
+
+  test("mixture weights: one map-combined agg shuffle, windows over the post-agg frame") {
+    val p = plan("pipeline_mix_weights")
+    // lang agg exchange + the single-partition window exchange + output sort
+    assert(countExchanges(p) <= 3, s"mix weights shuffles too much:\n$p")
+    assert(p.contains("partial_"), s"must map-side combine:\n${p.take(800)}")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "the corpus must be scanned exactly once")
+  }
+
   test("algebraic aggregates shuffle exactly once plus the output sort") {
     for (name <- Seq("agg_stats_moments", "a8_group_agg")) {
       val p = plan(name)
