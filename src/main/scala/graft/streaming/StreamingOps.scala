@@ -33,14 +33,21 @@ object StreamingOps {
     * value-identical to the equivalent GROUP BY date_trunc('day', ts) batch
     * query, which is exactly what the DuckDB oracle replays.
     */
-  /** Run `body` with a reduced shuffle-partition count: streaming state
-    * stores cost per-partition setup, and these bounded demo streams don't
-    * need the batch layer's parallelism.
+  /** Run `body` against a CHILD session (`spark.newSession()`: same
+    * SparkContext and cached data, OWN runtime conf and streaming-query
+    * registry) configured with a reduced shuffle-partition count —
+    * streaming state stores cost per-partition setup, and these bounded
+    * demo streams don't need the batch layer's parallelism. Setting that
+    * on the CALLER's session (the previous set/restore-in-finally shape)
+    * leaked n=8 to any query running concurrently on it — the same
+    * concurrency hazard the CC loop had; the child's conf dies with it.
+    * Builder-level configs (session timezone, extensions) are inherited
+    * from the shared SparkConf, so plans resolve identically.
     */
-  private def withStreamingPartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withStreamingPartitions[A](spark: SparkSession, n: Int)(body: SparkSession => A): A = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    body(ss)
   }
 
   /** Write `df` as ONE parquet file `<destDir>/<name>.parquet`, made
@@ -76,7 +83,7 @@ object StreamingOps {
       }
     } catch { case _: java.io.IOException => () }
 
-  def windowedEventCounts(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
+  def windowedEventCounts(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
     // rejects; read it as raw nanos and rebuild a microsecond timestamp
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -120,7 +127,7 @@ object StreamingOps {
     * window starts to the epoch, so the DuckDB oracle replays the windows
     * with integer-microsecond bucket arithmetic and must agree exactly.
     */
-  def streamSlidingCounts(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
+  def streamSlidingCounts(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
@@ -170,7 +177,7 @@ object StreamingOps {
     * `GROUP BY day, COUNT(DISTINCT event_id)`, which the DuckDB oracle
     * replays.
     */
-  def streamDedupEvents(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
+  def streamDedupEvents(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream
@@ -218,7 +225,7 @@ object StreamingOps {
     * finite harness file — value-identical to the batch inequality join the
     * DuckDB oracle replays.
     */
-  def streamClickPurchaseJoin(spark: SparkSession, dir: String): DataFrame = withStreamingPartitions(spark, 8) {
+  def streamClickPurchaseJoin(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src(): DataFrame = spark.readStream
@@ -373,8 +380,7 @@ object StreamingOps {
     * Exposed so tests can feed synthetic streams.
     */
   def sessionizeStreamOf(ev: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val spark = ev.sparkSession
-    withStreamingPartitions(spark, 8) {
+    withStreamingPartitions(ev.sparkSession, 8) { spark =>
       import spark.implicits._
       val gapUs = gapMinutes.toLong * 60L * 1000000L
       val delay = "1 hour"
@@ -501,8 +507,7 @@ object StreamingOps {
       low: DataFrame,
       params: graft.disagg.Disaggregate.Params,
       nBatches: Int = 2): DataFrame = {
-    val spark = low.sparkSession
-    withStreamingPartitions(spark, 8) {
+    withStreamingPartitions(low.sparkSession, 8) { spark =>
       val srcDir = java.nio.file.Files.createTempDirectory("graft_disagg_src")
       val stateDir = java.nio.file.Files.createTempDirectory("graft_disagg_state")
       val resultDir = java.nio.file.Files.createTempDirectory("graft_disagg_result")
@@ -566,8 +571,8 @@ object StreamingOps {
     * zero streaming state, and the result shares the batch oracle
     * verbatim.
     */
-  def streamStratifiedSample(spark: SparkSession, dir: String): DataFrame =
-    withStreamingPartitions(spark, 8) {
+  def streamStratifiedSample(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"))
       val tmp = java.nio.file.Files.createTempDirectory("stream_strat")
@@ -607,8 +612,8 @@ object StreamingOps {
     * At scale this is the shape of a continuously-updated corpus frequency
     * monitor: O(d·w) state total, no per-key streaming state store at all.
     */
-  def streamCountMin(spark: SparkSession, dir: String): DataFrame =
-    withStreamingPartitions(spark, 8) {
+  def streamCountMin(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
       import graft.ops.{CountMin, Sketches}
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))

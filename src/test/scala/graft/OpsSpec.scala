@@ -210,6 +210,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!rows.map(_.getLong(0)).contains(0L))
   }
 
+  test("streaming queries never mutate the caller session's shuffle partitions") {
+    // the streaming harness runs at 8 shuffle partitions — on a CHILD
+    // session; the caller's conf must be untouched for the whole run
+    // (the previous set/restore-in-finally leaked 8 to concurrent queries)
+    val expected = spark.conf.get("spark.sql.shuffle.partitions")
+    @volatile var sampling = true
+    val violations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sampler = new Thread(() => {
+      while (sampling) {
+        if (spark.conf.get("spark.sql.shuffle.partitions") != expected)
+          violations.incrementAndGet()
+        Thread.sleep(1)
+      }
+    })
+    sampler.start()
+    try {
+      val out = graft.streaming.StreamingOps.streamStratifiedSample(spark, dir)
+      assert(out.count() > 0)
+    } finally { sampling = false; sampler.join() }
+    assert(violations.get() == 0,
+      s"caller conf mutated ${violations.get()} times during the streaming run")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == expected)
+  }
+
   test("streaming windowed counts equal the batch equivalent") {
     val streamed = graft.streaming.StreamingOps.windowedEventCounts(spark, dir)
       .collect().map(_.toString).sorted
