@@ -2897,7 +2897,12 @@ object Queries {
     "stream_join_click_purchase" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamClickPurchaseJoin(s, dir)),
     "text_pii_scrub" -> textPiiScrub _,
-    "pipeline_mix_weights" -> pipelineMixWeights _
+    "pipeline_mix_weights" -> pipelineMixWeights _,
+    // streaming near-dup detection; shares the batch dedup_simhash oracle
+    // (the qualifying pair set is chunking/arrival-order invariant — see
+    // StreamingOps.streamDedupSimhash)
+    "stream_dedup_simhash" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamDedupSimhash(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -3004,6 +3009,7 @@ object Queries {
     "stream_disagg_incremental" -> disaggManySeriesSql,
     "disagg_many_chowlin" -> disaggManyChowLinSql,
     "text_pii_scrub" -> textPiiScrubSql,
-    "pipeline_mix_weights" -> pipelineMixWeightsSql
+    "pipeline_mix_weights" -> pipelineMixWeightsSql,
+    "stream_dedup_simhash" -> dedupSimhashSql
   )
 }

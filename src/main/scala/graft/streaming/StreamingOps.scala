@@ -19,6 +19,13 @@ case class SessionOut(
     user_id: Long, session_start_us: Long, session_end_us: Long,
     n_events: Long, sum_value: Double)
 
+// Streaming simhash dedup (top-level + public for Catalyst encoders):
+// one arrival per (band, key) bucket per doc; bucket state is the ids and
+// signatures seen so far — 16 bytes per (doc, band), the bounded shape.
+case class SimhashArrival(band: Int, key: Long, doc_id: Long, sig: Long)
+case class SimhashBucketState(ids: Array[Long], sigs: Array[Long])
+case class SimhashPairOut(doc_a: Long, doc_b: Long, hamming: Int)
+
 /** Structured-Streaming surface: the same windowed aggregations the batch
   * layer exposes, expressed as a streaming query so the engine covers
   * continuous ingestion. For the harness the parquet events table is driven
@@ -608,6 +615,113 @@ object StreamingOps {
       q.stop()
       deleteRecursively(tmp)
       spark.table(name).orderBy(col("doc_id"))
+    }
+
+  /** STREAMING near-duplicate detection: the banded simhash dedup
+    * (Dedup.simhashPairs semantics) as a stateful stream — the shape of a
+    * continuously-ingesting corpus that must flag near-dups ON ARRIVAL
+    * rather than in a nightly batch. Each micro-batch computes per-doc
+    * 64-bit signatures (native SimHash expression), explodes them into 4
+    * disjoint 16-bit band keys, and a flatMapGroupsWithState per
+    * (band, key) bucket compares every NEW arrival against the bucket's
+    * accumulated (doc_id, sig) state, emitting pairs at hamming <=
+    * maxHamming incrementally.
+    *
+    * Determinism: the qualifying pair SET is arrival-order and chunking
+    * invariant — every pair at hamming <= 3 shares at least one full band
+    * (pigeonhole over 4 disjoint 16-bit bands), both docs eventually land
+    * in that shared bucket whatever the batch split, and the emitted
+    * hamming is a pure function of the two signatures. After the
+    * cross-band dropDuplicates the result EQUALS the batch
+    * `dedup_simhash` output, so this query shares its DuckDB oracle
+    * verbatim. Replayed arrivals (at-least-once sources) are no-ops: a
+    * doc_id already in bucket state is skipped.
+    *
+    * State: 16 bytes per (doc, band) — 64 B/doc total, never the text.
+    * Unlike the batch path there is NO mega-bucket skip (a stream cannot
+    * retract pairs it already emitted if a bucket later exceeds the cap),
+    * so buckets past `maxBucket` fail loudly instead of silently
+    * diverging from the batch semantics; exact-dup clusters that large
+    * should be collapsed by upstream exact dedup first.
+    */
+  def streamDedupSimhash(
+      outer: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("stream_simhash")
+      val nChunks = 3
+      (0 until nChunks).foreach(i =>
+        stageOne(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), tmp, s"chunk$i"))
+
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val arrivals = stream
+        .select(col("doc_id"),
+          graft.ops.Dedup.simhash64(col("text")).as("sig"))
+        .select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+          }: _*)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.key").as("key"),
+          col("doc_id"), col("sig"))
+        .as[SimhashArrival]
+
+      def fn(key: (Int, Long), it: Iterator[SimhashArrival],
+             state: GroupState[SimhashBucketState]): Iterator[SimhashPairOut] = {
+        val prev = state.getOption.getOrElse(SimhashBucketState(Array.empty, Array.empty))
+        var ids = prev.ids
+        var sigs = prev.sigs
+        val out = scala.collection.mutable.ArrayBuffer.empty[SimhashPairOut]
+        // doc_id order inside the batch: emission CONTENT is order-free
+        // (pure signature function), this just keeps logs reproducible
+        it.toArray.sortBy(_.doc_id).foreach { a =>
+          if (!ids.contains(a.doc_id)) {
+            var i = 0
+            while (i < ids.length) {
+              val h = java.lang.Long.bitCount(sigs(i) ^ a.sig)
+              if (h <= maxHamming)
+                out += SimhashPairOut(math.min(ids(i), a.doc_id),
+                  math.max(ids(i), a.doc_id), h)
+              i += 1
+            }
+            ids = ids :+ a.doc_id
+            sigs = sigs :+ a.sig
+          }
+        }
+        if (ids.length > maxBucket)
+          throw new IllegalStateException(
+            s"simhash bucket $key grew past $maxBucket (${ids.length}): " +
+              "collapse exact dups upstream before streaming near-dup detection")
+        state.update(SimhashBucketState(ids, sigs))
+        out.iterator
+      }
+
+      val name = s"stream_simhash_${math.abs(System.identityHashCode(spark)).toString}"
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = arrivals
+        .groupByKey(a => (a.band, a.key))
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      deleteRecursively(tmp)
+      // a qualifying pair can collide in several bands (and so emit from
+      // several buckets): the cross-band union dedupes exactly like the
+      // batch path's dropDuplicates
+      spark.table(name)
+        .dropDuplicates("doc_a", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b"))
     }
 
   /** STREAMING Count-Min accumulation: the corpus arrives as a file stream

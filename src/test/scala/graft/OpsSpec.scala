@@ -433,6 +433,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed simhash dedup equals the batch pairs exactly (chunked arrival)") {
+    val streamed = graft.streaming.StreamingOps.streamDedupSimhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "corpus must contain simhash near-dups")
+    assert(streamed == batch,
+      s"stream-batch divergence: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
+  }
+
   test("pii scrub redacts emails/ips/phones with exact counts, idempotently") {
     import spark.implicits._
     val df = Seq(
