@@ -2509,6 +2509,41 @@ object Queries {
       |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
       |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Batch replay of StreamingOps.streamPipelineIngest: quality filter →
+    * canonical min-doc_id per fingerprint → deterministic mixture ticket.
+    * Every stage reuses an idiom proven by an existing oracle
+    * (pretraining-filter features, min-per-fp dedup, the stratified
+    * ticket's md5_number_lower + signed-pmod replay).
+    */
+  private val streamPipelineIngestSql =
+    """WITH u AS (
+      |  SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(-doc_id - 1 AS BIGINT), lang, text
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |feat AS (
+      |  SELECT doc_id, lang, md5(lower(trim(text))) AS fp,
+      |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
+      |      length(text) AS nonalpha_ratio
+      |  FROM u),
+      |kept AS (
+      |  SELECT * FROM feat WHERE n_tokens >= 5 AND nonalpha_ratio < 0.3),
+      |canon AS (
+      |  SELECT fp, min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang
+      |  FROM kept GROUP BY fp),
+      |tk AS (
+      |  SELECT doc_id, lang, fp,
+      |    CAST(((CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+      |               ELSE h END) % 10000 + 10000) % 10000 AS INT) AS ticket,
+      |    CASE WHEN lang = 'fr' THEN 8000
+      |         WHEN lang = 'es' THEN 6000
+      |         WHEN lang = 'en' THEN 3500 ELSE 10000 END AS threshold
+      |  FROM (SELECT *, md5_number_lower('strat:' || CAST(doc_id AS VARCHAR)) AS h
+      |        FROM canon))
+      |SELECT doc_id, lang, fp FROM tk WHERE ticket < threshold
+      |ORDER BY doc_id""".stripMargin
+
   /** The WHOLE pretraining data pipeline as ONE Spark DAG — quality
     * filter → exact dedup → deterministic split → benchmark
     * decontamination → context-window packing — emitting the per
@@ -2902,7 +2937,9 @@ object Queries {
     // (the qualifying pair set is chunking/arrival-order invariant — see
     // StreamingOps.streamDedupSimhash)
     "stream_dedup_simhash" -> ((s: SparkSession, dir: String) =>
-      graft.streaming.StreamingOps.streamDedupSimhash(s, dir))
+      graft.streaming.StreamingOps.streamDedupSimhash(s, dir)),
+    "stream_pipeline_ingest" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamPipelineIngest(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -3010,6 +3047,7 @@ object Queries {
     "disagg_many_chowlin" -> disaggManyChowLinSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "pipeline_mix_weights" -> pipelineMixWeightsSql,
-    "stream_dedup_simhash" -> dedupSimhashSql
+    "stream_dedup_simhash" -> dedupSimhashSql,
+    "stream_pipeline_ingest" -> streamPipelineIngestSql
   )
 }

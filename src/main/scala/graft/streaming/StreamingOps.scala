@@ -26,6 +26,12 @@ case class SimhashArrival(band: Int, key: Long, doc_id: Long, sig: Long)
 case class SimhashBucketState(ids: Array[Long], sigs: Array[Long])
 case class SimhashPairOut(doc_a: Long, doc_b: Long, hamming: Int)
 
+// Streaming ingest pipeline: quality-filtered arrivals keyed by content
+// fingerprint; per-fp state is one boolean (seen), so the corpus-side
+// state is O(#distinct fingerprints) booleans, never documents.
+case class IngestDoc(fp: String, doc_id: Long, lang: String)
+case class IngestOut(doc_id: Long, lang: String, fp: String)
+
 /** Structured-Streaming surface: the same windowed aggregations the batch
   * layer exposes, expressed as a streaming query so the engine covers
   * continuous ingestion. For the harness the parquet events table is driven
@@ -722,6 +728,110 @@ object StreamingOps {
       spark.table(name)
         .dropDuplicates("doc_a", "doc_b")
         .orderBy(col("doc_a"), col("doc_b"))
+    }
+
+  /** STREAMING INGEST PIPELINE — the "at-least-once source → exactly-once
+    * training corpus" shape, as ONE streaming query: quality filter
+    * (stateless, the pretraining-filter thresholds) → exact dedup keeping
+    * the canonical min-doc_id per content fingerprint (stateful) →
+    * deterministic mixture sampling (stateless hash ticket). The result
+    * EQUALS the batch formulation (filter → min-per-fp → ticket), which is
+    * what the DuckDB oracle replays.
+    *
+    * Canonical selection without retraction: streaming cannot revoke an
+    * emitted doc when a smaller duplicate arrives later, so the harness
+    * stages chunks in ASCENDING doc_id ranges (ntile over doc_id) — the
+    * min member of every fingerprint group arrives no later than any
+    * other member, making first-batch-wins + min-within-batch equal the
+    * batch min-per-fp rule. On a production stream the same guarantee
+    * comes from any monotone id assignment (e.g. ingest sequence numbers).
+    *
+    * State: ONE boolean per distinct fingerprint — the document text never
+    * enters the state store. Replayed arrivals are no-ops (fp already
+    * seen), which is exactly the at-least-once → exactly-once property.
+    */
+  def streamPipelineIngest(outer: SparkSession, dir: String): DataFrame = {
+    val base = outer.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // the small-sf corpora contain NO exact duplicates, which would leave
+    // the dedup stage green-but-vacuous: plant verbatim copies of every
+    // 50th doc under NEGATIVE ids. The canonical-min rule must then emit
+    // the PLANTED ids — visible in the output, so the driver's oracle
+    // check proves the stateful dedup actually selected canonicals across
+    // the group (same de-vacuizing pattern as dedup_embedding_cosine).
+    val planted = base.where(pmod(col("doc_id"), lit(50)) === 0)
+      .select((-col("doc_id") - 1).as("doc_id"), col("lang"), col("text"))
+    streamPipelineIngestOf(base.unionAll(planted))
+  }
+
+  /** See [[streamPipelineIngest]]; exposed on a frame so tests can feed
+    * synthetic corpora. `docs` must be (doc_id, lang, text).
+    */
+  def streamPipelineIngestOf(docsIn: DataFrame): DataFrame =
+    withStreamingPartitions(docsIn.sparkSession, 8) { spark =>
+      import spark.implicits._
+      val docs = docsIn.select(col("doc_id"), col("lang"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("stream_ingest")
+      val nChunks = 3
+      val bounds = docs.select(
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))).as("b"),
+        col("doc_id"), col("lang"), col("text"))
+      (1 to nChunks).foreach(b =>
+        stageOne(bounds.where(col("b") === b).drop("b"), tmp, s"chunk$b"))
+
+      val stream = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      // quality gate: same features/thresholds as pipeline_pretraining_filter
+      val toks = split(trim(col("text")), "\\s+")
+      val filtered = stream
+        .withColumn("n_tokens", size(toks))
+        .withColumn("nonalpha_ratio",
+          length(regexp_replace(col("text"), "[a-z ]", "")).cast(DoubleType) /
+            length(col("text")))
+        .where(col("n_tokens") >= 5 && col("nonalpha_ratio") < 0.3)
+        .select(md5(lower(trim(col("text")))).as("fp"),
+          col("doc_id"), col("lang"))
+        .as[IngestDoc]
+
+      def fn(fp: String, it: Iterator[IngestDoc],
+             state: GroupState[Boolean]): Iterator[IngestOut] =
+        if (state.exists) Iterator.empty // duplicate/replay: already ingested
+        else {
+          state.update(true)
+          val canonical = it.reduce((a, b) => if (a.doc_id <= b.doc_id) a else b)
+          Iterator.single(IngestOut(canonical.doc_id, canonical.lang, fp))
+        }
+
+      val canon = filtered.groupByKey(_.fp)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+
+      // deterministic mixture sampling on the canonical stream (stateless;
+      // identical ticket/threshold construction to pipeline_stratified_sample)
+      val ticket = pmod(
+        graft.functions.HashOps.md5Low64(
+          concat(lit("strat:"), col("doc_id").cast(StringType))),
+        lit(10000L)).cast(IntegerType)
+      val threshold = when(col("lang") === "fr", 8000)
+        .when(col("lang") === "es", 6000)
+        .when(col("lang") === "en", 3500)
+        .otherwise(10000)
+      val sampled = canon.toDF().where(ticket < threshold)
+
+      val name = s"stream_ingest_${math.abs(System.identityHashCode(spark)).toString}"
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = sampled.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      deleteRecursively(tmp)
+      spark.table(name).orderBy(col("doc_id"))
     }
 
   /** STREAMING Count-Min accumulation: the corpus arrives as a file stream

@@ -443,6 +443,41 @@ class OpsSpec extends AnyFunSuite {
       s"stream-batch divergence: only-stream=${streamed -- batch} only-batch=${batch -- streamed}")
   }
 
+  test("streaming ingest pipeline equals the batch filter->dedup->sample") {
+    val streamed = graft.streaming.StreamingOps.streamPipelineIngest(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val union = base.unionAll(base.where(pmod(col("doc_id"), lit(50)) === 0)
+      .select((-col("doc_id") - 1).as("doc_id"), col("lang"), col("text")))
+    val toks = split(trim(col("text")), "\\s+")
+    val kept = union
+      .withColumn("n_tokens", size(toks))
+      .withColumn("nonalpha_ratio",
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+          length(col("text")))
+      .where(col("n_tokens") >= 5 && col("nonalpha_ratio") < 0.3)
+      .select(md5(lower(trim(col("text")))).as("fp"), col("doc_id"), col("lang"))
+    val canon = kept.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("lang"), col("doc_id")).as("lang"))
+    val ticket = pmod(graft.functions.HashOps.md5Low64(
+      concat(lit("strat:"), col("doc_id").cast("string"))), lit(10000L)).cast("int")
+    val threshold = when(col("lang") === "fr", 8000)
+      .when(col("lang") === "es", 6000)
+      .when(col("lang") === "en", 3500).otherwise(10000)
+    val batch = canon.where(ticket < threshold)
+      .select(col("doc_id"), col("lang"), col("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"ingest divergence: only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    // non-vacuous: the stateful dedup must have SELECTED canonicals (the
+    // planted negative-id copies win the min rule and appear in the
+    // output), and the sampler must drop some canonical docs
+    assert(streamed.exists(_._1 < 0),
+      "planted duplicate canonicals missing: dedup stage not exercised")
+    assert(kept.count() > canon.count(), "planted dups must pass the filter")
+    assert(batch.size < canon.count(), "sampler must drop some canonical docs")
+  }
+
   test("pii scrub redacts emails/ips/phones with exact counts, idempotently") {
     import spark.implicits._
     val df = Seq(
