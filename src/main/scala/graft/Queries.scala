@@ -1863,6 +1863,44 @@ object Queries {
       |  list_max(err) <= scale / 2 AS bound_ok
       |FROM r ORDER BY vec_id""".stripMargin
 
+  /** Signed-random-projection dimensionality reduction
+    * (Similarity.randomProjection): 64-d float vectors → 16 projected
+    * doubles + the packed 16-bit hyperplane-LSH signature. The oracle
+    * re-derives the ±1 sign matrix from md5_number_lower("rp|j|i") — the
+    * same bits the Spark side gets from graft_md5_low64 — and replays
+    * every projection fold bit-exactly.
+    */
+  private def embedRandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(t(s, dir, "embeddings"))
+
+  private val embedRandomProjectionSql: String = {
+    val nProj = 16
+    // sign_ij as an inline expression: md5-low-64 >= 0 (signed) is
+    // raw UBIGINT < 2^63
+    def proj(j: Int): String =
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * " +
+        s"(CASE WHEN md5_number_lower('rp|$j|' || CAST(i-1 AS VARCHAR)) " +
+        s"< 9223372036854775808 THEN 1.0 ELSE -1.0 END))) AS p$j"
+    val projs = (0 until nProj).map(proj).mkString(",\n    ")
+    val bits = (0 until nProj)
+      .map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val sqNormP = (0 until nProj).map(j => s"p$j * p$j").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(v, x -> x * x)) AS nv,
+       |    $projs
+       |  FROM e)
+       |SELECT vec_id, CAST($bits AS INT) AS srp_bits,
+       |  p0, p1, p2, p3,
+       |  CASE WHEN nv = 0 THEN NULL
+       |       ELSE ($sqNormP) / (16.0 * nv) END AS jl_ratio
+       |FROM p ORDER BY vec_id""".stripMargin
+  }
+
   private def textLangId(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val feat = TextOps.langIdFeatures(col("text"))
@@ -2324,6 +2362,68 @@ object Queries {
       |FROM exact e LEFT JOIN kth k USING (lang)
       |ORDER BY e.lang""".stripMargin
 
+  /** Per-event-type quantile estimation from the mergeable bottom-k sample
+    * sketch (Sketches.quantileBottomK), audited against exact quantiles and
+    * the estimate's exact rank. Unlike GK/KLL, the retained sample is
+    * merge-order independent ("k smallest hashes of the union"), so the
+    * oracle replays the ENTIRE sketch — sample selection, quantile
+    * read-off, realized rank error — not just an accuracy boolean.
+    */
+  private def sketchQuantileBottomK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.quantileBottomK(
+      graft.streaming.StreamingOps.events(s, dir))
+
+  private val sketchQuantileBottomKSql =
+    """WITH ev AS (SELECT event_type, event_id, value FROM events),
+      |h AS (
+      |  SELECT event_type, event_id, value,
+      |    (CASE WHEN hu >= 9223372036854775808
+      |          THEN CAST(hu - 18446744073709551616 AS BIGINT)
+      |          ELSE CAST(hu AS BIGINT) END) AS hs
+      |  FROM (SELECT event_type, event_id, value,
+      |          md5_number_lower(CAST(event_id AS VARCHAR)) AS hu FROM ev)),
+      |samp AS (
+      |  SELECT event_type, value
+      |  FROM (SELECT event_type, value,
+      |          row_number() OVER (PARTITION BY event_type
+      |            ORDER BY hs, event_id) AS r
+      |        FROM h)
+      |  WHERE r <= 256),
+      |sm AS (SELECT event_type, count(*) AS m FROM samp GROUP BY event_type),
+      |sq AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr
+      |  FROM samp),
+      |qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS t(q)),
+      |est AS (
+      |  SELECT s.event_type, q.q, m.m AS sample_m, s.value AS est
+      |  FROM sq s JOIN sm m USING (event_type)
+      |  JOIN qs q ON s.vr = CAST(ceil(q.q * m.m) AS BIGINT)),
+      |n AS (SELECT event_type, count(*) AS n FROM ev GROUP BY event_type),
+      |fq AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr
+      |  FROM ev),
+      |exq AS (
+      |  SELECT f.event_type, q.q, f.value AS exact_q, n.n
+      |  FROM fq f JOIN n USING (event_type)
+      |  JOIN qs q ON f.vr = CAST(ceil(q.q * n.n) AS BIGINT)),
+      |rk AS (
+      |  SELECT e.event_type, est.q,
+      |    CAST(sum(CASE WHEN e.value <= est.est THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS est_rank
+      |  FROM ev e JOIN est ON e.event_type = est.event_type
+      |  GROUP BY e.event_type, est.q)
+      |SELECT est.event_type, est.q, exq.n,
+      |  CAST(est.sample_m AS INT) AS sample_m,
+      |  est.est, rk.est_rank, exq.exact_q,
+      |  abs(CAST(rk.est_rank AS DOUBLE) / exq.n - est.q) AS rank_err,
+      |  abs(CAST(rk.est_rank AS DOUBLE) / exq.n - est.q) <= 0.1 AS sketch_ok
+      |FROM est
+      |JOIN exq ON est.event_type = exq.event_type AND est.q = exq.q
+      |JOIN rk ON est.event_type = rk.event_type AND est.q = rk.q
+      |ORDER BY est.event_type, est.q""".stripMargin
+
   private val textTokenFrequenciesSql =
     """SELECT token, count(*) AS n
       |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
@@ -2432,6 +2532,130 @@ object Queries {
       |  CAST(length(scrubbed) AS INT) AS len_scrubbed,
       |  md5(scrubbed) AS scrub_md5
       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The Gopher quality-rule filter (TextOps.gopherRuleColumns; Rae et al.
+    * 2021 §A.1.1) evaluated per document. The synthetic corpus has no
+    * symbols, bullets or ellipses (grep-verified), so the query PLANTS
+    * deterministic suffixes in its own derivation — every 5th doc gets
+    * hash symbols, every 7th ellipsis runs, every 11th bulleted lines —
+    * built identically from doc_id on both engines (the textPiiScrub
+    * de-vacuizing pattern), so the bullet/ellipsis/symbol rules fire on
+    * real content and the word-count rule flips around the planted-suffix
+    * boundary. The 50-word minimum splits the natural corpus (10..99
+    * words, median 56) on its own. Zero-shuffle projection.
+    */
+  private def textGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val txt = concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" ## tag #"), pmod(col("doc_id"), lit(7)).cast(StringType)))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        lit(" see more ... and more ...")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        lit("\n- first point\n- second point\n* third point"))
+        .otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), txt.as("txt"))
+      // materialize the arrays BEFORE the rule lambdas (HOF re-evaluation)
+      .select(col("doc_id"), col("txt"),
+        graft.ops.Dedup.tokens(col("txt")).as("toks"),
+        split(col("txt"), "\n").as("lines"))
+      .select(col("doc_id") +: TextOps.gopherRuleColumns(
+        col("txt"), col("toks"), col("lines")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val textGopherRulesSql: String = {
+    val nStopSql = TextOps.gopherStopwords
+      .map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' ## tag #' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN ' see more ... and more ...' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |         THEN chr(10) || '- first point' || chr(10) || '- second point'
+       |           || chr(10) || '* third point' ELSE '' END AS txt
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, txt,
+       |    regexp_split_to_array(trim(lower(txt)), '\\s+') AS toks,
+       |    str_split(txt, chr(10)) AS lines
+       |  FROM p),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_words,
+       |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+       |      / len(toks) AS mean_word_len,
+       |    ((length(txt) - length(replace(txt, '#', ''))) / 1
+       |     + (length(txt) - length(replace(txt, '...', ''))) / 3)
+       |      / len(toks) AS symbol_ratio,
+       |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+       |      AS DOUBLE) / len(toks) AS frac_alpha_words,
+       |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+       |      OR starts_with(ltrim(l), '* '))) AS DOUBLE) / len(lines)
+       |      AS frac_bullet_lines,
+       |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')))
+       |      AS DOUBLE) / len(lines) AS frac_ellipsis_lines,
+       |    $nStopSql AS n_stopwords_hit
+       |  FROM f)
+       |SELECT doc_id,
+       |  CAST(n_words AS INT) AS n_words, mean_word_len, symbol_ratio,
+       |  frac_alpha_words, frac_bullet_lines, frac_ellipsis_lines,
+       |  CAST(n_stopwords_hit AS INT) AS n_stopwords_hit,
+       |  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+       |  (symbol_ratio < 0.1) AS pass_symbol_ratio,
+       |  (frac_bullet_lines < 0.9) AS pass_bullet_lines,
+       |  (frac_ellipsis_lines < 0.3) AS pass_ellipsis_lines,
+       |  (frac_alpha_words >= 0.8) AS pass_alpha_words,
+       |  (n_stopwords_hit >= 2) AS pass_stopwords,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND symbol_ratio < 0.1 AND frac_bullet_lines < 0.9
+       |   AND frac_ellipsis_lines < 0.3 AND frac_alpha_words >= 0.8
+       |   AND n_stopwords_hit >= 2) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Cross-document n-gram NOVELTY: for each document, the fraction of its
+    * distinct 3-token shingles that occur in no other document — the
+    * corpus-level companion of text_repetition's within-doc signals (high
+    * novelty = fresh content; low novelty = boilerplate shared across the
+    * corpus, the thing pretraining pipelines downweight). Classic inverted
+    * index: explode distinct shingles, hash each to the cross-engine
+    * 64-bit md5 (8 B/shingle through the shuffle instead of ~30 B of
+    * string — the at-scale width), groupBy hash with map-side combine,
+    * join the per-shingle document frequency back, one per-doc agg. Every
+    * emitted number is an exact integer or one correctly-rounded int/int
+    * division, so the oracle replays values bit-exactly (hash EQUALITY
+    * structure is engine-identical: md5_number_lower is a bijection of
+    * graft_md5_low64).
+    */
+  private def textNovelty(s: SparkSession, dir: String): DataFrame =
+    TextOps.noveltySignals(t(s, dir, "documents"))
+
+  private val textNoveltySql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |px AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |hx AS (SELECT doc_id, md5_number_lower(s) AS h FROM px),
+      |df AS (SELECT h, count(*) AS n_docs FROM hx GROUP BY h),
+      |agg AS (
+      |  SELECT x.doc_id,
+      |    CAST(count(*) AS INT) AS n_shingles,
+      |    CAST(sum(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END) AS INT) AS n_novel
+      |  FROM hx x JOIN df d USING (h)
+      |  GROUP BY x.doc_id)
+      |SELECT doc_id, n_shingles, n_novel,
+      |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty_ratio
+      |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Mixture-weight planning (PipelineOps.mixtureWeights): the step that
     * COMPUTES the per-language rates pipeline_stratified_sample then
@@ -2899,6 +3123,7 @@ object Queries {
     "sim_knn_graph" -> simKnnGraph _,
     "sim_semdedup" -> simSemDedup _,
     "embed_quantize_int8" -> embedQuantizeInt8 _,
+    "embed_random_projection" -> embedRandomProjection _,
     "text_tfidf" -> textTfidf _,
     "text_lang_id" -> textLangId _,
     "text_rolling_fingerprint" -> textRollingFingerprint _,
@@ -2907,6 +3132,7 @@ object Queries {
     "sketch_heavy_hitters" -> sketchHeavyHitters _,
     "sketch_count_min" -> sketchCountMin _,
     "sketch_kmv_distinct" -> sketchKmvDistinct _,
+    "sketch_quantile_bottomk" -> sketchQuantileBottomK _,
     "stream_count_min" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamCountMin(s, dir)),
     "sample_split_deterministic" -> sampleSplitDeterministic _,
@@ -2932,6 +3158,8 @@ object Queries {
     "stream_join_click_purchase" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamClickPurchaseJoin(s, dir)),
     "text_pii_scrub" -> textPiiScrub _,
+    "text_gopher_rules" -> textGopherRules _,
+    "text_novelty" -> textNovelty _,
     "pipeline_mix_weights" -> pipelineMixWeights _,
     // streaming near-dup detection; shares the batch dedup_simhash oracle
     // (the qualifying pair set is chunking/arrival-order invariant — see
@@ -2991,6 +3219,7 @@ object Queries {
     "sim_cosine_ivf" -> simCosineIvfSql,
     "sim_semdedup" -> simSemDedupSql,
     "embed_quantize_int8" -> embedQuantizeInt8Sql,
+    "embed_random_projection" -> embedRandomProjectionSql,
     "text_tfidf" -> textTfidfSql,
     "sim_knn_graph" -> simKnnGraphSql,
     "text_lang_id" -> textLangIdSql,
@@ -3003,6 +3232,7 @@ object Queries {
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,
     "sketch_count_min" -> sketchCountMinSql,
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
+    "sketch_quantile_bottomk" -> sketchQuantileBottomKSql,
     // streamed CM accumulation is bit-equal to batch by additivity, so the
     // streaming query replays the SAME oracle
     "stream_count_min" -> sketchCountMinSql,
@@ -3046,6 +3276,8 @@ object Queries {
     "stream_disagg_incremental" -> disaggManySeriesSql,
     "disagg_many_chowlin" -> disaggManyChowLinSql,
     "text_pii_scrub" -> textPiiScrubSql,
+    "text_gopher_rules" -> textGopherRulesSql,
+    "text_novelty" -> textNoveltySql,
     "pipeline_mix_weights" -> pipelineMixWeightsSql,
     "stream_dedup_simhash" -> dedupSimhashSql,
     "stream_pipeline_ingest" -> streamPipelineIngestSql

@@ -286,6 +286,57 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Signed random projection (SRP / hyperplane LSH, Charikar STOC'02) to
+    * `nProj` dimensions: proj_j = Σ_i sign_ij · v_i with sign_ij = ±1
+    * derived from the cross-engine md5-low-64 bits of "rp|j|i". The sign
+    * matrix is DATA-INDEPENDENT, so it is built once driver-side (nProj×dim
+    * literals riding in the plan — no join, no shuffle) and the projection
+    * runs as a pure map at scan speed; `srp_bits` packs the nProj
+    * projection signs into the hyperplane-LSH bucket key a banded ANN
+    * stage shuffles on (8 B/vector instead of dim×4 B — the
+    * dimensionality-reduction half of dedup_embedding_cosine's banding).
+    *
+    * Every projected double is a left-to-right fold over products of
+    * exact operands (matching DuckDB's list_sum fold — the sim_cosine_ivf
+    * determinism argument), so the oracle replays all values bit-exactly,
+    * including the Johnson-Lindenstrauss norm ratio ‖p‖²/(nProj·‖v‖²)
+    * whose expectation is 1.
+    *
+    * `dim` is schema knowledge the caller supplies (the corpus is 64-wide);
+    * vectors shorter than `dim` would zip-truncate, not error.
+    */
+  def randomProjection(
+      embeddings: DataFrame, nProj: Int = 16, dim: Int = 64): DataFrame = {
+    require(nProj <= 31, "srp_bits packs signs into a signed 32-bit int")
+    val signs: IndexedSeq[Seq[Double]] = IndexedSeq.tabulate(nProj) { j =>
+      Seq.tabulate(dim) { i =>
+        if (Sketches.md5Low64String(s"rp|$j|$i") >= 0) 1.0 else -1.0
+      }
+    }
+    val e = prepared(embeddings)
+    val projCols = (0 until nProj).map { j =>
+      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
+        lit(0.0), (acc, x) => acc + x).as(s"p$j")
+    }
+    val sqNormV =
+      aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x).as("nv")
+    // materialize the projections before reusing them (each p_j is a
+    // 64-element fold; bits/norm must reference attributes, not copies)
+    val projected = e.select(col("vec_id") +: sqNormV +: projCols: _*)
+    val bits = (0 until nProj)
+      .map(j => when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast(IntegerType)
+    val sqNormP = (0 until nProj)
+      .map(j => col(s"p$j") * col(s"p$j"))
+      .reduce(_ + _)
+    projected.select(col("vec_id"), bits.as("srp_bits"),
+        col("p0"), col("p1"), col("p2"), col("p3"),
+        when(col("nv") === 0.0, lit(null).cast("double"))
+          .otherwise(sqNormP / (lit(nProj.toDouble) * col("nv")))
+          .as("jl_ratio"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-style ANN: probe the `nProbe` centroid buckets closest to the
     * query, exact cosine within them.
     */

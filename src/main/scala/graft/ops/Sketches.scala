@@ -196,6 +196,66 @@ object BloomBits extends Aggregator[String, Array[Long], Array[Long]] {
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
 }
 
+/** MERGEABLE bottom-k sample sketch for quantile estimation (the bottom-k
+  * / coordinated-sampling design of Cohen & Kaplan, PODS'07, applied to
+  * rank queries): keep the k (hash, valueBits) pairs with the SMALLEST
+  * cross-engine md5-low-64 hashes of the row key. Like [[KMinValues]],
+  * "k smallest of the union" is a deterministic function of the underlying
+  * SET — merge-order INDEPENDENT — so the retained sample, and therefore
+  * every quantile estimate read off it, replays EXACTLY in SQL
+  * (row_number() OVER (ORDER BY hash) <= k), unlike GK/KLL summaries whose
+  * retained points depend on merge order and survive only as an
+  * error-bound boolean. The sample is uniform-without-replacement (a hash
+  * permutation is exchangeable), so the DKW inequality bounds the rank
+  * error: P(sup_q |F̂⁻¹ rank error| > ε) <= 2·exp(−2kε²) — at k = 256,
+  * ε = 0.1 fails with probability < 1.2%, and on a FIXED corpus the
+  * realized error is a deterministic, oracle-hashable number. O(k) state
+  * per group through the partial-agg shuffle regardless of group size.
+  *
+  * Buffer layout: interleaved [h₀, bits₀, h₁, bits₁, …] sorted by hash
+  * (signed), value stored as raw IEEE bits. A duplicate hash is skipped —
+  * distinct-by-key semantics (a replayed row is a no-op; a true 64-bit
+  * collision between different keys is ~n²/2⁶⁴ ≈ 10⁻¹⁰ here).
+  */
+class BottomKSample(k: Int)
+    extends Aggregator[(String, Long, Double), Array[Long], Array[Long]]
+    with Serializable {
+  override def zero: Array[Long] = Array.empty[Long]
+
+  private def insert(b: Array[Long], h: Long, bits: Long): Array[Long] = {
+    val m = b.length / 2
+    if (m == k && h >= b(2 * (m - 1))) return b
+    var lo = 0
+    var hi = m
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (b(2 * mid) < h) lo = mid + 1 else hi = mid
+    }
+    if (lo < m && b(2 * lo) == h) return b // duplicate key: no-op
+    val nm = math.min(m + 1, k)
+    val out = new Array[Long](2 * nm)
+    System.arraycopy(b, 0, out, 0, 2 * lo)
+    out(2 * lo) = h
+    out(2 * lo + 1) = bits
+    val tailPairs = nm - lo - 1
+    if (tailPairs > 0) System.arraycopy(b, 2 * lo, out, 2 * (lo + 1), 2 * tailPairs)
+    out
+  }
+
+  override def reduce(b: Array[Long], t: (String, Long, Double)): Array[Long] =
+    insert(b, Sketches.md5Low64String(t._2.toString),
+      java.lang.Double.doubleToRawLongBits(t._3))
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var out = a
+    var i = 0
+    while (i < b.length / 2) { out = insert(out, b(2 * i), b(2 * i + 1)); i += 1 }
+    out
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+}
+
 object Sketches {
 
   /** JVM-side twin of the native [[graft.functions.Md5Low64]] expression
@@ -345,6 +405,70 @@ object Sketches {
       .withColumn("sketch_ok",
         abs(col("est") / col("n_distinct") - 1.0) <= 0.5)
       .orderBy(col(groupCol))
+  }
+
+  /** Per-group quantile estimation from the [[BottomKSample]] sketch,
+    * audited against the exact quantiles. For each group and each q in
+    * `qs`: the estimate is the sample value at rank ceil(q·m) of the
+    * value-sorted sample (m = sample size); the audit computes the exact
+    * quantile at rank ceil(q·n) of the full group, plus the estimate's
+    * exact rank (count of values <= est) and the realized rank error
+    * |rank/n − q| — deterministic on fixed data, so every column
+    * hash-replays. `sketch_ok` pins the DKW ε = 0.1 band (k = 256:
+    * violation probability < 1.2% per (group, q); on this corpus it holds,
+    * and the realized errors are themselves part of the hashed surface).
+    *
+    * Scale: the sketch side shuffles <= 2k longs per group (partial
+    * bottom-k arrays, map-side combined). The exact side (full-group
+    * window sort + rank count) exists to GRADE the sketch at test scale —
+    * at 100 TB only the sketch pass runs, and the answer is the tiny
+    * estRows frame.
+    */
+  def quantileBottomK(
+      events: DataFrame,
+      k: Int = 256,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("event_type"), col("event_id"), col("value"))
+    val sketches = ev.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new BottomKSample(k).toColumn.name("bk"))
+      .toDF("event_type", "bk")
+    // one row per (group, q): decode + sort the O(k) sample
+    val estRows = sketches.as[(String, Array[Long])].flatMap { case (et, bk) =>
+      val values = Array.tabulate(bk.length / 2)(i =>
+        java.lang.Double.longBitsToDouble(bk(2 * i + 1)))
+      java.util.Arrays.sort(values)
+      val m = values.length
+      qs.map { q =>
+        val idx = math.ceil(q * m).toInt
+        (et, q, m, values(idx - 1))
+      }
+    }.toDF("event_type", "q", "sample_m", "est")
+
+    val n = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val ranked = ev.select(col("event_type"), col("value"))
+      .withColumn("vr", row_number().over(w))
+    val exactQ = ranked.join(broadcast(n), Seq("event_type"))
+      .crossJoin(broadcast(qs.toDF("q")))
+      .where(col("vr").cast("long") === ceil(col("q") * col("n")))
+      .select(col("event_type"), col("q"), col("value").as("exact_q"), col("n"))
+    val estRank = ev.join(broadcast(estRows), Seq("event_type"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(sum(when(col("value") <= col("est"), 1L).otherwise(0L))
+        .as("est_rank"))
+    estRows.join(exactQ, Seq("event_type", "q"))
+      .join(estRank, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n"),
+        col("sample_m").cast("int").as("sample_m"),
+        col("est"), col("est_rank"), col("exact_q"),
+        abs(col("est_rank").cast("double") / col("n") - col("q"))
+          .as("rank_err"))
+      .withColumn("sketch_ok", col("rank_err") <= 0.1)
+      .orderBy(col("event_type"), col("q"))
   }
 
   def heavyHitters(

@@ -203,6 +203,104 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  // -------------------------------------------------- cross-doc novelty
+
+  /** Cross-document n-gram novelty: for each document, how many of its
+    * distinct n-token shingles occur in NO other document. Inverted-index
+    * shape: explode distinct shingles, hash to the cross-engine 64-bit md5
+    * (8 B through the shuffle instead of ~30 B of string), groupBy hash
+    * with map-side combine, join document frequency back, one per-doc agg.
+    * See Queries.textNovelty for the oracle-determinism argument.
+    */
+  def noveltySignals(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val pairs = Dedup.withShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"),
+        graft.functions.HashOps.md5Low64(col("shingle")).as("h"))
+    val docFreq = pairs.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    pairs.join(docFreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_shingles"),
+        sum(when(col("n_docs") === 1, 1).otherwise(0))
+          .cast(IntegerType).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_shingles"))
+          .as("novelty_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- Gopher rule set
+
+  /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * §A.1.1) — the canonical pretraining heuristic filter: word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio, bullet-line /
+    * ellipsis-line fractions, alphabetic-word fraction, and a required-
+    * stopword count. Each rule is evaluated per document as a codegen'd
+    * column expression over materialized token/line arrays — a pure
+    * zero-shuffle projection that filters 100 TB at scan speed.
+    *
+    * Every emitted number is an exact integer or a correctly-rounded
+    * double of exact-integer operands, so the DuckDB oracle replays all
+    * values bit-exactly. The stopword list is parameterized (real
+    * pipelines plug their language's list in); the default mixes the
+    * paper's English function words with this corpus's frequent tokens so
+    * the >=2-distinct rule splits the corpus non-vacuously.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "be", "with", "that")
+
+  /** Per-document Gopher rule evaluation over (doc_id, txt, toks, lines)
+    * where `toks`/`lines` are MATERIALIZED array columns (the HOF rule —
+    * see [[Dedup.shinglesFromTokens]]). Returns the feature + flag columns.
+    */
+  def gopherRuleColumns(
+      txt: Column, toks: Column, lines: Column): Seq[Column] = {
+    val nWords = size(toks)
+    val meanWordLen =
+      aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast(DoubleType) /
+        nWords
+    val symbolRatio =
+      (occurrences(txt, "#") + occurrences(txt, "...")) / nWords
+    val fracAlpha =
+      size(filter(toks, w => w.rlike("[a-z]"))).cast(DoubleType) / nWords
+    val fracBullet =
+      size(filter(lines, l => startswith(ltrim(l), lit("- ")) ||
+        startswith(ltrim(l), lit("* ")))).cast(DoubleType) / size(lines)
+    val fracEllipsis =
+      size(filter(lines, l => endswith(rtrim(l), lit("..."))))
+        .cast(DoubleType) / size(lines)
+    val nStop = gopherStopwords
+      .map(w => array_contains(toks, w).cast(IntegerType))
+      .reduce(_ + _)
+    val passWordCount = nWords >= 50 && nWords <= 100000
+    val passMeanLen = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val passSymbol = symbolRatio < 0.1
+    val passBullet = fracBullet < 0.9
+    val passEllipsis = fracEllipsis < 0.3
+    val passAlpha = fracAlpha >= 0.8
+    val passStop = nStop >= 2
+    Seq(
+      nWords.cast(IntegerType).as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      fracAlpha.as("frac_alpha_words"),
+      fracBullet.as("frac_bullet_lines"),
+      fracEllipsis.as("frac_ellipsis_lines"),
+      nStop.as("n_stopwords_hit"),
+      passWordCount.as("pass_word_count"),
+      passMeanLen.as("pass_mean_word_len"),
+      passSymbol.as("pass_symbol_ratio"),
+      passBullet.as("pass_bullet_lines"),
+      passEllipsis.as("pass_ellipsis_lines"),
+      passAlpha.as("pass_alpha_words"),
+      passStop.as("pass_stopwords"),
+      (passWordCount && passMeanLen && passSymbol && passBullet &&
+        passEllipsis && passAlpha && passStop).as("keep"))
+  }
+
   // ------------------------------------------------------------ PII scrub
 
   /** PII patterns for the redaction step (the C4-style scrub; see Raffel

@@ -887,4 +887,121 @@ class OpsSpec extends AnyFunSuite {
     // df sanity: a token appearing in every doc scores N/df == 1 per occurrence
     assert(out.forall { case (_, _, _, tf, df, _) => tf >= 1 && df >= 1 && df <= n })
   }
+
+  test("bottom-k sample sketch: merge-order independent, duplicates are no-ops") {
+    val bk = new graft.ops.BottomKSample(16)
+    val rows = (0 until 200).map(i => ("g", i.toLong, i.toDouble * 1.5))
+    // three adversarial accumulation shapes must land on the SAME buffer:
+    // sequential, shuffled + uneven partitions, and with every row replayed
+    val seq1 = rows.foldLeft(bk.zero)(bk.reduce)
+    val shuffled = scala.util.Random.javaRandomToRandom(new java.util.Random(3))
+      .shuffle(rows)
+    val seq2 = shuffled.grouped(37).toSeq
+      .map(p => p.foldLeft(bk.zero)(bk.reduce))
+      .reduce(bk.merge)
+    val seq3 = (rows ++ rows).foldLeft(bk.zero)(bk.reduce)
+    assert(seq1.toSeq == seq2.toSeq, "merge order changed the retained sample")
+    assert(seq1.toSeq == seq3.toSeq, "replayed rows must be no-ops")
+    assert(seq1.length == 32, "buffer holds exactly k (hash, bits) pairs")
+    // the retained pairs are the k smallest hashes of the whole key set
+    val allHashes = rows.map(t => graft.ops.Sketches.md5Low64String(t._2.toString))
+    val expect = allHashes.sorted.take(16)
+    assert((0 until 16).map(i => seq1(2 * i)) == expect)
+  }
+
+  test("quantile bottom-k: DKW band holds, sample caps at k, est within group range") {
+    val events = graft.streaming.StreamingOps.events(spark, dir)
+    val out = ops.Sketches.quantileBottomK(events).collect()
+    assert(out.nonEmpty && out.length % 4 == 0, "4 quantiles per event_type")
+    val nByType = events.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (et, q, n, m) = (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3))
+      assert(n == nByType(et))
+      assert(m == math.min(256L, n).toInt, "sample_m must be min(k, group size)")
+      val (est, estRank, exactQ, rankErr, ok) =
+        (r.getDouble(4), r.getLong(5), r.getDouble(6), r.getDouble(7), r.getBoolean(8))
+      assert(ok && rankErr <= 0.1, s"$et q=$q rank error $rankErr")
+      assert(rankErr == math.abs(estRank.toDouble / n - q))
+      // both the estimate and the exact quantile are real data values
+      assert(estRank >= 1 && estRank <= n)
+      assert((est <= exactQ) == (estRank <= math.ceil(q * n)) ||
+        est == exactQ, "rank ordering consistent with value ordering")
+    }
+  }
+
+  test("gopher rules: planted suffixes drive the bullet/ellipsis/symbol rules") {
+    val out = Queries.all("text_gopher_rules")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    byId.foreach { case (id, r) =>
+      val nWords = r.getInt(1)
+      val fracBullet = r.getDouble(5)
+      val fracEllipsis = r.getDouble(6)
+      // every 7th doc ends with a planted "..." and (single logical line
+      // unless also bulleted) must fail the ellipsis-line rule
+      if (id % 7 == 0 && id % 11 != 0)
+        assert(fracEllipsis == 1.0 && !r.getBoolean(12),
+          s"doc $id should fail the ellipsis rule")
+      // every 11th doc gains 3 bullet lines on top of its 1 natural line
+      if (id % 11 == 0)
+        assert(fracBullet == 0.75 && r.getBoolean(11),
+          s"doc $id should carry 3/4 bullet lines")
+      if (id % 5 != 0 && id % 7 != 0)
+        assert(r.getDouble(3) == 0.0, s"doc $id has no planted symbols")
+      // keep == conjunction of the seven flags
+      val flags = (8 to 14).map(r.getBoolean)
+      assert(r.getBoolean(15) == flags.forall(identity))
+      assert(nWords >= 1)
+    }
+    // the 50-word rule must split the natural corpus both ways
+    assert(out.exists(_.getBoolean(8)) && out.exists(!_.getBoolean(8)))
+  }
+
+  test("novelty: a planted verbatim duplicate zeroes both copies' novelty") {
+    val out = Queries.all("text_novelty")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length == docs.count())
+    out.foreach { case (_, nSh, nNovel, ratio) =>
+      assert(nSh >= 1 && nNovel >= 0 && nNovel <= nSh)
+      assert(ratio == nNovel.toDouble / nSh)
+    }
+    assert(out.exists(_._4 > 0.5), "the corpus should contain fresh content")
+    // plant a verbatim copy of the first doc under a new id: a doc sharing
+    // ALL its shingles with another must score exactly 0 novelty — on BOTH
+    val minId = docs.agg(min(col("doc_id"))).head().getLong(0)
+    val dup = docs.where(col("doc_id") === minId)
+      .select(lit(9000L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val withDup = TextOps.noveltySignals(docs.unionByName(dup)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(withDup(minId) == 0.0 && withDup(9000L) == 0.0,
+      s"duplicated docs scored ${withDup(minId)} / ${withDup(9000L)}")
+  }
+
+  test("random projection: exact 2x-linearity, stable bits, JL ratio sane") {
+    import spark.implicits._
+    val base = embeddings.limit(8)
+    val doubled = base.select(col("vec_id") + 1000L as "vec_id",
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+      col("label"))
+    val out = Similarity.randomProjection(base.unionAll(doubled))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    out.keys.filter(_ < 1000L).foreach { id =>
+      val (bits, p0, p1, p2, p3, jl) = out(id)
+      val (bits2, q0, q1, q2, q3, jl2) = out(id + 1000L)
+      // scaling by a power of two commutes with IEEE rounding, so the
+      // projection is EXACTLY homogeneous and the signs (bits) identical
+      assert(bits == bits2)
+      assert(q0 == 2 * p0 && q1 == 2 * p1 && q2 == 2 * p2 && q3 == 2 * p3)
+      assert(jl == jl2, "JL ratio is scale-invariant")
+      assert(jl > 0.05 && jl < 5.0, s"JL ratio $jl wildly off its mean of 1")
+    }
+    // determinism: a second run reproduces the projection bit-for-bit
+    val again = Similarity.randomProjection(base).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.keys.filter(_ < 1000L).foreach(id => assert(again(id) == out(id)._2))
+  }
 }

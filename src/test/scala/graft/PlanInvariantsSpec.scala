@@ -191,6 +191,38 @@ class PlanInvariantsSpec extends AnyFunSuite {
     forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
   }
 
+  test("gopher rules are a pure projection: one pruned scan, only the sort exchange") {
+    val p = plan("text_gopher_rules")
+    assert(countExchanges(p) <= 1, s"gopher rules must not shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p.take(600))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"projection not pruned to (doc_id, text): $readSchema")
+  }
+
+  test("random projection is a pure map: literal sign matrix, no join, no shuffle") {
+    val p = plan("embed_random_projection")
+    assert(countExchanges(p) <= 1, s"SRP must not shuffle:\n$p")
+    forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
+    assert(!p.contains("Join"), s"the sign matrix must ride as literals:\n$p")
+  }
+
+  test("novelty inverted index joins hash-to-hash and map-side combines") {
+    val p = plan("text_novelty")
+    forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
+    assert(p.contains("partial"),
+      s"doc-frequency agg must map-side combine:\n${p.take(800)}")
+    // explode pairs + df agg + join-side re-shuffle + per-doc agg + sort
+    assert(countExchanges(p) <= 5, s"novelty shuffles too much:\n$p")
+  }
+
+  test("quantile sketch shuffles O(k) partial samples; exact side only grades it") {
+    val p = plan("sketch_quantile_bottomk")
+    assert(p.contains("partial"),
+      s"bottom-k agg must partial-aggregate map-side:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("kmv sketch shuffles carry partial arrays, never the distinct-value set") {
     val p = plan("sketch_kmv_distinct")
     // shingle->kmv agg + exact-distinct agg + join + output sort
