@@ -3133,6 +3133,8 @@ object Queries {
     "sketch_count_min" -> sketchCountMin _,
     "sketch_kmv_distinct" -> sketchKmvDistinct _,
     "sketch_quantile_bottomk" -> sketchQuantileBottomK _,
+    "stream_quantile_bottomk" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamQuantileBottomK(s, dir)),
     "stream_count_min" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamCountMin(s, dir)),
     "sample_split_deterministic" -> sampleSplitDeterministic _,
@@ -3233,6 +3235,9 @@ object Queries {
     "sketch_count_min" -> sketchCountMinSql,
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_quantile_bottomk" -> sketchQuantileBottomKSql,
+    // the streamed bottom-k accumulation equals the batch sketch under any
+    // chunking (merge-order independence), so it replays the SAME oracle
+    "stream_quantile_bottomk" -> sketchQuantileBottomKSql,
     // streamed CM accumulation is bit-equal to batch by additivity, so the
     // streaming query replays the SAME oracle
     "stream_count_min" -> sketchCountMinSql,

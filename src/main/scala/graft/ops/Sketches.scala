@@ -434,9 +434,23 @@ object Sketches {
     val sketches = ev.as[(String, Long, Double)]
       .groupByKey(_._1)
       .agg(new BottomKSample(k).toColumn.name("bk"))
-      .toDF("event_type", "bk")
-    // one row per (group, q): decode + sort the O(k) sample
-    val estRows = sketches.as[(String, Array[Long])].flatMap { case (et, bk) =>
+      .collect() // one O(k) buffer per group — the sketch IS the small answer
+    quantileAuditWith(ev, sketches.toSeq, qs)
+  }
+
+  /** The audit side against already-built bottom-k buffers (shared by the
+    * batch query and the streaming accumulation, whose merged sketches are
+    * identical by merge-order independence — the [[CountMin]] sharing
+    * pattern).
+    */
+  def quantileAuditWith(
+      ev: DataFrame,
+      sketches: Seq[(String, Array[Long])],
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    // one row per (group, q): decode + sort the O(k) sample driver-side
+    val estRows = sketches.flatMap { case (et, bk) =>
       val values = Array.tabulate(bk.length / 2)(i =>
         java.lang.Double.longBitsToDouble(bk(2 * i + 1)))
       java.util.Arrays.sort(values)

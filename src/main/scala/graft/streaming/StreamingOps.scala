@@ -889,4 +889,63 @@ object StreamingOps {
         s"chunked staging must yield multiple micro-batches, got ${seen.size}")
       Sketches.countMinAuditWith(docs, total)
     }
+
+  /** STREAMING group-wise quantile estimation: per-micro-batch bottom-k
+    * buffers (graft.ops.BottomKSample) merged into a per-group accumulator.
+    * "k smallest hashes of the union" is merge-order INDEPENDENT, so the
+    * accumulated sketch — and every quantile read off it — is bit-equal to
+    * the batch sketch_quantile_bottomk under ANY chunking or arrival order,
+    * and the streaming query replays the SAME DuckDB oracle (the
+    * streamCountMin additivity pattern, extended to a non-additive but
+    * set-deterministic sketch). foreachBatch is at-least-once, so batchIds
+    * are recorded and replays skipped; state is O(groups · k) longs on the
+    * driver — the production shape would keep it in an aggregation state
+    * store, but the merge algebra is the point being exercised.
+    */
+  def streamQuantileBottomK(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
+      import graft.ops.{BottomKSample, Sketches}
+      val ev = events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("stream_bk")
+      val nChunks = 3
+      (0 until nChunks).foreach(i =>
+        stageOne(ev.where(pmod(col("event_id"), lit(nChunks)) === i), tmp, s"chunk$i"))
+
+      val bk = new BottomKSample(256)
+      val acc = scala.collection.mutable.Map.empty[String, Array[Long]]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val stream = spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!acc.synchronized(seen.contains(batchId))) {
+            val session = batch.sparkSession
+            import session.implicits._
+            val parts = batch
+              .select(col("event_type"), col("event_id"), col("value"))
+              .as[(String, Long, Double)]
+              .groupByKey(_._1)
+              .agg(bk.toColumn.name("bk"))
+              .collect()
+            acc.synchronized {
+              if (seen.add(batchId)) parts.foreach { case (et, b) =>
+                acc(et) = acc.get(et).map(a => bk.merge(a, b)).getOrElse(b)
+              }
+            }
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      deleteRecursively(tmp)
+      require(acc.synchronized(seen.size) >= 2,
+        s"chunked staging must yield multiple micro-batches, got ${seen.size}")
+      Sketches.quantileAuditWith(ev, acc.toSeq.sortBy(_._1))
+    }
 }

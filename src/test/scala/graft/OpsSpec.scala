@@ -930,6 +930,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed quantile sketch is bit-equal to the batch sketch") {
+    // merge-order independence: the accumulated per-chunk bottom-k buffers
+    // must land on the same retained sample as one batch pass, so the two
+    // audits agree on every double
+    val batch = ops.Sketches.quantileBottomK(
+      graft.streaming.StreamingOps.events(spark, dir))
+      .collect().map(_.toString).toSeq
+    val streamed = graft.streaming.StreamingOps.streamQuantileBottomK(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
   test("gopher rules: planted suffixes drive the bullet/ellipsis/symbol rules") {
     val out = Queries.all("text_gopher_rules")(spark, dir).collect()
     assert(out.nonEmpty)
