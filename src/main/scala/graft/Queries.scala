@@ -3048,6 +3048,38 @@ object Queries {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  private def streamLateData(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamLateData(s, dir)
+
+  /** Replays Spark's watermark arithmetic exactly: split at the midpoint
+    * micro, watermark = floor(max_ts to ms) − 1 h (Spark tracks event-time
+    * stats in milliseconds), a late row survives iff its 1-day window end
+    * is strictly past the watermark. Integer-exact end to end.
+    */
+  private val streamLateDataSql =
+    """WITH ev AS (
+      |  SELECT event_id, epoch_us(ts) AS ts_us, date_trunc('day', ts) AS day,
+      |    event_type, value
+      |  FROM events),
+      |b AS (SELECT min(ts_us) AS min_us, max(ts_us) AS max_us FROM ev),
+      |p AS (SELECT min_us + (max_us - min_us) // 2 AS split_us,
+      |             (max_us // 1000 - 3600000) * 1000 AS wm_us FROM b),
+      |x AS (
+      |  SELECT e.*,
+      |    (e.ts_us > p.split_us
+      |     OR epoch_us(e.day + INTERVAL 1 DAY) > p.wm_us) AS on_time
+      |  FROM ev e, p)
+      |SELECT day, event_type,
+      |  count(*) AS n_total,
+      |  CAST(sum(CASE WHEN on_time THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+      |  CAST(count(*) - sum(CASE WHEN on_time THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late_dropped,
+      |  coalesce(CAST(CAST(sum(CASE WHEN on_time
+      |    THEN CAST(value AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE), 0.0)
+      |    AS on_time_sum
+      |FROM x GROUP BY day, event_type
+      |ORDER BY day, event_type""".stripMargin
+
   private val streamWindowCountsSql =
     """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
       |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
@@ -3152,6 +3184,7 @@ object Queries {
     "multimodal_resize" -> multimodalResize _,
     "agg_approx_distinct" -> approxDistinct _,
     "stream_window_counts" -> streamWindowCounts _,
+    "stream_late_data" -> streamLateData _,
     "sessionize_events" -> sessionizeEvents _,
     "stream_sessionize" -> streamSessionize _,
     "window_session_native" -> windowSessionNative _,
@@ -3229,6 +3262,7 @@ object Queries {
     "text_token_examples" -> textTokenExamplesSql,
     "text_rolling_fingerprint" -> textRollingFingerprintSql,
     "stream_window_counts" -> streamWindowCountsSql,
+    "stream_late_data" -> streamLateDataSql,
     "agg_approx_distinct" -> approxDistinctSql,
     "sketch_corpus_similarity" -> corpusSimilaritySql,
     "sketch_heavy_hitters" -> sketchHeavyHittersSql,

@@ -144,6 +144,92 @@ object StreamingOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** WATERMARK LATE-DATA ACCOUNTING: the one watermark behavior the other
+    * streaming queries don't surface — actual late-row DROPPING. The events
+    * table arrives out of order in two staged micro-batches: the NEWER half
+    * (ts > split) first, then the older half as stragglers. After batch 1
+    * the watermark stands at max(ts) − 1 h, so batch-2 rows whose 1-day
+    * window already closed (window_end ≤ watermark) are dropped by the
+    * windowed aggregation — deterministically, because AvailableNow +
+    * maxFilesPerTrigger=1 fixes the batch boundaries and Spark's watermark
+    * is an exact integer (max event-time ms − delay ms). A far-future
+    * sentinel row then pushes the watermark past every real window so
+    * append mode emits them all (the sentinel's own window never closes and
+    * never appears).
+    *
+    * Output joins the streamed (on-time) counts against the full batch
+    * counts per (day, event_type): n_total, n_on_time, n_late_dropped, and
+    * the on-time decimal-routed sum. The oracle recomputes the SAME
+    * watermark arithmetic (split point, ms truncation, window-end
+    * comparison) from the raw table — so the driver hash-checks that the
+    * engine dropped EXACTLY the rows the watermark contract says it must.
+    */
+  def streamLateData(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
+      val ev = events(spark, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val Array(minUs, maxUs) = ev.agg(
+        unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val splitUs = minUs + (maxUs - minUs) / 2
+
+      val tmp = java.nio.file.Files.createTempDirectory("stream_late")
+      // newer half first; older half arrives late; sentinel closes windows.
+      // The NUDGE batch between them matters: Spark filters late events
+      // with the watermark of the PREVIOUS micro-batch (SPARK-40925's
+      // late/eviction split), so a straggler arriving in the batch right
+      // after the newer half would still see the initial zero watermark.
+      // One synthetic row at ts = max (sentinel-typed, filtered from the
+      // output) advances the late-filter watermark without touching the
+      // event-time statistics the oracle replays.
+      stageOne(ev.where(unix_micros(col("ts")) > splitUs), tmp, "batch1")
+      stageOne(spark.range(1).select(lit(-2L).as("event_id"),
+        timestamp_micros(lit(maxUs)).as("ts"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value")), tmp, "batch2")
+      stageOne(ev.where(unix_micros(col("ts")) <= splitUs), tmp, "batch3")
+      stageOne(spark.range(1).select(lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxUs + 48L * 3600L * 1000000L)).as("ts"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value")), tmp, "batch4")
+
+      val stream = spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_on_time"),
+          sum(col("value").cast(DecimalType(18, 4)))
+            .cast(StringType).cast(DoubleType).as("on_time_sum"))
+
+      val name = s"stream_late_${System.identityHashCode(spark)}"
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      deleteRecursively(tmp)
+
+      val streamed = spark.table(name)
+        .where(col("event_type") =!= "sentinel")
+        .select(col("w.start").cast("timestamp_ntz").as("day"),
+          col("event_type"), col("n_on_time"), col("on_time_sum"))
+      val total = ev
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_total"))
+      total.join(streamed, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"), col("n_total"),
+          coalesce(col("n_on_time"), lit(0L)).as("n_on_time"),
+          (col("n_total") - coalesce(col("n_on_time"), lit(0L)))
+            .as("n_late_dropped"),
+          coalesce(col("on_time_sum"), lit(0.0)).as("on_time_sum"))
+        .orderBy(col("day"), col("event_type"))
+    }
+
   /** SLIDING-window counts (1-day window, 12-hour slide): every event lands
     * in exactly two overlapping windows — the state-doubling shape tumbling
     * windows avoid, bounded the same way by the watermark. Spark aligns
@@ -905,8 +991,11 @@ object StreamingOps {
   def streamQuantileBottomK(outer: SparkSession, dir: String): DataFrame =
     withStreamingPartitions(outer, 8) { spark =>
       import graft.ops.{BottomKSample, Sketches}
+      // cached: three chunked staging writes + four audit scans otherwise
+      // re-read the parquet seven times (24 MB of 3 columns at sf0.1)
       val ev = events(spark, dir)
         .select(col("event_type"), col("event_id"), col("value"))
+        .persist()
       val tmp = java.nio.file.Files.createTempDirectory("stream_bk")
       val nChunks = 3
       (0 until nChunks).foreach(i =>
@@ -946,6 +1035,9 @@ object StreamingOps {
       deleteRecursively(tmp)
       require(acc.synchronized(seen.size) >= 2,
         s"chunked staging must yield multiple micro-batches, got ${seen.size}")
-      Sketches.quantileAuditWith(ev, acc.toSeq.sortBy(_._1))
+      val audit = Sketches.quantileAuditWith(ev, acc.toSeq.sortBy(_._1))
+        .localCheckpoint() // materialize before releasing the cached input
+      ev.unpersist()
+      audit
     }
 }

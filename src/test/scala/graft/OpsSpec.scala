@@ -942,6 +942,25 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("late data: watermark drops exactly the closed-window stragglers") {
+    val rows = Queries.all("stream_late_data")(spark, dir).collect()
+      .map(r => (r.get(0) != null, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (hasDay, et, total, onTime, dropped, sum) =>
+      assert(hasDay && et != "sentinel")
+      assert(onTime + dropped == total && onTime >= 0 && dropped >= 0)
+      if (onTime == 0) assert(sum == 0.0, "fully-late windows sum to zero")
+    }
+    // non-vacuity both ways: the straggler batch really lost rows to the
+    // watermark, and the on-time batch really landed
+    assert(rows.exists(_._5 > 0), "no late rows were dropped")
+    assert(rows.exists(_._4 > 0), "no on-time rows survived")
+    // total events are fully accounted between on-time and dropped
+    val nEvents = graft.streaming.StreamingOps.events(spark, dir).count()
+    assert(rows.map(_._3).sum == nEvents)
+  }
+
   test("gopher rules: planted suffixes drive the bullet/ellipsis/symbol rules") {
     val out = Queries.all("text_gopher_rules")(spark, dir).collect()
     assert(out.nonEmpty)
