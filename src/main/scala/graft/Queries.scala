@@ -733,6 +733,90 @@ object Queries {
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY series_id, m""".stripMargin
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * decomposition underlying STL/X-11's first pass) of the per-priority
+    * monthly revenue series: trend = 12-month moving average (defined only
+    * on full windows), seasonal = month-of-year mean deviation from trend,
+    * residual = y − trend − seasonal. The natural companion of the disagg
+    * surface: disaggregation LOWERS frequency granularity, decomposition
+    * explains the resulting series.
+    *
+    * Cross-engine determinism the integer way: revenue carries ≤4 decimals,
+    * so everything runs on r4 = revenue·10⁴ as LONG — the trend numerator
+    * (Σ of 12 longs), the deviation numerator 12·r4 − Σ (EXACT, no
+    * division until the surface), and the seasonal numerator (Σ of
+    * deviation numerators). Every emitted double is ONE correctly-rounded
+    * division of exact integers, so the oracle hash-matches all of trend/
+    * seasonal/residual — no epsilon anywhere.
+    *
+    * Scale shape: one partial-aggregated monthly rollup, per-series
+    * windows (series are numerous ⇒ parallelism holds), a |series|×12
+    * seasonal table broadcast back. No corpus-sized shuffle beyond the
+    * rollup.
+    */
+  private def tsDecompose(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .withColumn("series_id",
+        split(col("o_orderpriority"), "-").getItem(0).cast(LongType))
+      .groupBy(col("series_id"),
+        date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("m"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 4)) * 10000)
+        .cast(LongType)).as("r4"))
+    val w12 = Window.partitionBy(col("series_id")).orderBy(col("m"))
+      .rowsBetween(-6, 5)
+    val withTrend = monthly
+      .withColumn("trend_num",
+        when(count(lit(1)).over(w12) === 12, sum(col("r4")).over(w12)))
+      .withColumn("moy", month(col("m")))
+      .withColumn("dev_num", lit(12L) * col("r4") - col("trend_num"))
+    val seasonal = withTrend.where(col("dev_num").isNotNull)
+      .groupBy(col("series_id"), col("moy"))
+      .agg(sum(col("dev_num")).as("s_num"), count(lit(1)).as("k"))
+      .select(col("series_id"), col("moy"),
+        (col("s_num").cast(DoubleType) /
+          (lit(120000.0) * col("k"))).as("seasonal"))
+    withTrend.join(broadcast(seasonal), Seq("series_id", "moy"), "left")
+      .select(col("series_id"), col("m"),
+        col("moy").cast(IntegerType).as("moy"),
+        (col("r4").cast(DoubleType) / 10000.0).as("revenue"),
+        (col("trend_num").cast(DoubleType) / 120000.0).as("trend"),
+        col("seasonal"),
+        (col("r4").cast(DoubleType) / 10000.0 -
+          col("trend_num").cast(DoubleType) / 120000.0 -
+          col("seasonal")).as("resid"))
+      .orderBy(col("series_id"), col("m"))
+  }
+
+  private val tsDecomposeSql =
+    """WITH monthly AS (
+      |  SELECT CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS series_id,
+      |    date_trunc('month', o_orderdate) AS m,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT))
+      |      AS BIGINT) AS r4
+      |  FROM orders GROUP BY 1, 2),
+      |t AS (
+      |  SELECT series_id, m, r4,
+      |    CASE WHEN count(*) OVER w12 = 12
+      |         THEN CAST(sum(r4) OVER w12 AS BIGINT) END AS trend_num,
+      |    CAST(month(m) AS BIGINT) AS moy
+      |  FROM monthly
+      |  WINDOW w12 AS (PARTITION BY series_id ORDER BY m
+      |                 ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
+      |d AS (SELECT *, 12 * r4 - trend_num AS dev_num FROM t),
+      |s AS (
+      |  SELECT series_id, moy,
+      |    CAST(sum(dev_num) AS DOUBLE) / (120000.0 * count(*)) AS seasonal
+      |  FROM d WHERE dev_num IS NOT NULL
+      |  GROUP BY series_id, moy)
+      |SELECT d.series_id, d.m, CAST(d.moy AS INT) AS moy,
+      |  CAST(d.r4 AS DOUBLE) / 10000.0 AS revenue,
+      |  CAST(d.trend_num AS DOUBLE) / 120000.0 AS trend,
+      |  s.seasonal,
+      |  CAST(d.r4 AS DOUBLE) / 10000.0 - CAST(d.trend_num AS DOUBLE) / 120000.0
+      |    - s.seasonal AS resid
+      |FROM d LEFT JOIN s ON d.series_id = s.series_id AND d.moy = s.moy
+      |ORDER BY d.series_id, d.m""".stripMargin
+
   /** Forward-fill over a complete calendar spine — the gap-repair primitive
     * a disaggregation pipeline needs before indicators can be used (the
     * reference requires dense high-freq indexes; ffill is how sparse feeds
@@ -3116,6 +3200,7 @@ object Queries {
     "window_mom_delta" -> windowMomDelta _,
     "fill_forward" -> fillForward _,
     "window_rolling_features" -> windowRollingFeatures _,
+    "ts_decompose" -> tsDecompose _,
     "window_rank_suite" -> windowRankSuite _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
@@ -3234,6 +3319,7 @@ object Queries {
     "window_mom_delta" -> windowMomDeltaSql,
     "fill_forward" -> fillForwardSql,
     "window_rolling_features" -> windowRollingFeaturesSql,
+    "ts_decompose" -> tsDecomposeSql,
     "window_rank_suite" -> windowRankSuiteSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,

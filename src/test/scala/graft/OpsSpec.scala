@@ -942,6 +942,39 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("ts decomposition: trend edges, per-month seasonal, exact identity") {
+    val rows = Queries.all("ts_decompose")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getInt(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    assert(rows.nonEmpty)
+    val bySeries = rows.groupBy(_._1)
+    bySeries.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      val n = ordered.length
+      ordered.zipWithIndex.foreach { case ((_, _, moy, y, trend, seas, resid), i) =>
+        // 12-month centered window exists only for interior rows
+        assert(trend.isDefined == (i >= 6 && i <= n - 6),
+          s"trend defined at position $i of $n")
+        assert(resid.isDefined == trend.isDefined)
+        // exact decomposition identity where defined
+        resid.foreach(r => assert(r == y - trend.get - seas))
+        // trend == mean of the surrounding 12 observations, via exact r4
+        trend.foreach { tr =>
+          val win = (i - 6 to i + 5).map(j => math.round(ordered(j)._4 * 10000))
+          assert(tr == win.sum.toDouble / 120000.0)
+        }
+        assert(moy >= 1 && moy <= 12)
+      }
+      // seasonal is a pure function of (series, month-of-year)
+      ordered.groupBy(_._3).foreach { case (_, ms) =>
+        assert(ms.map(_._6).distinct.length == 1)
+      }
+    }
+  }
+
   test("late data: watermark drops exactly the closed-window stragglers") {
     val rows = Queries.all("stream_late_data")(spark, dir).collect()
       .map(r => (r.get(0) != null, r.getString(1), r.getLong(2),
