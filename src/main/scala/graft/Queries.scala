@@ -2773,6 +2773,110 @@ object Queries {
       |  sample_rate, CAST(lang_tokens AS DOUBLE) * sample_rate AS expected_tokens
       |FROM sr ORDER BY lang""".stripMargin
 
+  /** Dataset card: the per-(lang, source) release summary a corpus ships
+    * with — documents, exact-duplicate incidence (via fingerprint
+    * cardinality), token totals/means, and the fraction passing the
+    * content-level Gopher rules (word count, mean word length, alpha
+    * fraction, stopwords — the line/symbol rules are trivially true on
+    * natural text and carry no information here). ONE scan feeding two
+    * aggregations: a (lang, source, fingerprint) rollup (the standard
+    * two-level shape for distinct-counting inside groups — the inner
+    * groupBy partial-aggregates map-side, so the shuffle carries one row
+    * per distinct fingerprint, not per doc) and the flat per-group stats;
+    * the two tiny aggregates join on (lang, source). Every emitted number
+    * is an exact integer or one int/int division.
+    *
+    * The corpus has no exact duplicates at sf ≤ 0.01, so the query PLANTS
+    * a verbatim copy of every 50th doc under a negative id (the
+    * stream_pipeline_ingest pattern) — the dup columns are then verified
+    * against real duplicate mass, not two engines agreeing on zero.
+    */
+  private def pipelineDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val planted = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      .withColumn("doc_id", -col("doc_id") - 1)
+    val base = docs.unionByName(planted)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        md5(lower(trim(col("text")))).as("fp"))
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"),
+        col("text"), graft.ops.Dedup.tokens(col("text")).as("toks"))
+    val nWords = size(col("toks"))
+    val meanWordLen =
+      aggregate(col("toks"), lit(0), (acc, w) => acc + length(w))
+        .cast(DoubleType) / nWords
+    val fracAlpha =
+      size(filter(col("toks"), w => w.rlike("[a-z]"))).cast(DoubleType) / nWords
+    val nStop = TextOps.gopherStopwords
+      .map(w => array_contains(col("toks"), w).cast(IntegerType))
+      .reduce(_ + _)
+    val contentKeep = nWords >= 50 && nWords <= 100000 &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      fracAlpha >= 0.8 && nStop >= 2
+    val stats = base
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nWords.cast(LongType)).as("total_tokens"),
+        sum(contentKeep.cast(IntegerType).cast(LongType)).as("n_keep"))
+    val fps = base.groupBy(col("lang"), col("source"), col("fp"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_distinct_fp"))
+    stats.join(fps, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("n_distinct_fp"),
+        (col("n_docs") - col("n_distinct_fp")).as("n_dup_docs"),
+        col("total_tokens"),
+        (col("total_tokens").cast(DoubleType) / col("n_docs"))
+          .as("mean_tokens"),
+        col("n_keep"),
+        (col("n_keep").cast(DoubleType) / col("n_docs")).as("keep_rate"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val pipelineDatasetCardSql: String = {
+    val nStopSql = TextOps.gopherStopwords
+      .map(w => s"CAST(list_contains(toks, '$w') AS INT)").mkString(" + ")
+    s"""WITH u AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  UNION ALL
+       |  SELECT -doc_id - 1 AS doc_id, lang, source, text
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |base AS (
+       |  SELECT doc_id, lang, source, md5(lower(trim(text))) AS fp,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM u),
+       |f AS (
+       |  SELECT lang, source, fp,
+       |    len(toks) AS n_words,
+       |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+       |      / len(toks) AS mean_word_len,
+       |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+       |      AS DOUBLE) / len(toks) AS frac_alpha,
+       |    $nStopSql AS n_stop
+       |  FROM base),
+       |stats AS (
+       |  SELECT lang, source, count(*) AS n_docs,
+       |    CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       |    CAST(sum(CASE WHEN n_words >= 50 AND n_words <= 100000
+       |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |      AND frac_alpha >= 0.8 AND n_stop >= 2
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |  FROM f GROUP BY lang, source),
+       |fps AS (
+       |  SELECT lang, source, count(*) AS n_distinct_fp
+       |  FROM (SELECT lang, source, fp, count(*) AS n_copies
+       |        FROM f GROUP BY lang, source, fp)
+       |  GROUP BY lang, source)
+       |SELECT s.lang, s.source, s.n_docs, p.n_distinct_fp,
+       |  s.n_docs - p.n_distinct_fp AS n_dup_docs,
+       |  s.total_tokens,
+       |  CAST(s.total_tokens AS DOUBLE) / s.n_docs AS mean_tokens,
+       |  s.n_keep,
+       |  CAST(s.n_keep AS DOUBLE) / s.n_docs AS keep_rate
+       |FROM stats s JOIN fps p USING (lang, source)
+       |ORDER BY s.lang, s.source""".stripMargin
+  }
+
   /** End-to-end pretraining-data pipeline in one query: quality-feature
     * computation fused into the scan → threshold filter → exact dedup
     * keeping the lowest doc_id per fingerprint (one shuffle on the digest)
@@ -3281,6 +3385,7 @@ object Queries {
     "text_gopher_rules" -> textGopherRules _,
     "text_novelty" -> textNovelty _,
     "pipeline_mix_weights" -> pipelineMixWeights _,
+    "pipeline_dataset_card" -> pipelineDatasetCard _,
     // streaming near-dup detection; shares the batch dedup_simhash oracle
     // (the qualifying pair set is chunking/arrival-order invariant — see
     // StreamingOps.streamDedupSimhash)
@@ -3404,6 +3509,7 @@ object Queries {
     "text_gopher_rules" -> textGopherRulesSql,
     "text_novelty" -> textNoveltySql,
     "pipeline_mix_weights" -> pipelineMixWeightsSql,
+    "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "stream_dedup_simhash" -> dedupSimhashSql,
     "stream_pipeline_ingest" -> streamPipelineIngestSql
   )

@@ -942,6 +942,26 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("dataset card: planted duplicate mass accounted, rates consistent") {
+    val rows = Queries.all("pipeline_dataset_card")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7), r.getDouble(8)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, nDocs, nFp, nDup, totTok, meanTok, nKeep, keepRate) =>
+      assert(nDocs == nFp + nDup && nDup >= 0)
+      assert(nKeep >= 0 && nKeep <= nDocs)
+      assert(meanTok == totTok.toDouble / nDocs)
+      assert(keepRate == nKeep.toDouble / nDocs)
+    }
+    // every 50th doc is planted verbatim -> corpus-wide duplicate mass is
+    // exactly the planted count (the natural corpus has no exact dups here)
+    val planted = docs.where(pmod(col("doc_id"), lit(50)) === 0).count()
+    assert(planted > 0 && rows.map(_._5).sum == planted)
+    // the card covers every (lang, source) combination in the corpus
+    assert(rows.length ==
+      docs.select(col("lang"), col("source")).distinct().count())
+  }
+
   test("ts decomposition: trend edges, per-month seasonal, exact identity") {
     val rows = Queries.all("ts_decompose")(spark, dir).collect()
       .map(r => (r.getLong(0), r.get(1).toString, r.getInt(2),

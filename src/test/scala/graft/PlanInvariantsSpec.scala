@@ -223,6 +223,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("dataset card: both aggregates map-side combine, no all-pairs joins") {
+    val p = plan("pipeline_dataset_card")
+    forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
+    assert(p.contains("partial"),
+      s"card aggregates must map-side combine:\n${p.take(800)}")
+  }
+
   test("kmv sketch shuffles carry partial arrays, never the distinct-value set") {
     val p = plan("sketch_kmv_distinct")
     // shingle->kmv agg + exact-distinct agg + join + output sort
