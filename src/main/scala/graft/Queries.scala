@@ -300,6 +300,75 @@ object Queries {
       |  ON c.user_id = e.user_id AND c.ts_us >= e.err_ts_us
       |ORDER BY c.user_id, c.ts_us, c.event_id""".stripMargin
 
+  /** Nearest-neighbor temporal join (AsOfJoin.asOfBoth): for every click,
+    * the last error at-or-before it AND the first error strictly after it,
+    * then the nearest of the two by absolute gap (ties -> backward). Both
+    * directions come out of ONE shuffle + per-key sort; DuckDB's native
+    * ASOF JOIN replays each direction (>= backward, < forward) and the
+    * nearest pick is a pure CASE on exact integer microseconds.
+    */
+  private def asofNearestError(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.streaming.StreamingOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us").as("ts_key"))
+    val errors = e.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts_us").as("ts_key"), col("ts_us").as("err_ts_us"))
+    val both = graft.ops.AsOfJoin.asOfBoth(clicks, errors,
+      keyCol = "user_id", tsCol = "ts_key",
+      payloadCols = Seq("err_id", "err_ts_us"))
+    val backGap = col("ts_key") - col("back_err_ts_us")
+    val fwdGap = col("fwd_err_ts_us") - col("ts_key")
+    val pickBack = col("fwd_err_id").isNull ||
+      (col("back_err_id").isNotNull && backGap <= fwdGap)
+    both.select(col("user_id"), col("event_id"),
+        col("ts_key").as("ts_us"),
+        col("back_err_id"), col("back_err_ts_us"),
+        col("fwd_err_id"), col("fwd_err_ts_us"),
+        when(col("back_err_id").isNull && col("fwd_err_id").isNull,
+          lit(null).cast(LongType))
+          .when(pickBack, col("back_err_id"))
+          .otherwise(col("fwd_err_id")).as("nearest_err_id"),
+        when(col("back_err_id").isNull && col("fwd_err_id").isNull,
+          lit(null).cast(LongType))
+          .when(pickBack, col("back_err_ts_us") - col("ts_key"))
+          .otherwise(fwdGap).as("delta_us"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  private val asofNearestErrorSql =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'click'),
+      |errors AS (
+      |  SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_ts_us FROM events
+      |  WHERE event_type = 'error'),
+      |b AS (
+      |  SELECT c.user_id, c.event_id, c.ts_us,
+      |    e.err_id AS back_err_id, e.err_ts_us AS back_err_ts_us
+      |  FROM clicks c ASOF LEFT JOIN errors e
+      |    ON c.user_id = e.user_id AND c.ts_us >= e.err_ts_us),
+      |f AS (
+      |  SELECT c.user_id, c.event_id,
+      |    e.err_id AS fwd_err_id, e.err_ts_us AS fwd_err_ts_us
+      |  FROM clicks c ASOF LEFT JOIN errors e
+      |    ON c.user_id = e.user_id AND c.ts_us < e.err_ts_us)
+      |SELECT b.user_id, b.event_id, b.ts_us,
+      |  b.back_err_id, b.back_err_ts_us, f.fwd_err_id, f.fwd_err_ts_us,
+      |  CASE WHEN b.back_err_id IS NULL AND f.fwd_err_id IS NULL THEN NULL
+      |       WHEN f.fwd_err_id IS NULL OR (b.back_err_id IS NOT NULL
+      |         AND b.ts_us - b.back_err_ts_us <= f.fwd_err_ts_us - b.ts_us)
+      |       THEN b.back_err_id ELSE f.fwd_err_id END AS nearest_err_id,
+      |  CASE WHEN b.back_err_id IS NULL AND f.fwd_err_id IS NULL THEN NULL
+      |       WHEN f.fwd_err_id IS NULL OR (b.back_err_id IS NOT NULL
+      |         AND b.ts_us - b.back_err_ts_us <= f.fwd_err_ts_us - b.ts_us)
+      |       THEN b.back_err_ts_us - b.ts_us
+      |       ELSE f.fwd_err_ts_us - b.ts_us END AS delta_us
+      |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+      |ORDER BY b.user_id, b.ts_us, b.event_id""".stripMargin
+
   /** Range join (point-in-interval): attribution — every event falling in
     * the 30 minutes after a purchase (windows from a user subset). The
     * naive BETWEEN theta-join is a nested loop over |events| x |windows|;
@@ -3289,6 +3358,7 @@ object Queries {
     "a4_validation_stats" -> validationStats _,
     "agg_corpus_stats" -> corpusStats _,
     "join_asof_click_error" -> asofClickError _,
+    "join_asof_nearest" -> asofNearestError _,
     "join_range_events_windows" -> rangeJoinEventsWindows _,
     "window_running_total" -> windowRunningTotal _,
     "pivot_daily_events" -> pivotDailyEvents _,
@@ -3409,6 +3479,7 @@ object Queries {
     "a4_validation_stats" -> validationStatsSql,
     "agg_corpus_stats" -> corpusStatsSql,
     "join_asof_click_error" -> asofClickErrorSql,
+    "join_asof_nearest" -> asofNearestErrorSql,
     "join_range_events_windows" -> rangeJoinEventsWindowsSql,
     "window_running_total" -> windowRunningTotalSql,
     "pivot_daily_events" -> pivotDailyEventsSql,

@@ -942,6 +942,41 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("nearest asof join matches brute force on both directions") {
+    val ev = graft.streaming.StreamingOps.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val errsByUser = ev.filter(_._4 == "error").groupBy(_._1)
+    val out = Queries.all("join_asof_nearest")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val clicks = ev.filter(_._4 == "click")
+    assert(out.length == clicks.length, "one output row per click")
+    out.foreach { r =>
+      val (uid, ts) = (r.getLong(0), r.getLong(2))
+      val errs = errsByUser.getOrElse(uid, Array.empty)
+      val back = errs.filter(_._3 <= ts).sortBy(e => (e._3, e._2)).lastOption
+      val fwd = errs.filter(_._3 > ts).sortBy(e => (e._3, e._2)).headOption
+      back match {
+        case Some(b) => assert(r.getLong(4) == b._3, s"back ts for $uid@$ts")
+        case None => assert(r.isNullAt(3))
+      }
+      fwd match {
+        case Some(f) => assert(r.getLong(6) == f._3, s"fwd ts for $uid@$ts")
+        case None => assert(r.isNullAt(5))
+      }
+      // nearest = smaller absolute gap, tie -> backward; delta signed
+      (back, fwd) match {
+        case (None, None) => assert(r.isNullAt(7) && r.isNullAt(8))
+        case (Some(b), None) => assert(r.getLong(8) == b._3 - ts)
+        case (None, Some(f)) => assert(r.getLong(8) == f._3 - ts)
+        case (Some(b), Some(f)) =>
+          val expected = if (ts - b._3 <= f._3 - ts) b._3 - ts else f._3 - ts
+          assert(r.getLong(8) == expected)
+      }
+    }
+  }
+
   test("dataset card: planted duplicate mass accounted, rates consistent") {
     val rows = Queries.all("pipeline_dataset_card")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),

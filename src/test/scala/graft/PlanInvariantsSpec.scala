@@ -223,6 +223,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("bidirectional asof join pays one shuffle: both frames share the sort") {
+    val p = plan("join_asof_nearest")
+    forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
+    // one key exchange feeding both window frames + the output sort
+    assert(countExchanges(p) <= 2, s"asof directions must share the sort:\n$p")
+  }
+
   test("dataset card: both aggregates map-side combine, no all-pairs joins") {
     val p = plan("pipeline_dataset_card")
     forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
