@@ -802,6 +802,91 @@ object Queries {
       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY series_id, m""".stripMargin
 
+  /** Event-rate anomaly detection: per (event_type, hour) counts scored
+    * against the trailing 24-hour baseline — z = (n − mean)/std over ROWS
+    * [-24, -1], flagged at |z| > 3. The monitoring companion of the
+    * windowed-count queries. All inputs are integer counts, so mean/var
+    * derive from exact long sums (Σn, Σn²) with single correctly-rounded
+    * divisions, sqrt is IEEE-exact, and every z replays bit-identically.
+    * A deterministic 200-event spike ten days in (negative event_ids,
+    * built identically on both engines) guarantees at least one
+    * unmistakable anomaly regardless of corpus statistics — at sf0.01 the
+    * spike scores z ≈ 142 next to the corpus's own handful of natural
+    * 3σ excursions, so the flag column verifies real detections on both
+    * planted and organic signal.
+    * One map-combined count agg + per-type windows; series are numerous at
+    * scale, so window parallelism holds.
+    */
+  private def windowAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.StreamingOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val minUs = ev.agg(unix_micros(min(col("ts")))).head().getLong(0)
+    val spikeHourUs = (minUs / 3600000000L) * 3600000000L + 240L * 3600000000L
+    val spike = s.range(200).select(
+      (-col("id") - 1).as("event_id"),
+      timestamp_micros(lit(spikeHourUs) + col("id") * 1000L).as("ts"),
+      lit("click").as("event_type"))
+    val hourly = ev.unionByName(spike)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).cast(TimestampNTZType).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    val scored = hourly
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .where(col("k") === 24)
+      .withColumn("mean", col("s1").cast(DoubleType) / 24.0)
+      .withColumn("variance",
+        col("s2").cast(DoubleType) / 24.0 - col("mean") * col("mean"))
+      .withColumn("z",
+        when(col("variance") > 0.0,
+          (col("n").cast(DoubleType) - col("mean")) / sqrt(col("variance"))))
+    scored.select(col("event_type"), col("h"), col("n"), col("mean"),
+        col("variance"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > 3.0).as("is_anomaly"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  private val windowAnomalyZscoreSql =
+    """WITH ev AS (
+      |  SELECT event_id, ts, event_type FROM events),
+      |b AS (SELECT min(epoch_us(ts)) AS min_us FROM ev),
+      |spike AS (
+      |  SELECT -i - 1 AS event_id,
+      |    make_timestamp((min_us // 3600000000) * 3600000000
+      |      + 240 * 3600000000 + i * 1000) AS ts,
+      |    'click' AS event_type
+      |  FROM range(200) t(i), b),
+      |u AS (SELECT event_id, ts, event_type FROM ev
+      |      UNION ALL SELECT event_id, ts, event_type FROM spike),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      |  FROM u GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT event_type, h, n,
+      |    count(*) OVER w AS k,
+      |    CAST(sum(n) OVER w AS BIGINT) AS s1,
+      |    CAST(sum(n * n) OVER w AS BIGINT) AS s2
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT event_type, h, n,
+      |    CAST(s1 AS DOUBLE) / 24.0 AS mean,
+      |    CAST(s2 AS DOUBLE) / 24.0
+      |      - (CAST(s1 AS DOUBLE) / 24.0) * (CAST(s1 AS DOUBLE) / 24.0)
+      |      AS variance
+      |  FROM scored WHERE k = 24),
+      |z AS (
+      |  SELECT *, CASE WHEN variance > 0.0
+      |    THEN (CAST(n AS DOUBLE) - mean) / sqrt(variance) END AS z
+      |  FROM m)
+      |SELECT event_type, h, n, mean, variance, z,
+      |  (z IS NOT NULL AND abs(z) > 3.0) AS is_anomaly
+      |FROM z ORDER BY event_type, h""".stripMargin
+
   /** Classical additive seasonal decomposition (the moving-average
     * decomposition underlying STL/X-11's first pass) of the per-priority
     * monthly revenue series: trend = 12-month moving average (defined only
@@ -3375,6 +3460,7 @@ object Queries {
     "fill_forward" -> fillForward _,
     "window_rolling_features" -> windowRollingFeatures _,
     "ts_decompose" -> tsDecompose _,
+    "window_anomaly_zscore" -> windowAnomalyZscore _,
     "window_rank_suite" -> windowRankSuite _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
@@ -3496,6 +3582,7 @@ object Queries {
     "fill_forward" -> fillForwardSql,
     "window_rolling_features" -> windowRollingFeaturesSql,
     "ts_decompose" -> tsDecomposeSql,
+    "window_anomaly_zscore" -> windowAnomalyZscoreSql,
     "window_rank_suite" -> windowRankSuiteSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,

@@ -942,6 +942,40 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("anomaly z-score: planted spike flagged, moments match brute force") {
+    val out = Queries.all("window_anomaly_zscore")(spark, dir).collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)), r.getBoolean(6)))
+    assert(out.nonEmpty)
+    // the planted 200-event spike must be an unmistakable click anomaly
+    val spikes = out.filter(r => r._1 == "click" && r._3 >= 200)
+    assert(spikes.nonEmpty && spikes.forall(r => r._7 && r._6.exists(_ > 10)),
+      s"planted spike not flagged: ${spikes.toSeq}")
+    out.foreach { case (_, _, n, mean, variance, z, flag) =>
+      z match {
+        case Some(zv) =>
+          assert(variance > 0.0)
+          assert(zv == (n.toDouble - mean) / math.sqrt(variance))
+          assert(flag == (math.abs(zv) > 3.0))
+        case None => assert(!flag && variance <= 0.0)
+      }
+    }
+    // brute-force the trailing-24 moments for every scored bucket
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2)
+      // the query only emits rows with a full 24-bucket baseline, so the
+      // first emitted bucket's baseline is not recomputable here; verify
+      // every bucket whose 24 predecessors are all present in the output
+      // ordered(m) is hourly row m+24 (the first 24 per type lack a full
+      // baseline and are dropped), so its baseline is ordered(m-24..m-1)
+      ordered.indices.drop(24).foreach { i =>
+        val s1 = (i - 24 until i).map(ordered(_)._3).sum
+        assert(ordered(i)._4 == s1.toDouble / 24.0)
+      }
+    }
+  }
+
   test("nearest asof join matches brute force on both directions") {
     val ev = graft.streaming.StreamingOps.events(spark, dir)
       .select(col("user_id"), col("event_id"),
