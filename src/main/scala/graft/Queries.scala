@@ -818,15 +818,7 @@ object Queries {
     * scale, so window parallelism holds.
     */
   private def windowAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
-    val ev = graft.streaming.StreamingOps.events(s, dir)
-      .select(col("event_id"), col("ts"), col("event_type"))
-    val minUs = ev.agg(unix_micros(min(col("ts")))).head().getLong(0)
-    val spikeHourUs = (minUs / 3600000000L) * 3600000000L + 240L * 3600000000L
-    val spike = s.range(200).select(
-      (-col("id") - 1).as("event_id"),
-      timestamp_micros(lit(spikeHourUs) + col("id") * 1000L).as("ts"),
-      lit("click").as("event_type"))
-    val hourly = ev.unionByName(spike)
+    val hourly = graft.streaming.StreamingOps.eventsWithSpike(s, dir)
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).cast(TimestampNTZType).as("h"))
       .agg(count(lit(1)).as("n"))
@@ -3461,6 +3453,8 @@ object Queries {
     "window_rolling_features" -> windowRollingFeatures _,
     "ts_decompose" -> tsDecompose _,
     "window_anomaly_zscore" -> windowAnomalyZscore _,
+    "stream_anomaly_zscore" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamAnomalyZscore(s, dir)),
     "window_rank_suite" -> windowRankSuite _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
@@ -3583,6 +3577,10 @@ object Queries {
     "window_rolling_features" -> windowRollingFeaturesSql,
     "ts_decompose" -> tsDecomposeSql,
     "window_anomaly_zscore" -> windowAnomalyZscoreSql,
+    // completed-bucket counts are chunking-invariant and the scoring
+    // arithmetic is operation-identical, so the streamed detector shares
+    // the batch oracle verbatim
+    "stream_anomaly_zscore" -> windowAnomalyZscoreSql,
     "window_rank_suite" -> windowRankSuiteSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,

@@ -32,6 +32,19 @@ case class SimhashPairOut(doc_a: Long, doc_b: Long, hamming: Int)
 case class IngestDoc(fp: String, doc_id: Long, lang: String)
 case class IngestOut(doc_id: Long, lang: String, fp: String)
 
+/** stream_anomaly_zscore: one arriving event (hour-truncated micros). */
+case class AnomalyEvent(event_type: String, hour_us: Long, event_id: Long)
+
+/** Per-type detector state: the open bucket + the ring of the last 24
+  * COMPLETED hourly counts (oldest first).
+  */
+case class AnomalyState(curHour: Long, curN: Long, ring: List[Long])
+
+case class AnomalyOut(
+    event_type: String, hour_us: Long, n: Long,
+    mean: Option[Double], variance: Option[Double], z: Option[Double],
+    is_anomaly: Boolean)
+
 /** Structured-Streaming surface: the same windowed aggregations the batch
   * layer exposes, expressed as a streaming query so the engine covers
   * continuous ingestion. For the harness the parquet events table is driven
@@ -143,6 +156,98 @@ object StreamingOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("day"), col("event_type"))
   }
+
+  /** STREAMING event-rate anomaly detection: the stateful twin of
+    * window_anomaly_zscore. Per event_type, the state is the open hourly
+    * bucket plus a ring of the last 24 COMPLETED counts; a bucket is
+    * scored the moment it completes (the next hour's first event arrives),
+    * so detections stream out with one-bucket latency instead of waiting
+    * for a batch job. Input arrives in three ascending time chunks (an
+    * hour straddling a chunk boundary stays open in state across the
+    * batches) plus one far-future sentinel per event_type that closes each
+    * type's final real bucket — the sentinel buckets themselves never
+    * complete and are never emitted.
+    *
+    * The scoring arithmetic is the batch query's, operation for operation
+    * (exact long sums, one division each, IEEE sqrt), and completed-bucket
+    * counts don't depend on chunk boundaries — so the streamed output
+    * EQUALS the batch output and shares its DuckDB oracle verbatim.
+    */
+  def streamAnomalyZscore(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
+      import spark.implicits._
+      val base = eventsWithSpike(spark, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+      val Array(minUs, maxUs) = base.agg(min(col("ts_us")), max(col("ts_us")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val t1 = minUs + (maxUs - minUs) / 3
+      val t2 = minUs + 2L * (maxUs - minUs) / 3
+      val tmp = java.nio.file.Files.createTempDirectory("stream_anom")
+      stageOne(base.where(col("ts_us") <= t1), tmp, "chunk0")
+      stageOne(base.where(col("ts_us") > t1 && col("ts_us") <= t2), tmp, "chunk1")
+      stageOne(base.where(col("ts_us") > t2), tmp, "chunk2")
+      stageOne(base.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          lit(maxUs + 48L * 3600L * 1000000L).as("ts_us"),
+          lit(-1000L).as("event_id")), tmp, "chunk3")
+
+      def scored(et: String, hourUs: Long, n: Long, ring: List[Long]): AnomalyOut = {
+        val s1 = ring.sum
+        val s2 = ring.map(c => c * c).sum
+        val mean = s1.toDouble / 24.0
+        val variance = s2.toDouble / 24.0 - mean * mean
+        val z = if (variance > 0.0) Some((n.toDouble - mean) / math.sqrt(variance))
+        else None
+        AnomalyOut(et, hourUs, n, Some(mean), Some(variance), z,
+          z.exists(zv => math.abs(zv) > 3.0))
+      }
+      def fn(et: String, rows: Iterator[AnomalyEvent],
+             state: GroupState[AnomalyState]): Iterator[AnomalyOut] = {
+        val sorted = rows.toArray.sortBy(e => (e.hour_us, e.event_id))
+        var st = state.getOption.getOrElse(AnomalyState(-1L, 0L, Nil))
+        val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyOut]
+        sorted.foreach { e =>
+          if (st.curHour == -1L) st = AnomalyState(e.hour_us, 1L, st.ring)
+          else if (e.hour_us == st.curHour) st = st.copy(curN = st.curN + 1)
+          else {
+            if (st.ring.length == 24) out += scored(et, st.curHour, st.curN, st.ring)
+            st = AnomalyState(e.hour_us, 1L,
+              (st.ring :+ st.curN).takeRight(24))
+          }
+        }
+        state.update(st)
+        out.iterator
+      }
+
+      val stream = spark.readStream.schema(base.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+        .select(col("event_type"),
+          expr("(ts_us div 3600000000) * 3600000000").as("hour_us"),
+          col("event_id"))
+        .as[AnomalyEvent]
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+
+      val name = s"stream_anom_${System.identityHashCode(spark)}"
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      deleteRecursively(tmp)
+      spark.table(name)
+        .select(col("event_type"),
+          timestamp_micros(col("hour_us")).cast("timestamp_ntz").as("h"),
+          col("n"), col("mean"), col("variance"), col("z"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("h"))
+    }
 
   /** WATERMARK LATE-DATA ACCOUNTING: the one watermark behavior the other
     * streaming queries don't surface — actual late-row DROPPING. The events
@@ -388,6 +493,23 @@ object StreamingOps {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** The events stream with the deterministic 200-event click spike ten
+    * days in — the shared input of window_anomaly_zscore and
+    * stream_anomaly_zscore (both engines and both execution modes must
+    * derive the IDENTICAL frame for the shared oracle to hold).
+    */
+  def eventsWithSpike(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val minUs = ev.agg(unix_micros(min(col("ts")))).head().getLong(0)
+    val spikeHourUs = (minUs / 3600000000L) * 3600000000L + 240L * 3600000000L
+    val spike = spark.range(200).select(
+      (-col("id") - 1).as("event_id"),
+      timestamp_micros(lit(spikeHourUs) + col("id") * 1000L).as("ts"),
+      lit("click").as("event_type"))
+    ev.unionByName(spike)
   }
 
   /** Gap-based sessionization, batch form: a >30-minute silence starts a new

@@ -976,6 +976,14 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed anomaly detector is bit-equal to the batch scorer") {
+    val batch = Queries.all("window_anomaly_zscore")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val streamed = graft.streaming.StreamingOps.streamAnomalyZscore(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
+
   test("nearest asof join matches brute force on both directions") {
     val ev = graft.streaming.StreamingOps.events(spark, dir)
       .select(col("user_id"), col("event_id"),
