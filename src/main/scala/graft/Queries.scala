@@ -3023,6 +3023,60 @@ object Queries {
        |ORDER BY s.lang, s.source""".stripMargin
   }
 
+  /** Upsampling mixture applier (PipelineOps.mixtureUpsample): rates
+    * normalized so the most overrepresented language keeps 1.0 and the
+    * rest REPEAT — ⌊rate⌋ copies plus one more with probability
+    * frac(rate) by deterministic hash ticket. Emits per-language
+    * before/after accounting; achieved shares land near targets.
+    */
+  private def pipelineMixUpsample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PipelineOps.mixtureUpsample(t(s, dir, "documents"),
+      targets = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.15))
+
+  private val pipelineMixUpsampleSql =
+    """WITH per AS (
+      |  SELECT lang, CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+      |    AS BIGINT) AS lang_tokens
+      |  FROM documents GROUP BY lang),
+      |t AS (
+      |  SELECT *, CAST(sum(lang_tokens) OVER () AS BIGINT) AS total_tokens,
+      |    CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+      |              WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END
+      |      AS target_share
+      |  FROM per),
+      |r AS (
+      |  SELECT *, target_share /
+      |    (CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS ratio
+      |  FROM t),
+      |u AS (SELECT *, ratio / min(ratio) OVER () AS up_rate FROM r),
+      |d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+      |    md5_number_lower('up:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT d.lang, d.n,
+      |    CAST(floor(u.up_rate) AS BIGINT)
+      |      + CASE WHEN CAST(((CASE WHEN d.h >= 9223372036854775808
+      |                  THEN d.h - 18446744073709551616 ELSE d.h END)
+      |                 % 1000000 + 1000000) % 1000000 AS DOUBLE) / 1000000.0
+      |             < u.up_rate - floor(u.up_rate) THEN 1 ELSE 0 END AS n_copies
+      |  FROM d JOIN u USING (lang)),
+      |agg AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(n_copies) AS BIGINT) AS n_copies_total,
+      |    CAST(sum(n) AS BIGINT) AS tokens_before,
+      |    CAST(sum(n * n_copies) AS BIGINT) AS tokens_after
+      |  FROM c GROUP BY lang)
+      |SELECT a.lang, a.n_docs, a.n_copies_total, a.tokens_before,
+      |  a.tokens_after, u.up_rate, u.target_share,
+      |  CAST(a.tokens_after AS DOUBLE) /
+      |    CAST(CAST(sum(a.tokens_after) OVER () AS BIGINT) AS DOUBLE)
+      |    AS share_after
+      |FROM agg a JOIN u USING (lang)
+      |ORDER BY a.lang""".stripMargin
+
   /** End-to-end pretraining-data pipeline in one query: quality-feature
     * computation fused into the scan → threshold filter → exact dedup
     * keeping the lowest doc_id per fingerprint (one shuffle on the digest)
@@ -3536,6 +3590,7 @@ object Queries {
     "text_novelty" -> textNovelty _,
     "pipeline_mix_weights" -> pipelineMixWeights _,
     "pipeline_dataset_card" -> pipelineDatasetCard _,
+    "pipeline_mix_upsample" -> pipelineMixUpsample _,
     // streaming near-dup detection; shares the batch dedup_simhash oracle
     // (the qualifying pair set is chunking/arrival-order invariant — see
     // StreamingOps.streamDedupSimhash)
@@ -3666,6 +3721,7 @@ object Queries {
     "text_novelty" -> textNoveltySql,
     "pipeline_mix_weights" -> pipelineMixWeightsSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
+    "pipeline_mix_upsample" -> pipelineMixUpsampleSql,
     "stream_dedup_simhash" -> dedupSimhashSql,
     "stream_pipeline_ingest" -> streamPipelineIngestSql
   )

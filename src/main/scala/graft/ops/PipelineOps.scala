@@ -204,4 +204,65 @@ object PipelineOps {
           .as("expected_tokens"))
       .orderBy(col("lang"))
   }
+
+  /** UPSAMPLING mixture applier — the other half of [[mixtureWeights]]
+    * (which realizes target shares by downsampling only): rates are
+    * normalized so the most OVERrepresented language keeps rate 1.0 and
+    * every other language repeats, n_copies = ⌊rate⌋ plus one stochastic
+    * copy with probability frac(rate) decided by a deterministic per-doc
+    * hash ticket (replication is therefore repartition/retry/engine
+    * stable — rand() would resample on every replay and shift the
+    * mixture, the pipeline_stratified_sample argument applied to
+    * repetition). Emits the per-language before/after accounting; every
+    * number is an exact long sum or one double division, and the achieved
+    * after-shares land near the targets.
+    *
+    * Scale: rates are a |langs|-row broadcast; the copy decision is a
+    * pure projection; one map-combined per-lang aggregation. The exploded
+    * copy STREAM (sequence(1, n_copies) posexplode) is what a training
+    * run would write — this query emits the accounting view the planner
+    * checks.
+    */
+  def mixtureUpsample(
+      docs: DataFrame,
+      targets: Map[String, Double],
+      defaultTarget: Double = 0.0,
+      salt: String = "up"): DataFrame = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast(LongType)
+    val target = targets.foldLeft(lit(defaultTarget)) {
+      case (acc, (l, t)) => when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    val rates = docs.select(col("lang"), nTokens.as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("lang_tokens"))
+      .withColumn("total_tokens", sum(col("lang_tokens")).over(w))
+      .withColumn("target_share", target)
+      .withColumn("ratio", col("target_share") /
+        (col("lang_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType)))
+      .withColumn("up_rate", col("ratio") / min(col("ratio")).over(w))
+      .select(col("lang"), col("target_share"), col("up_rate"))
+    val ticket = pmod(graft.functions.HashOps.md5Low64(
+      concat(lit(salt + ":"), col("doc_id").cast(StringType))),
+      lit(1000000L)).cast(DoubleType) / 1000000.0
+    val frac = col("up_rate") - floor(col("up_rate")).cast(DoubleType)
+    docs.select(col("doc_id"), col("lang"), nTokens.as("n"))
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("n_copies",
+        floor(col("up_rate")).cast(LongType) +
+          when(ticket < frac, 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("n_copies_total"),
+        sum(col("n")).as("tokens_before"),
+        sum(col("n") * col("n_copies")).as("tokens_after"),
+        first(col("up_rate")).as("up_rate"),
+        first(col("target_share")).as("target_share"))
+      .withColumn("share_after", col("tokens_after").cast(DoubleType) /
+        sum(col("tokens_after")).over(w).cast(DoubleType))
+      .select(col("lang"), col("n_docs"), col("n_copies_total"),
+        col("tokens_before"), col("tokens_after"), col("up_rate"),
+        col("target_share"), col("share_after"))
+      .orderBy(col("lang"))
+  }
 }

@@ -976,6 +976,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsampling mixture: copies bounded by rate, shares approach targets") {
+    val out = Queries.all("pipeline_mix_upsample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, nDocs, nCopies, tokBefore, tokAfter, rate, _, _) =>
+      assert(rate >= 1.0, "upsampling never drops a document")
+      val lo = nDocs * math.floor(rate).toLong
+      assert(nCopies >= lo && nCopies <= lo + nDocs,
+        s"copies $nCopies outside [$lo, ${lo + nDocs}]")
+      assert(tokAfter >= tokBefore)
+    }
+    // the most overrepresented language keeps exactly rate 1 -> no copies
+    val anchor = out.minBy(_._6)
+    assert(anchor._6 == 1.0 && anchor._2 == anchor._3)
+    // achieved shares land near the targets (law of large numbers at n>=64)
+    out.foreach { case (lang, _, _, _, _, _, target, after) =>
+      assert(math.abs(after - target) < 0.05, s"$lang share $after vs $target")
+    }
+    assert(math.abs(out.map(_._8).sum - 1.0) < 1e-12)
+  }
+
   test("streamed anomaly detector is bit-equal to the batch scorer") {
     val batch = Queries.all("window_anomaly_zscore")(spark, dir)
       .collect().map(_.toString).toSeq
