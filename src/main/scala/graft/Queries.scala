@@ -300,6 +300,74 @@ object Queries {
       |  ON c.user_id = e.user_id AND c.ts_us >= e.err_ts_us
       |ORDER BY c.user_id, c.ts_us, c.event_id""".stripMargin
 
+  /** Interval×interval OVERLAP join (RangeJoin.intervalOverlap) — the
+    * third member of the temporal-join family: user sessions (gap
+    * sessionization) against deterministic daily maintenance windows
+    * (02:00–03:00 UTC across the event span). Both sides explode to the
+    * hour bins they cover, the join is bin-equi, and a first-shared-bin
+    * predicate dedupes without a distinct shuffle; the oracle replays the
+    * plain inequality join. Overlap durations are exact integer micros.
+    */
+  private def joinIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.streaming.StreamingOps.sessionizeBatch(s, dir)
+      .select(col("user_id"), col("session_id"),
+        col("session_start_us"), col("session_end_us"))
+    val ev = graft.streaming.StreamingOps.events(s, dir)
+    val Array(minUs, maxUs) = ev.agg(
+      unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    val windows = s.range(minUs / dayUs, maxUs / dayUs + 1).select(
+      col("id").as("win_day"),
+      (col("id") * dayUs + 2L * hourUs).as("win_start_us"),
+      (col("id") * dayUs + 3L * hourUs).as("win_end_us"))
+    graft.ops.RangeJoin.intervalOverlap(sessions, windows,
+        "session_start_us", "session_end_us",
+        "win_start_us", "win_end_us", binWidth = hourUs)
+      .select(col("user_id"), col("session_id"), col("win_day"),
+        col("session_start_us"), col("session_end_us"),
+        (least(col("session_end_us"), col("win_end_us")) -
+          greatest(col("session_start_us"), col("win_start_us")))
+          .as("overlap_us"))
+      .orderBy(col("user_id"), col("session_id"), col("win_day"))
+  }
+
+  private val joinIntervalOverlapSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+      |         WHEN lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |numbered AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_id, min(ts_us) AS session_start_us,
+      |    max(ts_us) AS session_end_us
+      |  FROM numbered GROUP BY user_id, session_id),
+      |b AS (SELECT min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+      |      FROM events),
+      |w AS (SELECT unnest(generate_series(min_us // 86400000000,
+      |               max_us // 86400000000)) AS win_day FROM b),
+      |wins AS (
+      |  SELECT CAST(win_day AS BIGINT) AS win_day,
+      |    win_day * 86400000000 + 7200000000 AS win_start_us,
+      |    win_day * 86400000000 + 10800000000 AS win_end_us
+      |  FROM w)
+      |SELECT s.user_id, s.session_id, wn.win_day,
+      |  s.session_start_us, s.session_end_us,
+      |  least(s.session_end_us, wn.win_end_us)
+      |    - greatest(s.session_start_us, wn.win_start_us) AS overlap_us
+      |FROM sess s JOIN wins wn
+      |  ON s.session_start_us < wn.win_end_us
+      | AND wn.win_start_us < s.session_end_us
+      |ORDER BY s.user_id, s.session_id, wn.win_day""".stripMargin
+
   /** Nearest-neighbor temporal join (AsOfJoin.asOfBoth): for every click,
     * the last error at-or-before it AND the first error strictly after it,
     * then the nearest of the two by absolute gap (ties -> backward). Both
@@ -3490,6 +3558,7 @@ object Queries {
     "agg_corpus_stats" -> corpusStats _,
     "join_asof_click_error" -> asofClickError _,
     "join_asof_nearest" -> asofNearestError _,
+    "join_interval_overlap" -> joinIntervalOverlap _,
     "join_range_events_windows" -> rangeJoinEventsWindows _,
     "window_running_total" -> windowRunningTotal _,
     "pivot_daily_events" -> pivotDailyEvents _,
@@ -3615,6 +3684,7 @@ object Queries {
     "agg_corpus_stats" -> corpusStatsSql,
     "join_asof_click_error" -> asofClickErrorSql,
     "join_asof_nearest" -> asofNearestErrorSql,
+    "join_interval_overlap" -> joinIntervalOverlapSql,
     "join_range_events_windows" -> rangeJoinEventsWindowsSql,
     "window_running_total" -> windowRunningTotalSql,
     "pivot_daily_events" -> pivotDailyEventsSql,

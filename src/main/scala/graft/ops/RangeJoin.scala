@@ -41,4 +41,34 @@ object RangeJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** INTERVAL×INTERVAL overlap join — the third member of the temporal-join
+    * family (as-of = point×point, [[pointInInterval]] = point×interval).
+    * Both sides explode to the bins they cover, the join is an equi-join on
+    * the bin, and the half-open overlap predicate
+    * `aStart < bEnd AND bStart < aEnd` filters residuals. Unlike the
+    * point case, a pair can meet in several bins, so the join DEDUPES by
+    * taking each pair in its FIRST shared bin — `greatest(aStart, bStart)
+    * div binWidth == bin` — a pure predicate (no distinct shuffle; the
+    * standard bin-join trick for overlap semantics).
+    *
+    * Cost: |A|·(spanA/bin) + |B|·(spanB/bin) exploded rows through one
+    * equi-join shuffle — pick binWidth near the typical span.
+    */
+  def intervalOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String, aEnd: String,
+      bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val ax = a.withColumn("__bin",
+      explode(sequence(expr(s"$aStart div ${binWidth}L"), expr(s"$aEnd div ${binWidth}L"))))
+    val bx = b.withColumn("__bin",
+      explode(sequence(expr(s"$bStart div ${binWidth}L"), expr(s"$bEnd div ${binWidth}L"))))
+    ax.join(bx, "__bin")
+      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .where(expr(s"greatest($aStart, $bStart) div ${binWidth}L") === col("__bin"))
+      .drop("__bin")
+  }
 }

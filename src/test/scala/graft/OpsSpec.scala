@@ -976,6 +976,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval overlap join matches brute force, emits each pair once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // spans chosen around the bin width so pairs often share several bins —
+    // the dedup-by-first-shared-bin predicate is what's under test
+    val as = (0 until 60).map { i =>
+      val st = rnd.nextInt(5000).toLong
+      (i.toLong, st, st + 1 + rnd.nextInt(700))
+    }
+    val bs = (0 until 40).map { j =>
+      val st = rnd.nextInt(5000).toLong
+      (j.toLong, st, st + 1 + rnd.nextInt(700))
+    }
+    val got = graft.ops.RangeJoin.intervalOverlap(
+        as.toDF("a_id", "a_start", "a_end"), bs.toDF("b_id", "b_start", "b_end"),
+        "a_start", "a_end", "b_start", "b_end", binWidth = 256L)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = for {
+      (ai, as1, ae) <- as
+      (bi, bs1, be) <- bs
+      if as1 < be && bs1 < ae
+    } yield (ai, bi)
+    assert(got.length == got.toSet.size, "a pair must appear exactly once")
+    assert(got.toSet == want.toSet,
+      s"missing=${(want.toSet -- got.toSet).take(5)} extra=${(got.toSet -- want.toSet).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   test("upsampling mixture: copies bounded by rate, shares approach targets") {
     val out = Queries.all("pipeline_mix_upsample")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

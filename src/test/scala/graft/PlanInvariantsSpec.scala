@@ -223,6 +223,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("interval overlap join stays bin-equi, never a nested-loop theta join") {
+    val p = plan("join_interval_overlap")
+    forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
+  }
+
   test("bidirectional asof join pays one shuffle: both frames share the sort") {
     val p = plan("join_asof_nearest")
     forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
