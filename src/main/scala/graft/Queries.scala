@@ -2660,6 +2660,56 @@ object Queries {
       |FROM exact e LEFT JOIN kth k USING (lang)
       |ORDER BY e.lang""".stripMargin
 
+  /** HyperLogLog distinct-count sketch per lang (see Sketches.hllDistinct):
+    * max-rank-per-register is a deterministic function of the shingle SET,
+    * so the oracle recomputes every register with max() over the identical
+    * bin()/shift arithmetic and lands on the same registers string, the
+    * same DECIMAL(38,0) harmonic numerator, and the identical DOUBLE
+    * estimate (string-routed decimal→double, power-of-two scaling, one
+    * IEEE division).
+    */
+  private def sketchHllDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.hllDistinct(t(s, dir, "documents"))
+
+  private val sketchHllDistinctSql =
+    """WITH sh AS (
+      |  SELECT lang, unnest(list_distinct(
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' '))
+      |    ELSE [array_to_string(toks, ' ')] END)) AS s
+      |  FROM (SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |d AS (SELECT DISTINCT lang, s FROM sh),
+      |h AS (SELECT lang, md5_number_lower(s) AS hm FROM d),
+      |b AS (SELECT lang, CAST(hm % 64 AS INT) AS idx,
+      |             CAST(hm >> 6 AS BIGINT) AS w FROM h),
+      |r AS (SELECT lang, idx,
+      |        CASE WHEN w = 0 THEN 59 ELSE 59 - length(bin(w)) END AS rho
+      |      FROM b),
+      |regs0 AS (SELECT lang, idx, max(rho) AS mr FROM r GROUP BY lang, idx),
+      |grid AS (SELECT l.lang, CAST(i.range AS INT) AS idx
+      |         FROM (SELECT DISTINCT lang FROM d) l, range(64) i),
+      |regs AS (SELECT g.lang, g.idx, COALESCE(r0.mr, 0) AS mr
+      |         FROM grid g LEFT JOIN regs0 r0
+      |           ON g.lang = r0.lang AND g.idx = r0.idx),
+      |agg AS (SELECT lang,
+      |    string_agg(CAST(mr AS VARCHAR), ',' ORDER BY idx) AS registers,
+      |    CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS INT) AS zeros,
+      |    CAST(max(mr) AS INT) AS max_register,
+      |    sum(CAST((1::BIGINT << CAST(59 - mr AS INT)) AS DECIMAL(38,0))) AS z_num
+      |  FROM regs GROUP BY lang),
+      |exact AS (SELECT lang, count(*) AS n_distinct FROM d GROUP BY lang),
+      |est AS (
+      |  SELECT a.lang, e.n_distinct, a.registers, a.zeros, a.max_register,
+      |    ((0.7213::DOUBLE/(1.0::DOUBLE + 1.079::DOUBLE/64.0::DOUBLE))
+      |      * 4096.0::DOUBLE * 576460752303423488.0::DOUBLE)
+      |      / CAST(CAST(a.z_num AS VARCHAR) AS DOUBLE) AS est
+      |  FROM agg a JOIN exact e USING (lang))
+      |SELECT lang, n_distinct, registers, zeros, max_register, est,
+      |  abs(est / n_distinct - 1.0::DOUBLE) AS rel_err,
+      |  abs(est / n_distinct - 1.0::DOUBLE) <= 0.4::DOUBLE AS hll_ok
+      |FROM est ORDER BY lang""".stripMargin
+
   /** Per-event-type quantile estimation from the mergeable bottom-k sample
     * sketch (Sketches.quantileBottomK), audited against exact quantiles and
     * the estimate's exact rank. Unlike GK/KLL, the retained sample is
@@ -3627,6 +3677,7 @@ object Queries {
     "sketch_count_min" -> sketchCountMin _,
     "sketch_kmv_distinct" -> sketchKmvDistinct _,
     "sketch_quantile_bottomk" -> sketchQuantileBottomK _,
+    "sketch_hll_distinct" -> sketchHllDistinct _,
     "stream_quantile_bottomk" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamQuantileBottomK(s, dir)),
     "stream_count_min" -> ((s: SparkSession, dir: String) =>
@@ -3741,6 +3792,7 @@ object Queries {
     "sketch_count_min" -> sketchCountMinSql,
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_quantile_bottomk" -> sketchQuantileBottomKSql,
+    "sketch_hll_distinct" -> sketchHllDistinctSql,
     // the streamed bottom-k accumulation equals the batch sketch under any
     // chunking (merge-order independence), so it replays the SAME oracle
     "stream_quantile_bottomk" -> sketchQuantileBottomKSql,

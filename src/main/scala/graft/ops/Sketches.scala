@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -250,6 +250,48 @@ class BottomKSample(k: Int)
     var i = 0
     while (i < b.length / 2) { out = insert(out, b(2 * i), b(2 * i + 1)); i += 1 }
     out
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
+}
+
+/** MERGEABLE HyperLogLog sketch (Flajolet, Fusy, Gandouet & Meunier,
+  * AofA 2007) over pre-hashed 64-bit keys: m = 2^6 = 64 registers, each
+  * holding the MAXIMUM leading-zero rank observed in its substream.
+  *
+  * Register layout (matching the SQL oracle bit-for-bit): for hash h,
+  * index = low 6 bits (h & 63), word w = h >>> 6 (58 payload bits),
+  * rank rho = (leading zeros of w within 58 bits) + 1, i.e. 59 -
+  * bitlength(w), with rho = 59 for w == 0. "Max per register" is
+  * idempotent AND commutative, so the register array is a deterministic
+  * function of the underlying key SET — merge-order independent, duplicate
+  * arrivals are no-ops, and (unlike GK/KLL) the ENTIRE sketch state
+  * hash-replays in DuckDB via max() over the same bin()/shift arithmetic.
+  * O(m) = 64 longs per group through the partial-agg shuffle regardless of
+  * group size — the 100 TB distinct-count design when even KMV's k hashes
+  * per group are too many or the stream cannot be re-keyed.
+  */
+object HyperLogLog extends Aggregator[(String, Long), Array[Long], Array[Long]] {
+  val p = 6
+  val m = 1 << p // 64 registers
+  val maxRho = 64 - p + 1 // 59: w == 0
+
+  def rho(w: Long): Int =
+    if (w == 0L) maxRho else java.lang.Long.numberOfLeadingZeros(w) - p + 1
+
+  override def zero: Array[Long] = new Array[Long](m)
+  override def reduce(b: Array[Long], t: (String, Long)): Array[Long] = {
+    val h = t._2
+    val idx = (h & (m - 1)).toInt
+    val r = rho(h >>> p)
+    if (r > b(idx)) b(idx) = r
+    b
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
   }
   override def finish(b: Array[Long]): Array[Long] = b
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
@@ -507,5 +549,70 @@ object Sketches {
           .otherwise(col("cnt") <= lit(bound)))
       .select(col("token"), col("cnt"), col("sketch_ok"))
       .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  /** Per-group distinct-count estimation via [[HyperLogLog]] over word
+    * n-gram shingles, audited against the exact distinct count. The whole
+    * value surface replays in SQL: the registers (max-rank per index is a
+    * set-deterministic function — see [[HyperLogLog]]), the exact-integer
+    * harmonic-sum numerator Z_num = Σᵢ 2^(59 − M[i]) accumulated in
+    * DECIMAL(38,0) (a Long sum can exceed 2^63 when registers are empty
+    * and ANSI would throw), and the raw estimate α₆₄·m²/(Z_num/2^59) —
+    * the decimal crosses to DOUBLE via the string route (correctly rounded
+    * on both engines), every multiplier is a power of two (exact scaling)
+    * or the identically-computed α constant, and the single division is
+    * IEEE-identical. The corpus keeps every group far out of the
+    * small-range regime (zeros = 0, emitted and checkable), so the
+    * linear-counting branch — whose ln() is NOT bit-replayable across
+    * engines — never fires; production code would branch on the emitted
+    * zeros column. hll_ok pins |est/exact − 1| ≤ 0.4 (≈3σ·1.04/√64);
+    * deterministic on fixed data since both engines compute identical
+    * doubles.
+    *
+    * Scale: O(m) = 64 longs per group through the partial-agg shuffle —
+    * no distinct pass, no per-group hash retention; duplicates are
+    * register-level no-ops. The exact side exists only to grade the
+    * sketch at test scale.
+    */
+  def hllDistinct(
+      docs: DataFrame,
+      groupCol: String = "lang",
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+
+    val sh = docs.select(col(groupCol).as("grp"),
+      explode(Dedup.shingles(col(textCol), n)).as("s"))
+    // no distinct pass: max-per-register is idempotent, duplicates are no-ops
+    val hashed = sh.select(col("grp"),
+      graft.functions.HashOps.md5Low64(col("s")).as("h")).as[(String, Long)]
+    val regs = hashed.groupByKey(_._1)
+      .agg(HyperLogLog.toColumn.name("regs"))
+      .toDF("grp", "regs")
+
+    val exact = sh.distinct().groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_distinct"))
+
+    def pow2(e: Column): Column =
+      Bridge.column(ShiftLeft(Bridge.expression(lit(1L)), Bridge.expression(e)))
+
+    val zNum = aggregate(col("regs"), lit(0L).cast("decimal(38,0)"),
+      (acc, r) => acc + pow2((lit(59L) - r).cast("int")).cast("decimal(38,0)"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(64.0))
+    val est = alpha * lit(4096.0) * lit(5.76460752303423488e17) /
+      zNum.cast("string").cast("double")
+
+    regs.join(exact, Seq("grp"))
+      .select(col("grp").as(groupCol), col("n_distinct"),
+        concat_ws(",", transform(col("regs"), _.cast("string"))).as("registers"),
+        size(filter(col("regs"), _ === 0L)).as("zeros"),
+        array_max(col("regs")).cast("int").as("max_register"),
+        est.as("est"))
+      .withColumn("rel_err", abs(col("est") / col("n_distinct") - lit(1.0)))
+      .withColumn("hll_ok", col("rel_err") <= lit(0.4))
+      .orderBy(col(groupCol))
   }
 }

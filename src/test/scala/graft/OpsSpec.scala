@@ -809,6 +809,49 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
+    import graft.ops.{HyperLogLog, Sketches}
+    val s = spark
+    import s.implicits._
+    val hashes = docs.select(col("lang"),
+      explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("lang"), graft.functions.HashOps.md5Low64(col("sh")).as("h"))
+      .as[(String, Long)]
+    val a = hashes.groupByKey(_._1).agg(HyperLogLog.toColumn).collect().toMap
+    val b = hashes.repartition(7).groupByKey(_._1).agg(HyperLogLog.toColumn).collect().toMap
+    val dup = hashes.union(hashes).groupByKey(_._1).agg(HyperLogLog.toColumn).collect().toMap
+    assert(a.keySet == b.keySet && a.keySet == dup.keySet)
+    a.foreach { case (lang, arr) =>
+      assert(arr.toSeq == b(lang).toSeq, s"$lang registers differ by partitioning")
+      assert(arr.toSeq == dup(lang).toSeq, s"$lang registers changed on duplicate arrivals")
+      // registers equal an independent per-index max over the raw hashes
+      val raw = hashes.filter(_._1 == lang).map(_._2).collect()
+      val expect = new Array[Long](64)
+      raw.foreach { h =>
+        val idx = (h & 63).toInt
+        val r = HyperLogLog.rho(h >>> 6).toLong
+        if (r > expect(idx)) expect(idx) = r
+      }
+      assert(arr.toSeq == expect.toSeq, s"$lang registers != per-index max derivation")
+    }
+    // known-cardinality synthetic set: 5000 distinct keys, est within the band
+    val syn = (1 to 5000).map(i => ("x", Sketches.md5Low64String(s"hll-syn-$i")))
+      .toDS()
+    val regs = syn.groupByKey(_._1).agg(HyperLogLog.toColumn).collect().head._2
+    val zNum = regs.map(m => BigInt(1) << (59 - m.toInt)).sum
+    val est = 0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 * 5.76460752303423488e17 /
+      zNum.toDouble
+    assert(math.abs(est / 5000.0 - 1.0) <= 0.4, s"synthetic est $est vs 5000")
+    // the full query: non-empty, every group in-band and out of small-range regime
+    val out = Sketches.hllDistinct(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("zeros") == 0, s"${r.getString(0)} in small-range regime")
+      assert(r.getAs[Boolean]("hll_ok"), s"${r.getString(0)} estimate out of band: " +
+        s"est=${r.getAs[Double]("est")} exact=${r.getAs[Long]("n_distinct")}")
+    }
+  }
+
   test("bloom decontamination: no false negatives, real false positives, order-independent bits") {
     import graft.ops.{BloomBits, PipelineOps}
     val s = spark
