@@ -3037,6 +3037,116 @@ object Queries {
       |  sample_rate, CAST(lang_tokens AS DOUBLE) * sample_rate AS expected_tokens
       |FROM sr ORDER BY lang""".stripMargin
 
+  /** CDC MERGE (log compaction + upsert/delete apply): the incremental
+    * snapshot-maintenance operator of a continuously-refreshed corpus. A
+    * deterministic CDC log is derived from the snapshot itself — updates
+    * for k%5∈{2,3} at seq 1, CONFLICTING updates for k%10==3 and deletes
+    * for k%10==7 at seq 2 (so last-writer-wins compaction is actually
+    * exercised), inserts under negative keys for k%100==1 — compacted to
+    * the last operation per key (max_by over the unique per-key seq, the
+    * Kafka-log-compaction rule), then applied in ONE full-outer key join:
+    * delete drops, update overrides, insert adds, untouched rows pass
+    * through tagged src='base'.
+    *
+    * The log carries NEVER-NULL sentinel fields (−1 / '' / epoch) instead
+    * of NULLs: Spark's max_by and DuckDB's arg_max differ in how they
+    * treat NULL arguments, and the apply step never surfaces a sentinel
+    * (op decides which side each field comes from), so the replay is
+    * engine-exact by construction.
+    *
+    * Scale: compaction is a map-side-combinable groupBy over the LOG only
+    * (in production ≪ snapshot → Spark broadcasts the compacted log; at
+    * this SF it is ~30% of the snapshot, so the sort-merge plan is the
+    * honest default), and the apply is one key-equi shuffle join.
+    * Production pairs this plan with dynamic partition overwrite so only
+    * storage partitions containing touched keys rewrite — the
+    * stream_disagg_incremental pattern.
+    */
+  private def pipelineCdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val odateType = o.schema("o_orderdate").dataType
+    val sentinelTs = lit("1970-01-01 00:00:00").cast(odateType)
+    val k = col("o_orderkey")
+
+    def change(filter: Column, seq: Int, op: String, custkey: Column,
+        status: Column, price: Column, odate: Column): DataFrame =
+      o.where(filter).select(k.as("k"), lit(seq.toLong).as("seq"),
+        lit(op).as("op"), custkey.cast("long").as("custkey"),
+        status.as("status"), price.cast("double").as("price"),
+        odate.as("odate"))
+
+    val log = change(pmod(k, lit(5)).isin(2, 3), 1, "U", lit(-1L), lit("P"),
+        col("o_totalprice") + lit(100.0), sentinelTs)
+      .union(change(pmod(k, lit(10)) === 3, 2, "U", lit(-1L), lit("F"),
+        col("o_totalprice") + lit(200.0), sentinelTs))
+      .union(change(pmod(k, lit(10)) === 7, 2, "D", lit(-1L), lit(""),
+        lit(-1.0), sentinelTs))
+      .union(o.where(pmod(k, lit(100)) === 1).select((-k).as("k"),
+        lit(1L).as("seq"), lit("I").as("op"), col("o_custkey").as("custkey"),
+        lit("N").as("status"), col("o_totalprice").as("price"),
+        col("o_orderdate").as("odate")))
+
+    val compact = log.groupBy(col("k")).agg(
+      max_by(col("op"), col("seq")).as("op"),
+      max_by(col("custkey"), col("seq")).as("custkey"),
+      max_by(col("status"), col("seq")).as("status"),
+      max_by(col("price"), col("seq")).as("price"),
+      max_by(col("odate"), col("seq")).as("odate"))
+
+    o.join(compact, o("o_orderkey") === compact("k"), "full_outer")
+      .where(compact("op").isNull || compact("op") =!= "D")
+      .select(
+        coalesce(compact("k"), o("o_orderkey")).as("o_orderkey"),
+        when(compact("op") === "I", compact("custkey"))
+          .otherwise(o("o_custkey")).as("o_custkey"),
+        when(compact("op").isNull, o("o_orderstatus"))
+          .otherwise(compact("status")).as("o_orderstatus"),
+        when(compact("op").isNull, o("o_totalprice"))
+          .otherwise(compact("price")).as("o_totalprice"),
+        when(compact("op") === "I", compact("odate"))
+          .otherwise(o("o_orderdate")).as("o_orderdate"),
+        when(compact("op").isNull, lit("base"))
+          .when(compact("op") === "U", lit("updated"))
+          .otherwise(lit("inserted")).as("src"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val pipelineCdcMergeSql =
+    """WITH upd1 AS (
+      |  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, -1::BIGINT AS custkey,
+      |         'P' AS status, o_totalprice + 100.0 AS price,
+      |         TIMESTAMP '1970-01-01 00:00:00' AS odate
+      |  FROM orders WHERE o_orderkey % 5 IN (2, 3)),
+      |upd2 AS (
+      |  SELECT o_orderkey, 2, 'U', -1::BIGINT, 'F', o_totalprice + 200.0,
+      |         TIMESTAMP '1970-01-01 00:00:00'
+      |  FROM orders WHERE o_orderkey % 10 = 3),
+      |del AS (
+      |  SELECT o_orderkey, 2, 'D', -1::BIGINT, '', -1.0,
+      |         TIMESTAMP '1970-01-01 00:00:00'
+      |  FROM orders WHERE o_orderkey % 10 = 7),
+      |ins AS (
+      |  SELECT -o_orderkey, 1, 'I', o_custkey, 'N', o_totalprice, o_orderdate
+      |  FROM orders WHERE o_orderkey % 100 = 1),
+      |cdc_log AS (
+      |  SELECT * FROM upd1 UNION ALL SELECT * FROM upd2
+      |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+      |compact AS (
+      |  SELECT k, arg_max(op, seq) AS op, arg_max(custkey, seq) AS custkey,
+      |         arg_max(status, seq) AS status, arg_max(price, seq) AS price,
+      |         arg_max(odate, seq) AS odate
+      |  FROM cdc_log GROUP BY k)
+      |SELECT coalesce(c.k, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN c.op = 'I' THEN c.custkey ELSE b.o_custkey END AS o_custkey,
+      |  CASE WHEN c.op IS NULL THEN b.o_orderstatus ELSE c.status END AS o_orderstatus,
+      |  CASE WHEN c.op IS NULL THEN b.o_totalprice ELSE c.price END AS o_totalprice,
+      |  CASE WHEN c.op = 'I' THEN c.odate ELSE b.o_orderdate END AS o_orderdate,
+      |  CASE WHEN c.op IS NULL THEN 'base'
+      |       WHEN c.op = 'U' THEN 'updated' ELSE 'inserted' END AS src
+      |FROM orders b FULL OUTER JOIN compact c ON b.o_orderkey = c.k
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Dataset card: the per-(lang, source) release summary a corpus ships
     * with — documents, exact-duplicate incidence (via fingerprint
     * cardinality), token totals/means, and the fraction passing the
@@ -3711,6 +3821,7 @@ object Queries {
     "pipeline_mix_weights" -> pipelineMixWeights _,
     "pipeline_dataset_card" -> pipelineDatasetCard _,
     "pipeline_mix_upsample" -> pipelineMixUpsample _,
+    "pipeline_cdc_merge" -> pipelineCdcMerge _,
     // streaming near-dup detection; shares the batch dedup_simhash oracle
     // (the qualifying pair set is chunking/arrival-order invariant — see
     // StreamingOps.streamDedupSimhash)
@@ -3844,6 +3955,7 @@ object Queries {
     "pipeline_mix_weights" -> pipelineMixWeightsSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_mix_upsample" -> pipelineMixUpsampleSql,
+    "pipeline_cdc_merge" -> pipelineCdcMergeSql,
     "stream_dedup_simhash" -> dedupSimhashSql,
     "stream_pipeline_ingest" -> streamPipelineIngestSql
   )

@@ -809,6 +809,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc merge: last op wins, deletes drop, inserts add, untouched rows pass through") {
+    val merged = Queries.all("pipeline_cdc_merge")(spark, dir)
+    val base = spark.read.parquet(s"$dir/orders.parquet")
+    val byKey = merged.collect().map(r => r.getLong(0) -> r).toMap
+    val baseRows = base.collect().map(r => r.getLong(0) -> r).toMap
+
+    val nDel = baseRows.keys.count(_ % 10 == 7)
+    val nIns = baseRows.keys.count(_ % 100 == 1)
+    assert(byKey.size == baseRows.size - nDel + nIns,
+      s"rows ${byKey.size} != ${baseRows.size} - $nDel + $nIns")
+
+    baseRows.foreach { case (k, b) =>
+      val price = b.getAs[Double]("o_totalprice")
+      if (k % 10 == 7) assert(!byKey.contains(k), s"deleted key $k survived")
+      else if (k % 10 == 3) { // seq-2 update beats the seq-1 update
+        val m = byKey(k)
+        assert(m.getAs[String]("o_orderstatus") == "F" &&
+          m.getAs[Double]("o_totalprice") == price + 200.0 &&
+          m.getAs[String]("src") == "updated", s"key $k: wrong seq-2 apply")
+      } else if (k % 5 == 2 || k % 5 == 3) { // only the seq-1 update touched it
+        val m = byKey(k)
+        assert(m.getAs[String]("o_orderstatus") == "P" &&
+          m.getAs[Double]("o_totalprice") == price + 100.0, s"key $k: wrong seq-1 apply")
+      } else {
+        val m = byKey(k)
+        assert(m.getAs[String]("src") == "base" &&
+          m.getAs[Double]("o_totalprice") == price &&
+          m.getAs[String]("o_orderstatus") == b.getAs[String]("o_orderstatus"),
+          s"untouched key $k mutated")
+      }
+      if (k % 100 == 1) {
+        val ins = byKey(-k)
+        assert(ins.getAs[String]("src") == "inserted" &&
+          ins.getAs[String]("o_orderstatus") == "N" &&
+          ins.getAs[Double]("o_totalprice") == price &&
+          ins.getAs[Long]("o_custkey") == b.getAs[Long]("o_custkey"),
+          s"insert -$k wrong")
+      }
+    }
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
