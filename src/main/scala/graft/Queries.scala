@@ -1085,6 +1085,69 @@ object Queries {
     * includes the month as a tiebreak so peer groups are single rows —
     * deterministic across engines even under revenue ties.
     */
+  /** SCD Type-2 dimension history build: per customer, the order-priority
+    * attribute sequence (ordered by o_orderdate with o_orderkey as the
+    * unique tiebreak — the total order every replayable window op needs)
+    * is compressed into validity intervals. Classic gaps-and-islands:
+    * lag() marks change points, a running sum numbers the islands, one
+    * groupBy collapses each island to [effective_from, effective_to)
+    * with effective_to = lead(effective_from) by ISLAND NUMBER (island
+    * min-dates can tie when two orders share a date, so ordering by the
+    * strictly-increasing version id is the deterministic choice) and
+    * is_current on the open interval.
+    *
+    * Scale: everything is partitioned by o_custkey — the lag, the running
+    * sum, the groupBy and the lead all satisfy their distribution from ONE
+    * hash Exchange, and the island frame is |changes|-sized, not
+    * |orders|-sized, before the final lead.
+    */
+  private def windowScd2(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val wOrd = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val prev = lag(col("o_orderpriority"), 1).over(wOrd)
+    val ver = o.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority"))
+      .withColumn("chg", when(prev.isNull || prev =!= col("o_orderpriority"), 1L)
+        .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wOrd))
+    val isl = ver.groupBy(col("o_custkey"), col("version"))
+      .agg(min(col("o_orderpriority")).as("priority"),
+        min(col("o_orderdate")).as("effective_from"),
+        count(lit(1)).as("n_orders"))
+    val wIsl = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    isl.withColumn("effective_to", lead(col("effective_from"), 1).over(wIsl))
+      .select(col("o_custkey"), col("version"), col("priority"),
+        col("effective_from"), col("effective_to"), col("n_orders"),
+        col("effective_to").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  private val windowScd2Sql =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |ver AS (
+      |  SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+      |    AS BIGINT) AS version
+      |  FROM seq),
+      |isl AS (
+      |  SELECT o_custkey, version, min(o_orderpriority) AS priority,
+      |    min(o_orderdate) AS effective_from, count(*) AS n_orders
+      |  FROM ver GROUP BY o_custkey, version),
+      |fin AS (
+      |  SELECT *, lead(effective_from) OVER (PARTITION BY o_custkey
+      |    ORDER BY version) AS effective_to
+      |  FROM isl)
+      |SELECT o_custkey, version, priority, effective_from, effective_to,
+      |  n_orders, effective_to IS NULL AS is_current
+      |FROM fin ORDER BY o_custkey, version""".stripMargin
+
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -3739,6 +3802,7 @@ object Queries {
     "stream_anomaly_zscore" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamAnomalyZscore(s, dir)),
     "window_rank_suite" -> windowRankSuite _,
+    "window_scd2" -> windowScd2 _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -3869,6 +3933,7 @@ object Queries {
     // the batch oracle verbatim
     "stream_anomaly_zscore" -> windowAnomalyZscoreSql,
     "window_rank_suite" -> windowRankSuiteSql,
+    "window_scd2" -> windowScd2Sql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

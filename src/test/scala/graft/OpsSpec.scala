@@ -850,6 +850,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2: islands match brute-force run compression, intervals tile, one current row") {
+    val out = Queries.all("window_scd2")(spark, dir).collect()
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority").collect()
+
+    // brute force: sort each customer's orders, compress runs of equal priority
+    val expect = orders.groupBy(_.getLong(0)).map { case (cust, rows) =>
+      val sorted = rows.sortBy(r => (r.getAs[java.time.LocalDateTime](1).toString, r.getLong(2)))
+      val islands = sorted.foldLeft(Vector.empty[(String, String, Long)]) { (acc, r) =>
+        val pri = r.getString(3)
+        val from = r.getAs[java.time.LocalDateTime](1).toString
+        if (acc.nonEmpty && acc.last._1 == pri)
+          acc.init :+ ((pri, acc.last._2, acc.last._3 + 1))
+        else acc :+ ((pri, from, 1L))
+      }
+      cust -> islands
+    }
+
+    val got = out.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)))
+    assert(got.keys.toSet == expect.keySet)
+    got.foreach { case (cust, rows) =>
+      val exp = expect(cust)
+      assert(rows.length == exp.length, s"cust $cust: ${rows.length} islands vs ${exp.length}")
+      rows.zip(exp).zipWithIndex.foreach { case ((r, (pri, from, n)), i) =>
+        assert(r.getString(2) == pri && r.getLong(5) == n, s"cust $cust island $i")
+        assert(r.getAs[java.time.LocalDateTime]("effective_from").toString == from,
+          s"cust $cust island $i from")
+        // consecutive islands always change priority
+        if (i > 0) assert(rows(i - 1).getString(2) != pri, s"cust $cust island $i no change")
+        // intervals tile: effective_to == next effective_from; only last is open/current
+        if (i < rows.length - 1)
+          assert(r.getAs[java.time.LocalDateTime]("effective_to") ==
+            rows(i + 1).getAs[java.time.LocalDateTime]("effective_from") &&
+            !r.getAs[Boolean]("is_current"), s"cust $cust island $i not tiled")
+        else assert(r.isNullAt(4) && r.getAs[Boolean]("is_current"),
+          s"cust $cust last island not current")
+      }
+    }
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
