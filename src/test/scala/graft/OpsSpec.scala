@@ -890,6 +890,45 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder layout: interleave matches brute force, z-order prunes more files than ingest order") {
+    // brute-force Morton check against an independent Scala implementation
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val (maxp, maxs) = {
+      val r = li.agg(max("l_partkey"), max("l_suppkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def morton(pb: Long, sb: Long): Long =
+      (0 until 8).map(i => (((pb >> i) & 1) << (2 * i)) | (((sb >> i) & 1) << (2 * i + 1))).reduce(_ | _)
+    li.limit(50).collect().foreach { r =>
+      val pb = r.getLong(1) * 256 / (maxp + 1)
+      val sb = r.getLong(2) * 256 / (maxs + 1)
+      val z = morton(pb, sb)
+      assert(z >= 0 && z < 65536 && (z >> 10) < 64)
+      // de-interleave recovers the buckets — the defining Morton property
+      val pBack = (0 until 8).map(i => ((z >> (2 * i)) & 1) << i).reduce(_ | _)
+      val sBack = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1) << i).reduce(_ | _)
+      assert(pBack == pb && sBack == sb, s"interleave not invertible for ($pb,$sb)")
+    }
+
+    val out = Queries.all("layout_zorder")(spark, dir).collect()
+    assert(out.length == 32, s"expected 32 probe rows, got ${out.length}")
+    Seq("part", "supp").foreach { dim =>
+      val rows = out.filter(_.getString(0) == dim)
+      assert(rows.length == 16, s"$dim: ${rows.length} probes")
+      val zTotal = rows.map(_.getAs[Long]("files_zorder")).sum
+      val lTotal = rows.map(_.getAs[Long]("files_linear")).sum
+      assert(zTotal < lTotal,
+        s"$dim: z-order scanned $zTotal file-probes, ingest order $lTotal — no advantage")
+      rows.foreach { r =>
+        val fz = r.getAs[Long]("files_zorder")
+        val fl = r.getAs[Long]("files_linear")
+        assert(fz <= 64 && fl <= 64, s"$dim: counts out of range fz=$fz fl=$fl")
+        assert(r.getAs[Double]("scan_frac_zorder") == fz / 64.0)
+      }
+    }
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
