@@ -1267,6 +1267,84 @@ object Queries {
       |FROM cz JOIN cl ON cz.dim = cl.dim AND cz.j = cl.j
       |ORDER BY cz.dim, cz.j""".stripMargin
 
+  /** PageRank centrality over the supplier↔customer trade graph — the
+    * second iterative graph operator next to connected components
+    * (ops/Dedup.scala). Nodes: suppliers (key·2) and customers (key·2+1,
+    * disjoint id spaces); edges: both directions of every distinct
+    * (l_suppkey, o_custkey) trading relationship, so no node is dangling.
+    * Three unrolled power iterations with damping 0.85 run entirely in
+    * scaled-LONG arithmetic (rank·10⁹; per-edge contribution = rank div
+    * outdeg; update = 0.15·10⁹ + (85·Σcontrib) div 100): every step is
+    * exact nonnegative integer division, identical under Spark's `div`
+    * and DuckDB's `//`, so the full 3-iteration run hash-replays — the
+    * same no-epsilon discipline as the IVF k-means training replay
+    * (ops/Similarity.scala). Sum bound: Σ ranks ≤ n·10⁹, ×85 stays far
+    * under 2⁶³ for any n ≤ 10⁸ nodes — no ANSI overflow.
+    *
+    * Scale: edges are built once, hash-partitioned by src, and persisted;
+    * each iteration is one edge⋈rank equi-join (edge side already
+    * co-located, only the node-sized rank frame moves) plus one
+    * map-combined sum by dst — 2 shuffles per round, all edge/node-sized,
+    * no driver state, same loop discipline as connectedComponents.
+    */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val fwd = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    // reversed copy: src parities disjoint, so plain union stays duplicate-free
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(32, col("src")).persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = deg.select(col("src").as("node"), col("outdeg"),
+      lit(1000000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = deg.join(contrib, deg("src") === contrib("dst"))
+        .select(col("src").as("node"), col("outdeg"),
+          expr("150000000L + (85 * s) div 100").as("r"))
+    }
+    val out = ranks
+      .select(col("node"), expr("node div 2").as("entity_key"),
+        when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
+        col("outdeg"), col("r").as("rank_raw"),
+        (col("r") / lit(1000000000.0)).as("rank"))
+      .orderBy(col("rank_raw").desc, col("node"))
+    edges.unpersist()
+    out
+  }
+
+  private val graphPagerankSql =
+    """WITH fwd AS (
+      |  SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT src, dst FROM fwd
+      |          UNION ALL SELECT dst, src FROM fwd),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      |r0 AS (SELECT src AS node, outdeg, CAST(1000000000 AS BIGINT) AS r FROM deg),
+      |c1 AS (SELECT e.dst AS node, CAST(sum(p.r // p.outdeg) AS BIGINT) AS s
+      |       FROM edges e JOIN r0 p ON e.src = p.node GROUP BY e.dst),
+      |r1 AS (SELECT d.src AS node, d.outdeg,
+      |         CAST(150000000 + (85 * c.s) // 100 AS BIGINT) AS r
+      |       FROM deg d JOIN c1 c ON d.src = c.node),
+      |c2 AS (SELECT e.dst AS node, CAST(sum(p.r // p.outdeg) AS BIGINT) AS s
+      |       FROM edges e JOIN r1 p ON e.src = p.node GROUP BY e.dst),
+      |r2 AS (SELECT d.src AS node, d.outdeg,
+      |         CAST(150000000 + (85 * c.s) // 100 AS BIGINT) AS r
+      |       FROM deg d JOIN c2 c ON d.src = c.node),
+      |c3 AS (SELECT e.dst AS node, CAST(sum(p.r // p.outdeg) AS BIGINT) AS s
+      |       FROM edges e JOIN r2 p ON e.src = p.node GROUP BY e.dst),
+      |r3 AS (SELECT d.src AS node, d.outdeg,
+      |         CAST(150000000 + (85 * c.s) // 100 AS BIGINT) AS r
+      |       FROM deg d JOIN c3 c ON d.src = c.node)
+      |SELECT node, node // 2 AS entity_key,
+      |  CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+      |  outdeg, r AS rank_raw, CAST(r AS DOUBLE) / 1000000000.0 AS rank
+      |FROM r3 ORDER BY rank_raw DESC, node""".stripMargin
+
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -3923,6 +4001,7 @@ object Queries {
     "window_rank_suite" -> windowRankSuite _,
     "window_scd2" -> windowScd2 _,
     "layout_zorder" -> layoutZorder _,
+    "graph_pagerank" -> graphPagerank _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4055,6 +4134,7 @@ object Queries {
     "window_rank_suite" -> windowRankSuiteSql,
     "window_scd2" -> windowScd2Sql,
     "layout_zorder" -> layoutZorderSql,
+    "graph_pagerank" -> graphPagerankSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

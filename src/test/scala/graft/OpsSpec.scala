@@ -929,6 +929,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank: query equals brute-force integer power iteration, mass bounded, hubs rank high") {
+    // independent ground truth: collect the graph and iterate in plain Scala
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    val ord = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey")
+    val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = fwd ++ fwd.map { case (a, b) => (b, a) }
+    val outdeg = edges.groupBy(_._1).map { case (k, es) => k -> es.length.toLong }
+    var r: Map[Long, Long] = outdeg.map { case (k, _) => k -> 1000000000L }
+    for (_ <- 1 to 3) {
+      val s = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = s.map { case (n, sum) => n -> (150000000L + (85L * sum) / 100L) }
+    }
+
+    val got = Queries.all("graph_pagerank")(spark, dir).collect()
+    assert(got.length == r.size, s"node count ${got.length} != ${r.size}")
+    got.foreach { row =>
+      val node = row.getAs[Long]("node")
+      assert(row.getAs[Long]("rank_raw") == r(node),
+        s"node $node: ${row.getAs[Long]("rank_raw")} != brute ${r(node)}")
+      assert(row.getAs[Long]("outdeg") == outdeg(node))
+      assert(row.getAs[Double]("rank") == row.getAs[Long]("rank_raw") / 1.0e9)
+    }
+    // total mass stays within the teleport/damping envelope of n·SCALE
+    val total = r.values.sum
+    assert(total <= r.size * 1000000000L && total > r.size * 150000000L)
+    // output is rank-descending and the top node is a genuine hub
+    val ranks = got.map(_.getAs[Long]("rank_raw"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    val topDeg = got.head.getAs[Long]("outdeg")
+    val medianDeg = outdeg.values.toArray.sorted.apply(outdeg.size / 2)
+    assert(topDeg > medianDeg, s"top-ranked node degree $topDeg not above median $medianDeg")
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
