@@ -1345,6 +1345,107 @@ object Queries {
       |  outdeg, r AS rank_raw, CAST(r AS DOUBLE) / 1000000000.0 AS rank
       |FROM r3 ORDER BY rank_raw DESC, node""".stripMargin
 
+  /** Small-file compaction planning — the OPTIMIZE/compact half of the
+    * lakehouse layout story (layout_zorder is the clustering half). Ingest
+    * "files" are simulated deterministically from the data itself: one file
+    * per (ship-month, l_orderkey div 16) with an exact byte size
+    * (64 B fixed width + flag/status octet lengths per row). The plan packs
+    * each month's files into ~8 KiB compaction bins by next-fit-decreasing:
+    * files sorted (bytes DESC, file_id), bin = exclusive-running-total div
+    * 8192 — one window over per-partition METADATA (file counts, not rows),
+    * which is what makes this viable at 100 TB: the planner's input is the
+    * file manifest (millions of rows), never the table. All integer-exact;
+    * the fill ratio is one correctly-rounded division, so the whole plan
+    * hash-replays.
+    */
+  private def layoutCompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = t(s, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("part_month"),
+        expr("l_orderkey div 16").as("file_id"))
+      .agg((count(lit(1)) * 64 +
+        sum(octet_length(col("l_returnflag")) + octet_length(col("l_linestatus")))
+          .cast("long")).as("bytes"))
+    val w = Window.partitionBy(col("part_month"))
+      .orderBy(col("bytes").desc, col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = files
+      .withColumn("cum_prev", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin_id", expr("cum_prev div 8192"))
+    binned.groupBy(col("part_month"), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).cast("long").as("bin_bytes"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .withColumn("fill_ratio", col("bin_bytes") / lit(8192.0))
+      .orderBy(col("part_month"), col("bin_id"))
+  }
+
+  private val layoutCompactionPlanSql =
+    """WITH files AS (
+      |  SELECT date_trunc('month', l_shipdate) AS part_month,
+      |    l_orderkey // 16 AS file_id,
+      |    CAST(count(*) * 64 +
+      |      sum(strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) AS bytes
+      |  FROM lineitem GROUP BY 1, 2),
+      |binned AS (
+      |  SELECT part_month, file_id, bytes,
+      |    CAST(COALESCE(sum(bytes) OVER (PARTITION BY part_month
+      |      ORDER BY bytes DESC, file_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192 AS BIGINT) AS bin_id
+      |  FROM files)
+      |SELECT part_month, bin_id, count(*) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+      |  min(file_id) AS first_file, max(file_id) AS last_file,
+      |  CAST(sum(bytes) AS DOUBLE) / 8192.0 AS fill_ratio
+      |FROM binned GROUP BY part_month, bin_id
+      |ORDER BY part_month, bin_id""".stripMargin
+
+  /** Join-key skew profiler — the diagnostic that decides whether a 100 TB
+    * join needs salting before it runs. For each candidate shuffle key
+    * (lineitem.l_partkey, lineitem.l_suppkey, orders.o_custkey) it computes
+    * the key-frequency profile in one map-combined groupBy per key: distinct
+    * keys, total rows, max/avg per-key rows, the share held by the heaviest
+    * key, and the recommended salt factor ceil(max_rows / avg_rows) — 1
+    * means no salting needed, k>1 means replicate the build side k ways.
+    * Integer-exact (avg kept as an exact (sum, count) pair; ceil done in
+    * integer arithmetic: (max·distinct + total − 1) div total), single
+    * divisions for the two ratio columns — hash-replays. The profile input
+    * is key-histogram-sized, never row-sized, after the first partial agg.
+    */
+  private def diagSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, key: String): DataFrame = {
+      val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+      counts.agg(
+        lit(key).as("join_key"),
+        count(lit(1)).as("distinct_keys"),
+        sum(col("n")).cast("long").as("total_rows"),
+        max(col("n")).as("max_key_rows"))
+        .withColumn("avg_key_rows", col("total_rows") / col("distinct_keys").cast("double"))
+        .withColumn("max_share", col("max_key_rows") / col("total_rows").cast("double"))
+        .withColumn("salt_factor",
+          expr("(max_key_rows * distinct_keys + total_rows - 1) div total_rows"))
+    }
+    profile(t(s, dir, "lineitem"), "l_partkey")
+      .unionAll(profile(t(s, dir, "lineitem"), "l_suppkey"))
+      .unionAll(profile(t(s, dir, "orders"), "o_custkey"))
+      .orderBy(col("join_key"))
+  }
+
+  private val diagSkewProfileSql =
+    """WITH p AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+      |s AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+      |c AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+      |one AS (
+      |  SELECT 'l_partkey' AS join_key, count(*) AS distinct_keys,
+      |    CAST(sum(n) AS BIGINT) AS total_rows, max(n) AS max_key_rows FROM p
+      |  UNION ALL
+      |  SELECT 'l_suppkey', count(*), CAST(sum(n) AS BIGINT), max(n) FROM s
+      |  UNION ALL
+      |  SELECT 'o_custkey', count(*), CAST(sum(n) AS BIGINT), max(n) FROM c)
+      |SELECT join_key, distinct_keys, total_rows, max_key_rows,
+      |  CAST(total_rows AS DOUBLE) / CAST(distinct_keys AS DOUBLE) AS avg_key_rows,
+      |  CAST(max_key_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS max_share,
+      |  (max_key_rows * distinct_keys + total_rows - 1) // total_rows AS salt_factor
+      |FROM one ORDER BY join_key""".stripMargin
+
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -4002,6 +4103,8 @@ object Queries {
     "window_scd2" -> windowScd2 _,
     "layout_zorder" -> layoutZorder _,
     "graph_pagerank" -> graphPagerank _,
+    "layout_compaction_plan" -> layoutCompactionPlan _,
+    "diag_skew_profile" -> diagSkewProfile _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4135,6 +4238,8 @@ object Queries {
     "window_scd2" -> windowScd2Sql,
     "layout_zorder" -> layoutZorderSql,
     "graph_pagerank" -> graphPagerankSql,
+    "layout_compaction_plan" -> layoutCompactionPlanSql,
+    "diag_skew_profile" -> diagSkewProfileSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

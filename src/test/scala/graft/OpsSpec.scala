@@ -966,6 +966,61 @@ class OpsSpec extends AnyFunSuite {
     assert(topDeg > medianDeg, s"top-ranked node degree $topDeg not above median $medianDeg")
   }
 
+  test("compaction plan: bins match brute-force next-fit-decreasing, no partition mixing") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate", "l_returnflag", "l_linestatus")
+    // brute force: rebuild files and bin them sequentially per month
+    val files = li.collect().map { r =>
+      val month = r.getAs[java.time.LocalDateTime](1).withDayOfMonth(1)
+        .toLocalDate.toString
+      ((month, r.getLong(0) / 16),
+        64L + r.getString(2).getBytes("UTF-8").length + r.getString(3).getBytes("UTF-8").length)
+    }.groupBy(_._1).map { case (k, rows) => (k._1, k._2, rows.map(_._2).sum) }.toSeq
+    val expect = files.groupBy(_._1).toSeq.flatMap { case (month, fs) =>
+      val sorted = fs.sortBy(f => (-f._3, f._2))
+      var cum = 0L
+      sorted.map { case (_, fid, bytes) =>
+        val bin = cum / 8192; cum += bytes; ((month, bin), (fid, bytes))
+      }
+    }.groupBy(_._1).map { case ((month, bin), fs) =>
+      (month, bin) -> (fs.size, fs.map(_._2._2).sum, fs.map(_._2._1).min, fs.map(_._2._1).max)
+    }
+
+    val got = Queries.all("layout_compaction_plan")(spark, dir).collect()
+    assert(got.length == expect.size, s"${got.length} bins != ${expect.size}")
+    got.foreach { r =>
+      val month = r.getTimestamp(0).toLocalDateTime.toLocalDate.toString
+      val key = (month, r.getAs[Long]("bin_id"))
+      val (n, bytes, first, last) = expect(key)
+      assert(r.getAs[Long]("n_files") == n.toLong, s"$key n_files")
+      assert(r.getAs[Long]("bin_bytes") == bytes, s"$key bytes")
+      assert(r.getAs[Long]("first_file") == first && r.getAs[Long]("last_file") == last)
+      assert(r.getAs[Double]("fill_ratio") == bytes / 8192.0)
+    }
+  }
+
+  test("skew profile: exact histogram stats and ceil salt factor per key") {
+    val got = Queries.all("diag_skew_profile")(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("l_partkey", "l_suppkey", "o_custkey"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    Seq(("l_partkey", li), ("l_suppkey", li),
+      ("o_custkey", spark.read.parquet(s"$dir/orders.parquet"))).foreach { case (key, df) =>
+      val hist = df.select(key).collect().map(_.getLong(0))
+        .groupBy(identity).map(_._2.length.toLong)
+      val (distinct, total, mx) = (hist.size.toLong, hist.sum, hist.max)
+      val r = got.find(_.getString(0) == key).get
+      assert(r.getAs[Long]("distinct_keys") == distinct)
+      assert(r.getAs[Long]("total_rows") == total)
+      assert(r.getAs[Long]("max_key_rows") == mx)
+      assert(r.getAs[Double]("avg_key_rows") == total / distinct.toDouble)
+      assert(r.getAs[Double]("max_share") == mx / total.toDouble)
+      // integer ceil(max/avg) = ceil(max*distinct/total)
+      val salt = (mx * distinct + total - 1) / total
+      assert(r.getAs[Long]("salt_factor") == salt, s"$key salt")
+      assert(salt >= 1)
+    }
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
