@@ -1446,6 +1446,89 @@ object Queries {
       |  (max_key_rows * distinct_keys + total_rows - 1) // total_rows AS salt_factor
       |FROM one ORDER BY join_key""".stripMargin
 
+  /** Distributed BPE vocabulary induction (Sennrich et al. 2016) — six
+    * merge rounds trained on the documents corpus. The corpus collapses
+    * once to a (word, count) table (vocabulary-sized, never corpus-sized
+    * past the first shuffle); each round is then ONE map-combined pair-count
+    * groupBy + a TakeOrdered(1) argmax (total DESC, pair ASC tie-break) +
+    * a narrow replace projection — the textbook distributed-BPE-trainer
+    * shape. The per-round best pair is a 1-row driver collect (the same
+    * sanctioned scalar-state pattern as the IVF k-means centroids,
+    * ops/Similarity.scala). Merge application is single-pass left-to-right
+    * non-overlapping `replace` on a unit-separator-framed symbol string
+    * (pattern ␟a␟b␟ → ␟ab␟): symbol boundaries make prefix collisions
+    * impossible, and both engines share exactly these replace semantics,
+    * so all six rounds — selections AND weights — hash-replay in DuckDB.
+    * (In homogeneous runs like "aaaa" a single pass merges alternate
+    * occurrences — odd positions only — which is the documented,
+    * engine-exact variant of greedy BPE.) Integer-exact throughout.
+    */
+  private def textBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sep = "\u001F"
+    val words = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", concat(lit(sep),
+        array_join(filter(split(col("word"), ""), x => x =!= ""), sep), lit(sep)))
+      .select(col("cnt"), col("syms"))
+      .persist()
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    for (k <- 1 to 6) {
+      val arr = filter(split(col("syms"), sep), x => x =!= "")
+      val best = cur.select(col("cnt"), arr.as("l"))
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("l"), lit(1), size(col("l")) - 1),
+          slice(col("l"), lit(2), size(col("l")) - 1))).as("z"))
+        .groupBy(col("z").getItem("0").as("pa"), col("z").getItem("1").as("pb"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("pa"), col("pb"))
+        .limit(1).collect()(0)
+      val (pa, pb, tot) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k, pa, pb, pa + pb, tot))
+      cur = cur.withColumn("syms", replace(col("syms"),
+        lit(sep + pa + sep + pb + sep), lit(sep + pa + pb + sep)))
+    }
+    words.unpersist()
+    merges.toSeq.toDF("round", "pair_a", "pair_b", "merged", "pair_weight")
+      .orderBy("round")
+  }
+
+  /** Oracle: the identical six rounds unrolled as a WITH chain; each round's
+    * argmax is a LIMIT 1 CTE consumed via scalar subqueries in the next
+    * round's replace.
+    */
+  private val textBpeVocabSql: String = {
+    def round(k: Int): String = {
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"""px$k AS (SELECT cnt, list_filter(string_split(syms, chr(31)), x -> x <> '') AS l FROM $prev),
+         |py$k AS (SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i FROM px$k),
+         |pr$k AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(sum(cnt) AS BIGINT) AS total
+         |         FROM py$k GROUP BY 1, 2),
+         |b$k AS (SELECT pa, pb, total FROM pr$k ORDER BY total DESC, pa, pb LIMIT 1),
+         |w$k AS (SELECT cnt, replace(syms,
+         |    chr(31) || (SELECT pa FROM b$k) || chr(31) || (SELECT pb FROM b$k) || chr(31),
+         |    chr(31) || (SELECT pa FROM b$k) || (SELECT pb FROM b$k) || chr(31)) AS syms
+         |  FROM $prev)""".stripMargin
+    }
+    val selects = (1 to 6).map { k =>
+      s"SELECT $k AS round, pa AS pair_a, pb AS pair_b, pa || pb AS merged, total AS pair_weight FROM b$k"
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH wc AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |                              x -> x <> '')) AS word
+       |    FROM documents) GROUP BY 1),
+       |w0 AS (SELECT cnt,
+       |  chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS syms
+       |  FROM wc),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -4105,6 +4188,7 @@ object Queries {
     "graph_pagerank" -> graphPagerank _,
     "layout_compaction_plan" -> layoutCompactionPlan _,
     "diag_skew_profile" -> diagSkewProfile _,
+    "text_bpe_vocab" -> textBpeVocab _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4240,6 +4324,7 @@ object Queries {
     "graph_pagerank" -> graphPagerankSql,
     "layout_compaction_plan" -> layoutCompactionPlanSql,
     "diag_skew_profile" -> diagSkewProfileSql,
+    "text_bpe_vocab" -> textBpeVocabSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

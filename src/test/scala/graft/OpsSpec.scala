@@ -1021,6 +1021,48 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe vocab: six merge rounds equal an independent list-based trainer, weights non-increasing") {
+    // independent ground truth: symbol VECTORS with an explicit left-to-right
+    // single-pass merge scan (the query uses framed-string replace instead)
+    val corpus = docs.select("text").collect().flatMap(
+      _.getString(0).toLowerCase.split("[^a-z]+").filter(_.nonEmpty))
+    val counts = corpus.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[Vector[String], Long] =
+      counts.map { case (w, c) => w.map(_.toString).toVector -> c }.toMap
+        .groupBy(_._1).map { case (k, m) => k -> m.values.sum }
+    val expect = (1 to 6).map { k =>
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p => pairs(p) = pairs.getOrElse(p, 0L) + c }
+      }
+      val ((pa, pb), tot) = pairs.toSeq.minBy { case ((a, b), t) => (-t, a, b) }
+      def merge(l: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < l.length) {
+          if (i + 1 < l.length && l(i) == pa && l(i + 1) == pb) { out += pa + pb; i += 2 }
+          else { out += l(i); i += 1 }
+        }
+        out.result()
+      }
+      vocab = vocab.toSeq.map { case (syms, c) => (merge(syms), c) }
+        .groupBy(_._1).map { case (kk, vs) => kk -> vs.map(_._2).sum }
+      (k, pa, pb, pa + pb, tot)
+    }
+
+    val got = Queries.all("text_bpe_vocab")(spark, dir).collect()
+    assert(got.length == 6)
+    got.zip(expect).foreach { case (r, (k, pa, pb, m, tot)) =>
+      assert(r.getInt(0) == k)
+      assert(r.getString(1) == pa && r.getString(2) == pb && r.getString(3) == m,
+        s"round $k: got (${r.getString(1)},${r.getString(2)}) want ($pa,$pb)")
+      assert(r.getLong(4) == tot, s"round $k weight ${r.getLong(4)} != $tot")
+    }
+    // classic BPE property: the selected pair weight never increases
+    val ws = got.map(_.getLong(4))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, ws.mkString(","))
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
