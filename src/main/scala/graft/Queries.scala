@@ -1529,6 +1529,69 @@ object Queries {
        |ORDER BY round""".stripMargin
   }
 
+  /** Incremental materialized-view maintenance — the lakehouse pattern that
+    * replaces full recomputes at 100 TB: a monthly-revenue-by-priority
+    * aggregate is maintained as base-state + CDC-delta merge. The CDC batch
+    * is carved deterministically from orders (o_orderkey % 97 == 0, ~1%);
+    * the maintained view = full-outer merge of the base aggregate with the
+    * delta aggregate (exact DECIMAL(18,4) partial sums add losslessly, so
+    * merge == recompute is a THEOREM for algebraic aggregates — which the
+    * query then audits per group: matches_full compares the merged decimal
+    * state against an independent full recompute BEFORE any double cast).
+    * At scale only the delta is scanned at refresh time; the three
+    * aggregations here exist to prove the equivalence, not as the
+    * production refresh path. Revenue surfaces via the decimal→string→
+    * double route (correctly rounded on both engines).
+    */
+  private def pipelineIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).as("month"),
+      col("o_orderpriority").as("priority"),
+      col("o_totalprice").cast(DecimalType(18, 4)).as("price"))
+    def agg(df: DataFrame, n: String, r: String): DataFrame =
+      df.groupBy(col("month"), col("priority"))
+        .agg(count(lit(1)).as(n), sum(col("price")).as(r))
+    val base = agg(o.where(col("o_orderkey") % 97 =!= 0), "n_base", "r_base")
+    val delta = agg(o.where(col("o_orderkey") % 97 === 0), "n_delta", "r_delta")
+    val full = agg(o, "n_full", "r_full")
+    base.join(delta, Seq("month", "priority"), "full_outer")
+      .select(col("month"), col("priority"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))).as("n_orders"),
+        (coalesce(col("r_base"), lit(0).cast(DecimalType(28, 4))) +
+          coalesce(col("r_delta"), lit(0).cast(DecimalType(28, 4)))).as("r_merged"))
+      .join(full, Seq("month", "priority"), "full_outer")
+      .select(col("month"), col("priority"), col("n_orders"),
+        col("r_merged").cast(StringType).cast(DoubleType).as("revenue"),
+        (col("n_orders") === col("n_full") &&
+          col("r_merged") === col("r_full")).as("matches_full"))
+      .orderBy(col("month"), col("priority"))
+  }
+
+  private val pipelineIncrementalAggSql =
+    """WITH o AS (
+      |  SELECT o_orderkey, date_trunc('month', o_orderdate) AS month,
+      |    o_orderpriority AS priority, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |  FROM orders),
+      |base AS (SELECT month, priority, count(*) AS n_base, sum(price) AS r_base
+      |         FROM o WHERE o_orderkey % 97 <> 0 GROUP BY 1, 2),
+      |delta AS (SELECT month, priority, count(*) AS n_delta, sum(price) AS r_delta
+      |          FROM o WHERE o_orderkey % 97 = 0 GROUP BY 1, 2),
+      |fa AS (SELECT month, priority, count(*) AS n_full, sum(price) AS r_full
+      |         FROM o GROUP BY 1, 2),
+      |merged AS (
+      |  SELECT COALESCE(b.month, d.month) AS month,
+      |    COALESCE(b.priority, d.priority) AS priority,
+      |    COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_orders,
+      |    COALESCE(r_base, 0) + COALESCE(r_delta, 0) AS r_merged
+      |  FROM base b FULL OUTER JOIN delta d
+      |    ON b.month = d.month AND b.priority = d.priority)
+      |SELECT m.month, m.priority, CAST(m.n_orders AS BIGINT) AS n_orders,
+      |  CAST(CAST(m.r_merged AS VARCHAR) AS DOUBLE) AS revenue,
+      |  (m.n_orders = f.n_full AND m.r_merged = f.r_full) AS matches_full
+      |FROM merged m FULL OUTER JOIN fa f
+      |  ON m.month = f.month AND m.priority = f.priority
+      |ORDER BY m.month, m.priority""".stripMargin
+
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -4189,6 +4252,7 @@ object Queries {
     "layout_compaction_plan" -> layoutCompactionPlan _,
     "diag_skew_profile" -> diagSkewProfile _,
     "text_bpe_vocab" -> textBpeVocab _,
+    "pipeline_incremental_agg" -> pipelineIncrementalAgg _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4325,6 +4389,7 @@ object Queries {
     "layout_compaction_plan" -> layoutCompactionPlanSql,
     "diag_skew_profile" -> diagSkewProfileSql,
     "text_bpe_vocab" -> textBpeVocabSql,
+    "pipeline_incremental_agg" -> pipelineIncrementalAggSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

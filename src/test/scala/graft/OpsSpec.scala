@@ -1063,6 +1063,22 @@ class OpsSpec extends AnyFunSuite {
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, ws.mkString(","))
   }
 
+  test("incremental agg: merged state equals full recompute in every group, delta non-vacuous") {
+    val got = Queries.all("pipeline_incremental_agg")(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Boolean]("matches_full")), "a merged group diverged from recompute")
+    // cross-check totals against a direct pass over orders
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+    val deltaRows = orders.count(_.getLong(0) % 97 == 0)
+    assert(deltaRows > 0, "CDC carve-out is empty — the merge test is vacuous")
+    assert(got.map(_.getAs[Long]("n_orders")).sum == orders.length)
+    val totalRevenue = got.map(_.getAs[Double]("revenue")).sum
+    val direct = orders.map(r => BigDecimal(r.getDouble(1)).setScale(4)).sum
+    assert(math.abs(totalRevenue - direct.toDouble) < 1e-4 * orders.length,
+      s"revenue drift: $totalRevenue vs $direct")
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
