@@ -1293,9 +1293,11 @@ object Queries {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
       .distinct()
-    // reversed copy: src parities disjoint, so plain union stays duplicate-free
+    // reversed copy: src parities disjoint, so plain union stays duplicate-free.
+    // localCheckpoint (the CC-loop discipline, ops/Dedup.scala) materializes
+    // the edge set once; the three iterations reuse the blocks.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(32, col("src")).persist()
+      .repartition(32, col("src")).localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = deg.select(col("src").as("node"), col("outdeg"),
       lit(1000000000L).as("r"))
@@ -1307,14 +1309,12 @@ object Queries {
         .select(col("src").as("node"), col("outdeg"),
           expr("150000000L + (85 * s) div 100").as("r"))
     }
-    val out = ranks
+    ranks
       .select(col("node"), expr("node div 2").as("entity_key"),
         when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
         col("outdeg"), col("r").as("rank_raw"),
         (col("r") / lit(1000000000.0)).as("rank"))
       .orderBy(col("rank_raw").desc, col("node"))
-    edges.unpersist()
-    out
   }
 
   private val graphPagerankSql =
@@ -1591,6 +1591,80 @@ object Queries {
       |FROM merged m FULL OUTER JOIN fa f
       |  ON m.month = f.month AND m.priority = f.priority
       |ORDER BY m.month, m.priority""".stripMargin
+
+  /** Triangle counting on the part co-purchase graph (parts sharing an
+    * order), via the degree-oriented wedge algorithm: every undirected edge
+    * is directed from its (degree, id)-smaller endpoint to the larger, so
+    * each triangle has exactly ONE apex with two out-edges and is counted
+    * exactly once, and — the scale property — per-node out-degree is
+    * O(√m), bounding the wedge join at Σ outdeg² = O(m^1.5) instead of the
+    * naive Σ deg² blowup on hub nodes (Suri & Vassilvitskii, WWW'11 —
+    * pattern re-derived, no code). Shuffles: one distinct per edge build,
+    * two degree joins, one wedge self-join + one closure join, all
+    * edge-sized. Deterministic tie-break (degree, then id) makes the
+    * orientation — and therefore every intermediate — exact in SQL; the
+    * oracle replays the whole pipeline. Output: top-100 parts by triangle
+    * participation (each triangle credits its three vertices) plus the
+    * global triangle count on every row (broadcast scalar).
+    */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    // localCheckpoint: e feeds degrees, orientation, and the closure join;
+    // tri feeds the total and three participation unions — materialize each once
+    val e = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
+      .where(col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .localCheckpoint()
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("o1").join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("x"), col("o1.dst").as("y"), col("o2.dst").as("z"))
+    val tri = wedges.join(e, col("y") === col("u") && col("z") === col("v"))
+      .select(col("x"), col("y"), col("z")).localCheckpoint()
+    val total = tri.agg(count(lit(1)).as("total_triangles"))
+    tri.select(col("x").as("part_key"))
+      .unionAll(tri.select(col("y"))).unionAll(tri.select(col("z")))
+      .groupBy("part_key").agg(count(lit(1)).as("tri_count"))
+      .crossJoin(broadcast(total))
+      .orderBy(col("tri_count").desc, col("part_key"))
+      .limit(100)
+  }
+
+  private val graphTrianglesSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |      FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk),
+      |deg AS (SELECT x, count(*) AS d FROM (
+      |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+      |o AS (SELECT
+      |    CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+      |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
+      |  FROM e JOIN deg d1 ON e.u = d1.x JOIN deg d2 ON e.v = d2.x,
+      |  LATERAL (SELECT d1.d AS du, d2.d AS dv)),
+      |w AS (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+      |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+      |tri AS (SELECT x, y, z FROM w JOIN e ON w.y = e.u AND w.z = e.v),
+      |tot AS (SELECT count(*) AS total_triangles FROM tri),
+      |pc AS (SELECT part_key, count(*) AS tri_count FROM (
+      |    SELECT x AS part_key FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri) GROUP BY part_key)
+      |SELECT part_key, tri_count, CAST(total_triangles AS BIGINT) AS total_triangles
+      |FROM pc, tot
+      |ORDER BY tri_count DESC, part_key
+      |LIMIT 100""".stripMargin
 
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
@@ -4253,6 +4327,7 @@ object Queries {
     "diag_skew_profile" -> diagSkewProfile _,
     "text_bpe_vocab" -> textBpeVocab _,
     "pipeline_incremental_agg" -> pipelineIncrementalAgg _,
+    "graph_triangles" -> graphTriangles _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4390,6 +4465,7 @@ object Queries {
     "diag_skew_profile" -> diagSkewProfileSql,
     "text_bpe_vocab" -> textBpeVocabSql,
     "pipeline_incremental_agg" -> pipelineIncrementalAggSql,
+    "graph_triangles" -> graphTrianglesSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

@@ -1079,6 +1079,37 @@ class OpsSpec extends AnyFunSuite {
       s"revenue drift: $totalRevenue vs $direct")
   }
 
+  test("triangles: degree-oriented count equals brute-force enumeration, participation exact") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
+      .where(col("a.pk") < col("b.pk"))
+      .select(col("a.pk"), col("b.pk")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: check every adjacent vertex triple
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val triangles = for {
+      (u, v) <- edges.toSeq
+      w <- adj(u) if w > v && edges.contains((v, w))
+    } yield (u, v, w)
+    val part = triangles.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+
+    val got = Queries.all("graph_triangles")(spark, dir).collect()
+    assert(got.nonEmpty, "no triangles at sf0.001 — test is vacuous")
+    assert(got.head.getAs[Long]("total_triangles") == triangles.length.toLong,
+      s"total ${got.head.getAs[Long]("total_triangles")} != brute ${triangles.length}")
+    got.foreach { r =>
+      val k = r.getAs[Long]("part_key")
+      assert(r.getAs[Long]("tri_count") == part(k), s"node $k participation")
+    }
+    // top-100 really is the top of the full participation ranking
+    val floor = got.last.getAs[Long]("tri_count")
+    val above = part.values.count(_ > floor).toLong
+    assert(above <= got.count(_.getAs[Long]("tri_count") > floor))
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
