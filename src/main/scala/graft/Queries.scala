@@ -1603,18 +1603,31 @@ object Queries {
     * two degree joins, one wedge self-join + one closure join, all
     * edge-sized. Deterministic tie-break (degree, then id) makes the
     * orientation — and therefore every intermediate — exact in SQL; the
-    * oracle replays the whole pipeline. Output: top-100 parts by triangle
-    * participation (each triangle credits its three vertices) plus the
-    * global triangle count on every row (broadcast scalar).
+    * oracle replays the whole pipeline. The graph is first thinned by
+    * DOULION edge sampling (Tsourakakis et al., KDD'09): each edge
+    * survives iff pmod(md5-low64("u_v"), 4) == 0 — deterministic, so both
+    * engines sample the IDENTICAL subgraph and the sampled census is
+    * exact, while the unbiased estimate of the full-graph count is
+    * count·p⁻³ = count·64. Sampling cuts the wedge join by p² and is the
+    * standard way a triangle census survives a 100 TB edge set. Output:
+    * top-100 parts by triangle participation (each triangle credits its
+    * three vertices) plus the global sampled count and the DOULION
+    * estimate on every row (broadcast scalars).
     */
   private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
+    // sampling filter commutes with distinct (pure function of the edge),
+    // so it runs BEFORE the dedup shuffle.
     // localCheckpoint: e feeds degrees, orientation, and the closure join;
     // tri feeds the total and three participation unions — materialize each once
     val e = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
       .where(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .where(pmod(graft.functions.HashOps.md5Low64(
+        concat(col("u").cast(StringType), lit("_"), col("v").cast(StringType))),
+        lit(4L)) === 0)
+      .distinct()
       .localCheckpoint()
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
@@ -1633,7 +1646,8 @@ object Queries {
       .select(col("o1.src").as("x"), col("o1.dst").as("y"), col("o2.dst").as("z"))
     val tri = wedges.join(e, col("y") === col("u") && col("z") === col("v"))
       .select(col("x"), col("y"), col("z")).localCheckpoint()
-    val total = tri.agg(count(lit(1)).as("total_triangles"))
+    val total = tri.agg(count(lit(1)).as("total_triangles"),
+      (count(lit(1)) * 64).as("doulion_estimate"))
     tri.select(col("x").as("part_key"))
       .unionAll(tri.select(col("y"))).unionAll(tri.select(col("z")))
       .groupBy("part_key").agg(count(lit(1)).as("tri_count"))
@@ -1644,8 +1658,16 @@ object Queries {
 
   private val graphTrianglesSql =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-      |      FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk),
+      |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |       FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk),
+      |e AS (SELECT u, v FROM (
+      |    SELECT u, v,
+      |      (CASE WHEN h >= 9223372036854775808 THEN CAST(h - 18446744073709551616 AS BIGINT)
+      |            ELSE CAST(h AS BIGINT) END) AS hs
+      |    FROM (SELECT u, v,
+      |            md5_number_lower(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)) AS h
+      |          FROM e0))
+      |  WHERE ((hs % 4) + 4) % 4 = 0),
       |deg AS (SELECT x, count(*) AS d FROM (
       |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
       |o AS (SELECT
@@ -1656,12 +1678,13 @@ object Queries {
       |w AS (SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
       |      FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
       |tri AS (SELECT x, y, z FROM w JOIN e ON w.y = e.u AND w.z = e.v),
-      |tot AS (SELECT count(*) AS total_triangles FROM tri),
+      |tot AS (SELECT count(*) AS total_triangles, count(*) * 64 AS doulion_estimate FROM tri),
       |pc AS (SELECT part_key, count(*) AS tri_count FROM (
       |    SELECT x AS part_key FROM tri
       |    UNION ALL SELECT y FROM tri
       |    UNION ALL SELECT z FROM tri) GROUP BY part_key)
-      |SELECT part_key, tri_count, CAST(total_triangles AS BIGINT) AS total_triangles
+      |SELECT part_key, tri_count, CAST(total_triangles AS BIGINT) AS total_triangles,
+      |  CAST(doulion_estimate AS BIGINT) AS doulion_estimate
       |FROM pc, tot
       |ORDER BY tri_count DESC, part_key
       |LIMIT 100""".stripMargin

@@ -1084,7 +1084,10 @@ class OpsSpec extends AnyFunSuite {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val edges = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
       .where(col("a.pk") < col("b.pk"))
-      .select(col("a.pk"), col("b.pk")).distinct()
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      .where(pmod(graft.functions.HashOps.md5Low64(
+        concat(col("u").cast("string"), lit("_"), col("v").cast("string"))),
+        lit(4L)) === 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute force: check every adjacent vertex triple
     val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
@@ -1100,6 +1103,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no triangles at sf0.001 — test is vacuous")
     assert(got.head.getAs[Long]("total_triangles") == triangles.length.toLong,
       s"total ${got.head.getAs[Long]("total_triangles")} != brute ${triangles.length}")
+    assert(got.head.getAs[Long]("doulion_estimate") == 64L * triangles.length)
     got.foreach { r =>
       val k = r.getAs[Long]("part_key")
       assert(r.getAs[Long]("tri_count") == part(k), s"node $k participation")
