@@ -72,6 +72,41 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph queries never degrade to all-pairs joins; zorder dims broadcast") {
+    val pr = plan("graph_pagerank")
+    forbidden.foreach(op =>
+      assert(!pr.contains(op), s"graph_pagerank plan contains $op:\n${pr.take(1200)}"))
+    // triangles: the only nested-loop allowed is the broadcast 1-row scalar
+    // attach (total/doulion), same sanctioned shape as sim_cosine_brute
+    val tr = plan("graph_triangles")
+    assert(!tr.contains("CartesianProduct"), tr.take(1200))
+    assert(tr.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"unexpected nested-loop joins:\n${tr.take(1200)}")
+    // the zone-map probe joins must broadcast the 64-row zone maps, and the
+    // max-scalar crossJoin must be a broadcast, never a shuffled cartesian
+    val z = plan("layout_zorder")
+    assert(!z.contains("CartesianProduct"), z.take(1200))
+    assert(z.contains("BroadcastExchange") || z.contains("ReusedExchange"),
+      s"zone maps not broadcast:\n${z.take(1200)}")
+  }
+
+  test("compaction planner: manifest-sized window, single lineitem scan") {
+    val p = plan("layout_compaction_plan")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "planner must scan the table exactly once to build the manifest")
+    // file-build agg + per-month window partition + final sort
+    assert(countExchanges(p) <= 3, s"compaction plan shuffles too much:\n$p")
+    assert(p.contains("partial_"), s"file build must map-side combine:\n${p.take(800)}")
+  }
+
+  test("skew profiler and incremental agg map-side combine their histograms") {
+    for (name <- Seq("diag_skew_profile", "pipeline_incremental_agg")) {
+      val p = plan(name)
+      assert(p.contains("partial_"), s"$name must map-side combine:\n${p.take(800)}")
+      forbidden.foreach(op => assert(!p.contains(op), s"$name contains $op"))
+    }
+  }
+
   test("pretraining pipeline composite stays at its 3 planned shuffles") {
     // digest dedup + lang agg + output sort; a 4th exchange means the
     // composition started re-materializing
