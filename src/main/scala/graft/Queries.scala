@@ -2672,6 +2672,83 @@ object Queries {
     (head +: iterCtes :+ tail).mkString(",\n")
   }
 
+  /** Product quantization (see Similarity.productQuantize): 4 subspace
+    * codebooks trained with the trainCentroids discipline, 4-bit codes,
+    * reconstruction cosine. The oracle replays ALL FOUR k-means training
+    * runs plus encoding and reconstruction — the sim_cosine_ivf replay,
+    * ×4 subspaces.
+    */
+  private def embedPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.productQuantize(t(s, dir, "embeddings"))
+
+  private val embedPqSql: String = {
+    def cos(a: String, b: String): String =
+      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    val iters = 3
+    val nSub = 4
+    val subDim = 16
+    val head =
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |samp AS (
+        |  SELECT vec_id, v FROM (
+        |    SELECT vec_id, v,
+        |      (CASE WHEN h >= 9223372036854775808 THEN CAST(h - 18446744073709551616 AS BIGINT)
+        |            ELSE CAST(h AS BIGINT) END) AS hs
+        |    FROM (SELECT vec_id, v, md5_number_lower(CAST(vec_id AS VARCHAR)) AS h FROM e))
+        |  ORDER BY hs, vec_id LIMIT 4096)""".stripMargin
+    val subspaces = (0 until nSub).map { j =>
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      val init =
+        s"""sub$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM samp),
+           |k${j}i0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS bucket, v AS cv
+           |  FROM (SELECT vec_id, v FROM sub$j ORDER BY vec_id LIMIT 16))""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        val p = s"k${j}i${i - 1}"
+        s"""a${j}i$i AS (
+           |  SELECT vec_id, bucket, v FROM (
+           |    SELECT s.vec_id, c.bucket, s.v,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY ${cos("s.v", "c.cv")} DESC, c.bucket ASC) AS rn
+           |    FROM sub$j s CROSS JOIN $p c) WHERE rn = 1),
+           |m${j}i$i AS (
+           |  SELECT bucket, dim, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+           |  FROM (SELECT vec_id, bucket, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a${j}i$i)
+           |  GROUP BY bucket, dim),
+           |u${j}i$i AS (SELECT bucket, list(m ORDER BY dim) AS cv FROM m${j}i$i GROUP BY bucket),
+           |k${j}i$i AS (SELECT * FROM u${j}i$i UNION ALL
+           |  SELECT * FROM $p WHERE bucket NOT IN (SELECT bucket FROM u${j}i$i))""".stripMargin
+      }
+      val assign =
+        s"""fsub$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+           |asg$j AS (
+           |  SELECT vec_id, bucket AS c$j FROM (
+           |    SELECT f.vec_id, c.bucket,
+           |      row_number() OVER (PARTITION BY f.vec_id
+           |        ORDER BY ${cos("f.v", "c.cv")} DESC, c.bucket ASC) AS rn
+           |    FROM fsub$j f CROSS JOIN k${j}i$iters c) WHERE rn = 1)""".stripMargin
+      (init +: iterCtes :+ assign).mkString(",\n")
+    }
+    val tail =
+      s"""SELECT e.vec_id, asg0.c0, asg1.c1, asg2.c2, asg3.c3,
+         |  ((asg0.c0 * 16 + asg1.c1) * 16 + asg2.c2) * 16 + asg3.c3 AS code,
+         |  ${cos("e.v", "(b0.cv || b1.cv || b2.cv || b3.cv)")} AS recon_cosine
+         |FROM e
+         |JOIN asg0 USING (vec_id) JOIN asg1 USING (vec_id)
+         |JOIN asg2 USING (vec_id) JOIN asg3 USING (vec_id)
+         |JOIN k0i$iters b0 ON b0.bucket = asg0.c0
+         |JOIN k1i$iters b1 ON b1.bucket = asg1.c1
+         |JOIN k2i$iters b2 ON b2.bucket = asg2.c2
+         |JOIN k3i$iters b3 ON b3.bucket = asg3.c3
+         |ORDER BY e.vec_id""".stripMargin
+    (head +: subspaces).mkString(",\n") + "\n" + tail
+  }
+
   /** SemDeDup block pruning (see Similarity.semDedupPrune): keep/drop
     * decision table at cosine >= 0.3 within label blocks; the oracle
     * replays the one-join witness search with arg_min.
@@ -4351,6 +4428,7 @@ object Queries {
     "text_bpe_vocab" -> textBpeVocab _,
     "pipeline_incremental_agg" -> pipelineIncrementalAgg _,
     "graph_triangles" -> graphTriangles _,
+    "embed_pq" -> embedPq _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4489,6 +4567,7 @@ object Queries {
     "text_bpe_vocab" -> textBpeVocabSql,
     "pipeline_incremental_agg" -> pipelineIncrementalAggSql,
     "graph_triangles" -> graphTrianglesSql,
+    "embed_pq" -> embedPqSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

@@ -1114,6 +1114,68 @@ class OpsSpec extends AnyFunSuite {
     assert(above <= got.count(_.getAs[Long]("tri_count") > floor))
   }
 
+  test("product quantization: codes and recon cosine equal a full independent PQ run") {
+    // independent implementation: plain-Scala md5 sampling, 3 Lloyd
+    // iterations per subspace, argmax encode, reconstruction scoring
+    def md5Low64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (0 until 8).map(i => (d(8 + i).toLong & 0xffL) << (8 * i)).reduce(_ | _)
+    }
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs: Seq[(Long, Vector[Double])] = embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector)).toSeq
+      .sortBy(_._1)
+    val sample = vecs.sortBy { case (id, _) => (md5Low64(id.toString), id) }.take(4096)
+    def train(sub: Seq[(Long, Vector[Double])]): IndexedSeq[Vector[Double]] = {
+      var cents: Map[Long, Vector[Double]] = sub.sortBy(_._1).take(16)
+        .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }.toMap
+      for (_ <- 1 to 3) {
+        val assigned = sub.map { case (id, v) =>
+          val best = cents.toSeq.map { case (b, cv) => (cosine(v, cv), -b, b) }.max._3
+          (best, id, v)
+        }
+        val updated = assigned.groupBy(_._1).map { case (b, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val dims = sorted.head._3.length
+          b -> Vector.tabulate(dims) { d =>
+            sorted.foldLeft(0.0)((acc, r) => acc + r._3(d)) / sorted.length
+          }
+        }
+        cents = cents.map { case (b, cv) => b -> updated.getOrElse(b, cv) }
+      }
+      (0L to 15L).map(cents).toIndexedSeq
+    }
+    val books = (0 until 4).map { j =>
+      train(sample.map { case (id, v) => (id, v.slice(j * 16, j * 16 + 16)) })
+    }
+    val got = Queries.all("embed_pq")(spark, dir).collect()
+    assert(got.length == vecs.length)
+    got.zip(vecs).foreach { case (r, (id, v)) =>
+      assert(r.getLong(0) == id)
+      val codes = (0 until 4).map { j =>
+        val sub = v.slice(j * 16, j * 16 + 16)
+        books(j).zipWithIndex.map { case (cv, b) => (cosine(sub, cv), -b, b) }.max._3
+      }
+      (0 until 4).foreach(j =>
+        assert(r.getAs[Long](s"c$j") == codes(j).toLong, s"vec $id subspace $j"))
+      assert(r.getAs[Long]("code") ==
+        codes.map(_.toLong).reduce((a, b) => a * 16 + b))
+      val recon = (0 until 4).flatMap(j => books(j)(codes(j))).toVector
+      assert(r.getAs[Double]("recon_cosine") == cosine(v, recon),
+        s"vec $id recon ${r.getAs[Double]("recon_cosine")} != ${cosine(v, recon)}")
+    }
+    // quantization must actually be useful: median recon cosine well above chance
+    val rc = got.map(_.getAs[Double]("recon_cosine")).sorted
+    assert(rc(rc.length / 2) > 0.5, s"median recon cosine ${rc(rc.length / 2)}")
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
