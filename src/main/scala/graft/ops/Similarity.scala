@@ -362,14 +362,56 @@ object Similarity {
       embeddings: DataFrame, nSub: Int = 4, k: Int = 16,
       iterations: Int = 3, sampleCap: Int = 4096): DataFrame = {
     val subDim = 16 // embeddings table carries 64 dims = nSub * subDim
-    // per-subspace codebooks via the shared trainer on sliced sub-vectors
-    val books: Seq[Array[(Long, Seq[Double])]] = (0 until nSub).map { j =>
-      val sub = embeddings.select(col("vec_id"),
-        slice(col("embedding"), lit(j * subDim + 1), lit(subDim)).as("embedding"))
-      trainCentroids(sub, nBuckets = k, iterations = iterations, sampleCap = sampleCap)
-        .orderBy(col("bucket"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // ONE hash-ordered corpus TakeOrdered feeds all subspaces, and each
+    // Lloyd iteration is ONE job covering all nSub trainings (subspace id
+    // rides as a column; groupBy (j, bucket, dim) keeps the trainings
+    // independent) — bit-identical to nSub separate trainCentroids runs,
+    // at 1/nSub the driver actions and corpus scans
+    val sample = prepared(embeddings)
+      .orderBy(graft.functions.HashOps.md5Low64(col("vec_id").cast(StringType)),
+        col("vec_id"))
+      .limit(sampleCap)
+      .select(col("vec_id"), posexplode(array((0 until nSub).map(j =>
+        slice(col("v"), lit(j * subDim + 1), lit(subDim))): _*)))
+      .toDF("vec_id", "j", "subv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: the k lowest sample vec_ids (every vec_id carries all nSub rows,
+    // so one ordered limit covers every subspace), bucket = vec_id rank
+    var books: Array[Array[(Long, Seq[Double])]] = {
+      val init = sample.orderBy(col("vec_id"), col("j")).limit(k * nSub)
+        .collect().map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2)))
+      (0 until nSub).map { j =>
+        init.filter(_._1 == j).sortBy(_._2).zipWithIndex
+          .map { case ((_, _, v), b) => (b.toLong, v) }
+      }.toArray
     }
+    var it = 0
+    while (it < iterations) {
+      val scored = transform(
+        element_at(typedLit(books.map(_.toSeq).toSeq), col("j") + 1),
+        c => struct(cosine(col("subv"), c.getField("_2")).as("sim"),
+          (-c.getField("_1")).as("nb"), c.getField("_1").as("bucket")))
+      val updated = sample
+        .withColumn("bucket", array_max(scored).getField("bucket"))
+        .select(col("vec_id"), col("j"), col("bucket"), posexplode(col("subv")))
+        .toDF("vec_id", "j", "bucket", "dim", "x")
+        .groupBy(col("j"), col("bucket"), col("dim"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
+        .select(col("j"), col("bucket"), col("dim"),
+          (aggregate(col("xs"), lit(0.0),
+            (acc, e2) => acc + e2.getField("x")) / size(col("xs"))).as("m"))
+        .groupBy(col("j"), col("bucket"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("j"), col("bucket"), transform(col("dm"), p => p.getField("m")).as("cv"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      books = (0 until nSub).map { j =>
+        val upd = updated.filter(_._1 == j).map(t => (t._2, t._3))
+        val updIds = upd.map(_._1).toSet
+        (upd ++ books(j).filterNot(c => updIds(c._1))).sortBy(_._1)
+      }.toArray
+      it += 1
+    }
+    sample.unpersist(blocking = false)
     // one projection: slice sub-vectors to ATTRIBUTES first (a HOF lambda
     // must never hold a non-attribute subtree — CLAUDE.md rule), then argmax
     // each subspace against its literal codebook, then reconstruct + score
