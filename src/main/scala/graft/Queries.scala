@@ -1463,17 +1463,24 @@ object Queries {
     * occurrences — odd positions only — which is the documented,
     * engine-exact variant of greedy BPE.) Integer-exact throughout.
     */
-  private def textBpeVocab(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sep = "\u001F"
+  private val BpeSep = "\u001F"
+
+  /** Shared BPE trainer (see textBpeVocab's scaladoc for the design):
+    * returns the (word, cnt, syms-after-6-merges) vocabulary frame and the
+    * merge table. The vocabulary-sized words frame is localCheckpointed so
+    * the 6 argmax jobs and any downstream consumer (text_bpe_apply's
+    * tokenizer) reuse its blocks without corpus re-scans.
+    */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, String, Long)]) = {
+    val sep = BpeSep
     val words = t(s, dir, "documents")
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", concat(lit(sep),
         array_join(filter(split(col("word"), ""), x => x =!= ""), sep), lit(sep)))
-      .select(col("cnt"), col("syms"))
-      .persist()
+      .localCheckpoint()
     var cur = words
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     for (k <- 1 to 6) {
@@ -1491,43 +1498,95 @@ object Queries {
       cur = cur.withColumn("syms", replace(col("syms"),
         lit(sep + pa + sep + pb + sep), lit(sep + pa + pb + sep)))
     }
-    words.unpersist()
-    merges.toSeq.toDF("round", "pair_a", "pair_b", "merged", "pair_weight")
+    (cur, merges.toSeq)
+  }
+
+  private def textBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, dir)._2
+      .toDF("round", "pair_a", "pair_b", "merged", "pair_weight")
       .orderBy("round")
+  }
+
+  /** BPE tokenization of the corpus with the six trained merges — the
+    * apply half of text_bpe_vocab (what a pretraining pipeline actually
+    * runs per document). The trained vocabulary (word -> merged symbol
+    * string) is vocabulary-sized and BROADCAST onto the exploded corpus —
+    * the tokenizer-dictionary join shape; the only corpus-sized shuffle is
+    * the per-doc rollup. Per doc: words, chars, post-merge tokens, and
+    * chars-per-token compression — one double division of exact longs.
+    */
+  private def textBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = bpeTrain(s, dir)
+    val wordTok = vocab.select(col("word"),
+      size(filter(split(col("syms"), BpeSep), x => x =!= "")).as("word_tokens"),
+      length(col("word")).as("word_chars"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(wordTok), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("word_chars")).cast("long").as("n_chars"),
+        sum(col("word_tokens")).cast("long").as("n_tokens"))
+      .withColumn("compression", col("n_chars") / col("n_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Oracle: the identical six rounds unrolled as a WITH chain; each round's
     * argmax is a LIMIT 1 CTE consumed via scalar subqueries in the next
     * round's replace.
     */
-  private val textBpeVocabSql: String = {
+  /** The shared 6-round training chain (words CTE w0..w6, argmax CTEs
+    * b1..b6, `word` carried through for the apply oracle).
+    */
+  private val bpeSqlChain: String = {
     def round(k: Int): String = {
       val prev = if (k == 1) "w0" else s"w${k - 1}"
-      s"""px$k AS (SELECT cnt, list_filter(string_split(syms, chr(31)), x -> x <> '') AS l FROM $prev),
-         |py$k AS (SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i FROM px$k),
-         |pr$k AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(sum(cnt) AS BIGINT) AS total
+      s"""px$k AS MATERIALIZED (SELECT cnt, list_filter(string_split(syms, chr(31)), x -> x <> '') AS l FROM $prev),
+         |py$k AS MATERIALIZED (SELECT cnt, l, unnest(generate_series(1, len(l) - 1)) AS i FROM px$k),
+         |pr$k AS MATERIALIZED (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(sum(cnt) AS BIGINT) AS total
          |         FROM py$k GROUP BY 1, 2),
-         |b$k AS (SELECT pa, pb, total FROM pr$k ORDER BY total DESC, pa, pb LIMIT 1),
-         |w$k AS (SELECT cnt, replace(syms,
+         |b$k AS MATERIALIZED (SELECT pa, pb, total FROM pr$k ORDER BY total DESC, pa, pb LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT word, cnt, replace(syms,
          |    chr(31) || (SELECT pa FROM b$k) || chr(31) || (SELECT pb FROM b$k) || chr(31),
          |    chr(31) || (SELECT pa FROM b$k) || (SELECT pb FROM b$k) || chr(31)) AS syms
          |  FROM $prev)""".stripMargin
     }
-    val selects = (1 to 6).map { k =>
-      s"SELECT $k AS round, pa AS pair_a, pb AS pair_b, pa || pb AS merged, total AS pair_weight FROM b$k"
-    }.mkString("\n", "\nUNION ALL\n", "")
-    s"""WITH wc AS (
+    s"""wc AS MATERIALIZED (
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
        |                              x -> x <> '')) AS word
        |    FROM documents) GROUP BY 1),
-       |w0 AS (SELECT cnt,
+       |w0 AS MATERIALIZED (SELECT word, cnt,
        |  chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS syms
        |  FROM wc),
-       |${(1 to 6).map(round).mkString(",\n")}
-       |$selects
-       |ORDER BY round""".stripMargin
+       |${(1 to 6).map(round).mkString(",\n")}""".stripMargin
   }
+
+  private val textBpeVocabSql: String = {
+    val selects = (1 to 6).map { k =>
+      s"SELECT $k AS round, pa AS pair_a, pb AS pair_b, pa || pb AS merged, total AS pair_weight FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $bpeSqlChain\n$selects\nORDER BY round"
+  }
+
+  private val textBpeApplySql: String =
+    s"""WITH $bpeSqlChain,
+       |wt AS (SELECT word,
+       |    len(list_filter(string_split(syms, chr(31)), x -> x <> '')) AS word_tokens,
+       |    strlen(word) AS word_chars
+       |  FROM w6),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+       |                                    x -> x <> '')) AS word
+       |  FROM documents)
+       |SELECT dw.doc_id, count(*) AS n_words,
+       |  CAST(sum(wt.word_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(wt.word_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wt.word_chars) AS BIGINT) / CAST(sum(wt.word_tokens) AS BIGINT) AS compression
+       |FROM dw JOIN wt ON dw.word = wt.word
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 
   /** Incremental materialized-view maintenance — the lakehouse pattern that
     * replaces full recomputes at 100 TB: a monthly-revenue-by-priority
@@ -2693,7 +2752,7 @@ object Queries {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |samp AS (
+        |samp AS MATERIALIZED (
         |  SELECT vec_id, v FROM (
         |    SELECT vec_id, v,
         |      (CASE WHEN h >= 9223372036854775808 THEN CAST(h - 18446744073709551616 AS BIGINT)
@@ -2704,29 +2763,29 @@ object Queries {
       val lo = j * subDim + 1
       val hi = (j + 1) * subDim
       val init =
-        s"""sub$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM samp),
-           |k${j}i0 AS (
+        s"""sub$j AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM samp),
+           |k${j}i0 AS MATERIALIZED (
            |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS bucket, v AS cv
            |  FROM (SELECT vec_id, v FROM sub$j ORDER BY vec_id LIMIT 16))""".stripMargin
       val iterCtes = (1 to iters).map { i =>
         val p = s"k${j}i${i - 1}"
-        s"""a${j}i$i AS (
+        s"""a${j}i$i AS MATERIALIZED (
            |  SELECT vec_id, bucket, v FROM (
            |    SELECT s.vec_id, c.bucket, s.v,
            |      row_number() OVER (PARTITION BY s.vec_id
            |        ORDER BY ${cos("s.v", "c.cv")} DESC, c.bucket ASC) AS rn
            |    FROM sub$j s CROSS JOIN $p c) WHERE rn = 1),
-           |m${j}i$i AS (
+           |m${j}i$i AS MATERIALIZED (
            |  SELECT bucket, dim, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
            |  FROM (SELECT vec_id, bucket, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM a${j}i$i)
            |  GROUP BY bucket, dim),
-           |u${j}i$i AS (SELECT bucket, list(m ORDER BY dim) AS cv FROM m${j}i$i GROUP BY bucket),
-           |k${j}i$i AS (SELECT * FROM u${j}i$i UNION ALL
+           |u${j}i$i AS MATERIALIZED (SELECT bucket, list(m ORDER BY dim) AS cv FROM m${j}i$i GROUP BY bucket),
+           |k${j}i$i AS MATERIALIZED (SELECT * FROM u${j}i$i UNION ALL
            |  SELECT * FROM $p WHERE bucket NOT IN (SELECT bucket FROM u${j}i$i))""".stripMargin
       }
       val assign =
-        s"""fsub$j AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
-           |asg$j AS (
+        s"""fsub$j AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+           |asg$j AS MATERIALIZED (
            |  SELECT vec_id, bucket AS c$j FROM (
            |    SELECT f.vec_id, c.bucket,
            |      row_number() OVER (PARTITION BY f.vec_id
@@ -4429,6 +4488,7 @@ object Queries {
     "pipeline_incremental_agg" -> pipelineIncrementalAgg _,
     "graph_triangles" -> graphTriangles _,
     "embed_pq" -> embedPq _,
+    "text_bpe_apply" -> textBpeApply _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4568,6 +4628,7 @@ object Queries {
     "pipeline_incremental_agg" -> pipelineIncrementalAggSql,
     "graph_triangles" -> graphTrianglesSql,
     "embed_pq" -> embedPqSql,
+    "text_bpe_apply" -> textBpeApplySql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

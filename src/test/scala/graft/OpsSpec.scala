@@ -1176,6 +1176,45 @@ class OpsSpec extends AnyFunSuite {
     assert(rc(rc.length / 2) > 0.5, s"median recon cosine ${rc(rc.length / 2)}")
   }
 
+  test("bpe apply: per-doc token accounting equals independent merge application") {
+    val merges = Queries.all("text_bpe_vocab")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def tokenize(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (pa, pb) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+            out += pa + pb; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val expect = docs.select("doc_id", "text").collect().map { r =>
+      val words = r.getString(1).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      (r.getLong(0), (words.length.toLong,
+        words.map(_.length.toLong).sum, words.map(w => tokenize(w).toLong).sum))
+    }.filter(_._2._1 > 0).toMap
+
+    val got = Queries.all("text_bpe_apply")(spark, dir).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (nw, nc, nt) = expect(r.getLong(0))
+      assert(r.getAs[Long]("n_words") == nw, s"doc ${r.getLong(0)} words")
+      assert(r.getAs[Long]("n_chars") == nc, s"doc ${r.getLong(0)} chars")
+      assert(r.getAs[Long]("n_tokens") == nt, s"doc ${r.getLong(0)} tokens")
+      assert(r.getAs[Double]("compression") == nc.toDouble / nt.toDouble)
+      assert(nt <= nc, "merging can only shrink the token count")
+    }
+    // the vocabulary must actually compress: total tokens strictly below total chars
+    val totT = expect.values.map(_._3).sum
+    val totC = expect.values.map(_._2).sum
+    assert(totT < totC, s"no compression: $totT tokens vs $totC chars")
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
