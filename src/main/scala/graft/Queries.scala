@@ -1748,6 +1748,41 @@ object Queries {
       |ORDER BY tri_count DESC, part_key
       |LIMIT 100""".stripMargin
 
+  /** Salted skew join — the technique diag_skew_profile's salt_factor
+    * column recommends, demonstrated end-to-end: the probe side (lineitem)
+    * tags each row with salt = pmod(md5-low64(orderkey), 4); the build side
+    * (orders, pre-aggregated) replicates every row across all 4 salts; the
+    * join runs on (key, salt), splitting any hot key's rows across 4
+    * reducers instead of one. Salting must be RESULT-INVARIANT: the oracle
+    * is the plain unsalted join, so the driver hash-check proves the
+    * rewrite changes the shuffle layout and nothing else. Per-month rollup
+    * keeps the output bounded; decimal sums via the string route.
+    */
+  private def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 4
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("salt", pmod(graft.functions.HashOps.md5Low64(
+        col("l_orderkey").cast(StringType)), lit(nSalt.toLong)))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .crossJoin(broadcast(s.range(nSalt).select(col("id").as("salt"))))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("month"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("month"), col("priority"))
+  }
+
+  private val joinSkewSaltedSql =
+    """SELECT date_trunc('month', o.o_orderdate) AS month,
+      |  o.o_orderpriority AS priority, count(*) AS n_lines,
+      |  CAST(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4)))
+      |    AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2 ORDER BY month, priority""".stripMargin
+
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -4489,6 +4524,7 @@ object Queries {
     "graph_triangles" -> graphTriangles _,
     "embed_pq" -> embedPq _,
     "text_bpe_apply" -> textBpeApply _,
+    "join_skew_salted" -> joinSkewSalted _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4629,6 +4665,7 @@ object Queries {
     "graph_triangles" -> graphTrianglesSql,
     "embed_pq" -> embedPqSql,
     "text_bpe_apply" -> textBpeApplySql,
+    "join_skew_salted" -> joinSkewSaltedSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

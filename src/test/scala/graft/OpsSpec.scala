@@ -1215,6 +1215,29 @@ class OpsSpec extends AnyFunSuite {
     assert(totT < totC, s"no compression: $totT tokens vs $totC chars")
   }
 
+  test("salted join: result identical to the plain join, build side replicated per salt") {
+    val got = Queries.all("join_skew_salted")(spark, dir).collect()
+    // ground truth: the plain unsalted join computed directly
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)").as("rev"))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("month"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("r"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getDecimal(3).toPlainString)).toMap
+    assert(got.length == plain.size)
+    got.foreach { r =>
+      val (n, rev) = plain((r.getTimestamp(0).toString, r.getString(1)))
+      assert(r.getAs[Long]("n_lines") == n)
+      assert(r.getAs[Double]("revenue") == java.lang.Double.parseDouble(rev),
+        s"${r.getTimestamp(0)} ${r.getString(1)} revenue mismatch")
+    }
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
