@@ -2775,7 +2775,7 @@ object Queries {
   private def embedPq(s: SparkSession, dir: String): DataFrame =
     Similarity.productQuantize(t(s, dir, "embeddings"))
 
-  private val embedPqSql: String = {
+  private val (embedPqSql: String, simPqAdcSql: String) = {
     def cos(a: String, b: String): String =
       s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
         s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
@@ -2840,7 +2840,36 @@ object Queries {
          |JOIN k2i$iters b2 ON b2.bucket = asg2.c2
          |JOIN k3i$iters b3 ON b3.bucket = asg3.c3
          |ORDER BY e.vec_id""".stripMargin
-    (head +: subspaces).mkString(",\n") + "\n" + tail
+    val chain = (head +: subspaces).mkString(",\n")
+    // ADC tail: per-subspace LUT dots/norms from the joined codebook rows,
+    // left-associative partial sums, full-vector q norm — the exact
+    // arithmetic of Similarity.pqAdcTopK's driver LUTs
+    val dN = (0 until nSub).map { j =>
+      s"""    list_sum(list_transform(range(1, 17), i -> sc.qv[${j * subDim} + i] * b$j.cv[i])) AS d$j,
+         |    list_sum(list_transform(b$j.cv, x -> x * x)) AS n$j""".stripMargin
+    }.mkString(",\n")
+    val adcTail =
+      s"""q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |sc AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v, q.qv FROM e, q WHERE e.vec_id <> 0),
+         |lut AS MATERIALIZED (
+         |  SELECT sc.vec_id, sc.v, sc.qv,
+         |$dN
+         |  FROM sc
+         |  JOIN asg0 USING (vec_id) JOIN asg1 USING (vec_id)
+         |  JOIN asg2 USING (vec_id) JOIN asg3 USING (vec_id)
+         |  JOIN k0i$iters b0 ON b0.bucket = asg0.c0
+         |  JOIN k1i$iters b1 ON b1.bucket = asg1.c1
+         |  JOIN k2i$iters b2 ON b2.bucket = asg2.c2
+         |  JOIN k3i$iters b3 ON b3.bucket = asg3.c3)
+         |SELECT vec_id,
+         |  (((d0 + d1) + d2) + d3) /
+         |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+         |     sqrt(((n0 + n1) + n2) + n3)) AS adc_cosine,
+         |  ${cos("v", "qv")} AS exact_cosine
+         |FROM lut
+         |ORDER BY adc_cosine DESC, vec_id LIMIT 10""".stripMargin
+    (chain + "\n" + tail, chain + ",\n" + adcTail)
   }
 
   /** SemDeDup block pruning (see Similarity.semDedupPrune): keep/drop
@@ -4524,6 +4553,8 @@ object Queries {
     "graph_triangles" -> graphTriangles _,
     "embed_pq" -> embedPq _,
     "text_bpe_apply" -> textBpeApply _,
+    "sim_pq_adc" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Similarity.pqAdcTopK(t(s, dir, "embeddings"))),
     "join_skew_salted" -> joinSkewSalted _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
@@ -4665,6 +4696,7 @@ object Queries {
     "graph_triangles" -> graphTrianglesSql,
     "embed_pq" -> embedPqSql,
     "text_bpe_apply" -> textBpeApplySql,
+    "sim_pq_adc" -> simPqAdcSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,

@@ -358,9 +358,14 @@ object Similarity {
     * Memory story: 64×4 B float vectors become nSub·4 bits (32× smaller),
     * the compression that lets an ANN index hold billions of vectors.
     */
-  def productQuantize(
-      embeddings: DataFrame, nSub: Int = 4, k: Int = 16,
-      iterations: Int = 3, sampleCap: Int = 4096): DataFrame = {
+  /** Trains the PQ codebooks and encodes the corpus; returns (books,
+    * coded frame carrying vec_id, v, c0..c{nSub-1}). Shared by
+    * productQuantize (embed_pq) and pqAdcTopK (sim_pq_adc).
+    */
+  private def pqModel(
+      embeddings: DataFrame, nSub: Int, k: Int,
+      iterations: Int, sampleCap: Int)
+      : (Array[Array[(Long, Seq[Double])]], DataFrame) = {
     val subDim = 16 // embeddings table carries 64 dims = nSub * subDim
     // ONE hash-ordered corpus TakeOrdered feeds all subspaces, and each
     // Lloyd iteration is ONE job covering all nSub trainings (subspace id
@@ -428,6 +433,13 @@ object Similarity {
             c.getField("_1").as("bucket")))
           array_max(scored).getField("bucket").as(s"c$j")
         }): _*)
+    (books, coded)
+  }
+
+  def productQuantize(
+      embeddings: DataFrame, nSub: Int = 4, k: Int = 16,
+      iterations: Int = 3, sampleCap: Int = 4096): DataFrame = {
+    val (books, coded) = pqModel(embeddings, nSub, k, iterations, sampleCap)
     val reconParts = (0 until nSub).map { j =>
       element_at(typedLit(books(j).map(_._2).toSeq),
         (col(s"c$j") + 1).cast(IntegerType))
@@ -441,6 +453,62 @@ object Similarity {
             .reduce((a, b) => a * k + b).as("code") :+
           cosine(col("v"), col("recon")).as("recon_cosine"): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** PQ index search by asymmetric distance computation (ADC): the query
+    * vector is exact, the corpus exists only as PQ codes, and the score is
+    * cosine(q, reconstruction) computed WITHOUT touching any corpus vector
+    * — per-subspace lookup tables dot_j[b] = q_j·book_j[b] and
+    * nrm_j[b] = |book_j[b]|² are built driver-side (nSub·k doubles) and
+    * ride in the plan as literals, so scoring is a zero-shuffle projection
+    * + TakeOrdered: the FAISS IndexPQ query shape, the reason PQ codes are
+    * searchable at billions of vectors. `exact_cosine` (needs the true
+    * vector) is emitted alongside as the recall-audit surface.
+    *
+    * Determinism: each LUT entry is a left-to-right 16-dim fold, partial
+    * sums add left-associatively, q's norm is a 64-dim fold — all
+    * replayed identically by the oracle's list_sum slices, so the ADC
+    * scores, the top-k cut, and the audit cosines all hash-replay.
+    */
+  def pqAdcTopK(
+      embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
+      nSub: Int = 4, k: Int = 16,
+      iterations: Int = 3, sampleCap: Int = 4096): DataFrame = {
+    val subDim = 16
+    val (books, coded) = pqModel(embeddings, nSub, k, iterations, sampleCap)
+    val qv: Seq[Double] = prepared(embeddings)
+      .where(col("vec_id") === queryId)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+    def fold16(j: Int, b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < subDim) { acc += qv(j * subDim + i) * b(i); i += 1 }
+      acc
+    }
+    def nrm(b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += b(i) * b(i); i += 1 }
+      acc
+    }
+    val qNorm = {
+      var acc = 0.0; var i = 0
+      while (i < qv.length) { acc += qv(i) * qv(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val dotLut = (0 until nSub).map(j => books(j).map(c => fold16(j, c._2)).toSeq)
+    val nrmLut = (0 until nSub).map(j => books(j).map(c => nrm(c._2)).toSeq)
+    val dSum = (0 until nSub).map(j =>
+      element_at(typedLit(dotLut(j)), (col(s"c$j") + 1).cast(IntegerType)))
+      .reduce(_ + _)
+    val nSum = (0 until nSub).map(j =>
+      element_at(typedLit(nrmLut(j)), (col(s"c$j") + 1).cast(IntegerType)))
+      .reduce(_ + _)
+    coded
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        (dSum / (lit(qNorm) * sqrt(nSum))).as("adc_cosine"),
+        cosine(col("v"), typedLit(qv)).as("exact_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+      .limit(topK)
   }
 
   def ivfTopK(

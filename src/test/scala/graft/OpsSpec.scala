@@ -1114,31 +1114,30 @@ class OpsSpec extends AnyFunSuite {
     assert(above <= got.count(_.getAs[Long]("tri_count") > floor))
   }
 
-  test("product quantization: codes and recon cosine equal a full independent PQ run") {
-    // independent implementation: plain-Scala md5 sampling, 3 Lloyd
-    // iterations per subspace, argmax encode, reconstruction scoring
-    def md5Low64(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      (0 until 8).map(i => (d(8 + i).toLong & 0xffL) << (8 * i)).reduce(_ | _)
-    }
-    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); i += 1 }
-      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
-      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val vecs: Seq[(Long, Vector[Double])] = embeddings
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector)).toSeq
-      .sortBy(_._1)
-    val sample = vecs.sortBy { case (id, _) => (md5Low64(id.toString), id) }.take(4096)
+  // --- shared independent PQ reference implementation (plain Scala) ---
+  private def pqMd5Low64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    (0 until 8).map(i => (d(8 + i).toLong & 0xffL) << (8 * i)).reduce(_ | _)
+  }
+  private def pqCosine(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  private def pqVecs: Seq[(Long, Vector[Double])] = embeddings
+    .select("vec_id", "embedding").collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector)).toSeq
+    .sortBy(_._1)
+  private def pqTrainBooks(vecs: Seq[(Long, Vector[Double])]): Seq[IndexedSeq[Vector[Double]]] = {
+    val sample = vecs.sortBy { case (id, _) => (pqMd5Low64(id.toString), id) }.take(4096)
     def train(sub: Seq[(Long, Vector[Double])]): IndexedSeq[Vector[Double]] = {
       var cents: Map[Long, Vector[Double]] = sub.sortBy(_._1).take(16)
         .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }.toMap
       for (_ <- 1 to 3) {
         val assigned = sub.map { case (id, v) =>
-          val best = cents.toSeq.map { case (b, cv) => (cosine(v, cv), -b, b) }.max._3
+          val best = cents.toSeq.map { case (b, cv) => (pqCosine(v, cv), -b, b) }.max._3
           (best, id, v)
         }
         val updated = assigned.groupBy(_._1).map { case (b, rows) =>
@@ -1152,9 +1151,15 @@ class OpsSpec extends AnyFunSuite {
       }
       (0L to 15L).map(cents).toIndexedSeq
     }
-    val books = (0 until 4).map { j =>
+    (0 until 4).map { j =>
       train(sample.map { case (id, v) => (id, v.slice(j * 16, j * 16 + 16)) })
     }
+  }
+
+  test("product quantization: codes and recon cosine equal a full independent PQ run") {
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = pqCosine(a, b)
+    val vecs = pqVecs
+    val books = pqTrainBooks(vecs)
     val got = Queries.all("embed_pq")(spark, dir).collect()
     assert(got.length == vecs.length)
     got.zip(vecs).foreach { case (r, (id, v)) =>
@@ -1174,6 +1179,48 @@ class OpsSpec extends AnyFunSuite {
     // quantization must actually be useful: median recon cosine well above chance
     val rc = got.map(_.getAs[Double]("recon_cosine")).sorted
     assert(rc(rc.length / 2) > 0.5, s"median recon cosine ${rc(rc.length / 2)}")
+  }
+
+  test("pq adc search: LUT scores, ranking, and audit cosines equal the independent model") {
+    val vecs = pqVecs
+    val books = pqTrainBooks(vecs)
+    val qv = vecs.find(_._1 == 0L).get._2
+    val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x * x))
+    def code(v: Vector[Double], j: Int): Int = {
+      val sub = v.slice(j * 16, j * 16 + 16)
+      books(j).zipWithIndex.map { case (cv, b) => (pqCosine(sub, cv), -b, b) }.max._3
+    }
+    val scored = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val cs = (0 until 4).map(j => code(v, j))
+      val d = (0 until 4).map { j =>
+        var acc = 0.0; var i = 0
+        while (i < 16) { acc += qv(j * 16 + i) * books(j)(cs(j))(i); i += 1 }
+        acc
+      }.reduce(_ + _)
+      val n = (0 until 4).map { j =>
+        var acc = 0.0; var i = 0
+        while (i < 16) { val x = books(j)(cs(j))(i); acc += x * x; i += 1 }
+        acc
+      }.reduce(_ + _)
+      (id, d / (qNorm * math.sqrt(n)), pqCosine(v, qv))
+    }
+    val expect = scored.sortBy { case (id, adc, _) => (-adc, id) }.take(10)
+
+    val got = Queries.all("sim_pq_adc")(spark, dir).collect()
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (r, (id, adc, exact)) =>
+      assert(r.getLong(0) == id, s"rank order: got ${r.getLong(0)} want $id")
+      assert(r.getAs[Double]("adc_cosine") == adc, s"vec $id adc")
+      assert(r.getAs[Double]("exact_cosine") == exact, s"vec $id exact")
+    }
+    // ADC must be a useful surrogate: its top-10 overlaps the exact top-10
+    val exactTop = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, pqCosine(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    // tiny-corpus floor: 4x4-bit codes on ~50 near-random vectors are a
+    // coarse surrogate; the bit-exactness asserts above are the real spec
+    val overlap = expect.map(_._1).count(exactTop)
+    assert(overlap >= 1, s"ADC top-10 shares only $overlap with exact top-10")
   }
 
   test("bpe apply: per-doc token accounting equals independent merge application") {
