@@ -2872,6 +2872,139 @@ object Queries {
     (chain + "\n" + tail, chain + ",\n" + adcTail)
   }
 
+  /** IVF-PQ composite index search (see Similarity.ivfPqTopK): coarse
+    * quantizer + residual PQ + bucket-pruned LUT scoring. The oracle
+    * replays BOTH trainings (coarse k-means on the shared sample, residual
+    * PQ per subspace), the probe choice, and every ADC term with identical
+    * fold order and associativity.
+    */
+  private def simIvfPq(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.ivfPqTopK(t(s, dir, "embeddings"))
+
+  private val simIvfPqSql: String = {
+    def cos(a: String, b: String): String =
+      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    val iters = 3
+    val nSub = 4
+    val subDim = 16
+    val head =
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |samp AS MATERIALIZED (
+        |  SELECT vec_id, v FROM (
+        |    SELECT vec_id, v,
+        |      (CASE WHEN h >= 9223372036854775808 THEN CAST(h - 18446744073709551616 AS BIGINT)
+        |            ELSE CAST(h AS BIGINT) END) AS hs
+        |    FROM (SELECT vec_id, v, md5_number_lower(CAST(vec_id AS VARCHAR)) AS h FROM e))
+        |  ORDER BY hs, vec_id LIMIT 4096),
+        |g0 AS MATERIALIZED (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS bucket, v AS cv
+        |  FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 16))""".stripMargin
+    val coarseIters = (1 to iters).map { i =>
+      val pr = s"g${i - 1}"
+      s"""ga$i AS MATERIALIZED (
+         |  SELECT vec_id, bucket, v FROM (
+         |    SELECT s.vec_id, c.bucket, s.v,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${cos("s.v", "c.cv")} DESC, c.bucket ASC) AS rn
+         |    FROM samp s CROSS JOIN $pr c) WHERE rn = 1),
+         |gm$i AS MATERIALIZED (
+         |  SELECT bucket, dim, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+         |  FROM (SELECT vec_id, bucket, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM ga$i)
+         |  GROUP BY bucket, dim),
+         |gu$i AS MATERIALIZED (SELECT bucket, list(m ORDER BY dim) AS cv FROM gm$i GROUP BY bucket),
+         |g$i AS MATERIALIZED (SELECT * FROM gu$i UNION ALL
+         |  SELECT * FROM $pr WHERE bucket NOT IN (SELECT bucket FROM gu$i))""".stripMargin
+    }
+    val resCtes =
+      s"""asgc AS MATERIALIZED (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT e.vec_id, c.bucket,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.bucket ASC) AS rn
+         |    FROM e CROSS JOIN g$iters c) WHERE rn = 1),
+         |res AS MATERIALIZED (
+         |  SELECT e.vec_id, list_transform(range(1, 65), i -> e.v[i] - cc.cv[i]) AS rv,
+         |    a.bucket, e.v
+         |  FROM e JOIN asgc a USING (vec_id) JOIN g$iters cc ON cc.bucket = a.bucket),
+         |rsamp AS MATERIALIZED (
+         |  SELECT r.vec_id, r.rv AS v FROM res r JOIN samp s ON r.vec_id = s.vec_id)""".stripMargin
+    val subspaces = (0 until nSub).map { j =>
+      val lo = j * subDim + 1
+      val hi = (j + 1) * subDim
+      val init =
+        s"""rsub$j AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM rsamp),
+           |rk${j}i0 AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS bucket, v AS cv
+           |  FROM (SELECT vec_id, v FROM rsub$j ORDER BY vec_id LIMIT 16))""".stripMargin
+      val iterCtes = (1 to iters).map { i =>
+        val pr = s"rk${j}i${i - 1}"
+        s"""ra${j}i$i AS MATERIALIZED (
+           |  SELECT vec_id, bucket, v FROM (
+           |    SELECT s.vec_id, c.bucket, s.v,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY ${cos("s.v", "c.cv")} DESC, c.bucket ASC) AS rn
+           |    FROM rsub$j s CROSS JOIN $pr c) WHERE rn = 1),
+           |rm${j}i$i AS MATERIALIZED (
+           |  SELECT bucket, dim, list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+           |  FROM (SELECT vec_id, bucket, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM ra${j}i$i)
+           |  GROUP BY bucket, dim),
+           |ru${j}i$i AS MATERIALIZED (SELECT bucket, list(m ORDER BY dim) AS cv FROM rm${j}i$i GROUP BY bucket),
+           |rk${j}i$i AS MATERIALIZED (SELECT * FROM ru${j}i$i UNION ALL
+           |  SELECT * FROM $pr WHERE bucket NOT IN (SELECT bucket FROM ru${j}i$i))""".stripMargin
+      }
+      val assign =
+        s"""rfsub$j AS MATERIALIZED (SELECT vec_id, rv[$lo:$hi] AS v FROM res),
+           |rasg$j AS MATERIALIZED (
+           |  SELECT vec_id, bucket AS c$j FROM (
+           |    SELECT f.vec_id, c.bucket,
+           |      row_number() OVER (PARTITION BY f.vec_id
+           |        ORDER BY ${cos("f.v", "c.cv")} DESC, c.bucket ASC) AS rn
+           |    FROM rfsub$j f CROSS JOIN rk${j}i$iters c) WHERE rn = 1)""".stripMargin
+      (init +: iterCtes :+ assign).mkString(",\n")
+    }
+    val dxn = (0 until nSub).map { j =>
+      s"""    list_sum(list_transform(range(1, 17), i -> qv[${j * subDim} + i] * b${j}v[i])) AS d$j,
+         |    list_sum(list_transform(range(1, 17), i -> ccv[${j * subDim} + i] * b${j}v[i])) AS x$j,
+         |    list_sum(list_transform(b${j}v, x -> x * x)) AS n$j""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probes AS MATERIALIZED (
+         |  SELECT bucket FROM (
+         |    SELECT g.bucket, ${cos("g.cv", "q.qv")} AS sim FROM g$iters g, q)
+         |  ORDER BY sim DESC, bucket ASC LIMIT 4),
+         |sc AS MATERIALIZED (
+         |  SELECT r.vec_id, r.bucket, r.v, r.rv, q.qv, cc.cv AS ccv,
+         |    b0.cv AS b0v, b1.cv AS b1v, b2.cv AS b2v, b3.cv AS b3v
+         |  FROM res r
+         |  JOIN rasg0 USING (vec_id) JOIN rasg1 USING (vec_id)
+         |  JOIN rasg2 USING (vec_id) JOIN rasg3 USING (vec_id)
+         |  JOIN rk0i$iters b0 ON b0.bucket = rasg0.c0
+         |  JOIN rk1i$iters b1 ON b1.bucket = rasg1.c1
+         |  JOIN rk2i$iters b2 ON b2.bucket = rasg2.c2
+         |  JOIN rk3i$iters b3 ON b3.bucket = rasg3.c3
+         |  JOIN g$iters cc ON cc.bucket = r.bucket, q
+         |  WHERE r.vec_id <> 0 AND r.bucket IN (SELECT bucket FROM probes)),
+         |lut AS MATERIALIZED (
+         |  SELECT vec_id, bucket, v, qv,
+         |    list_sum(list_transform(range(1, 65), i -> qv[i] * ccv[i])) AS dc,
+         |    list_sum(list_transform(ccv, x -> x * x)) AS nc,
+         |$dxn
+         |  FROM sc)
+         |SELECT vec_id, bucket,
+         |  (dc + d0 + d1 + d2 + d3) /
+         |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+         |     sqrt(nc + 2.0 * (x0 + x1 + x2 + x3) + (n0 + n1 + n2 + n3))) AS adc_cosine,
+         |  ${cos("v", "qv")} AS exact_cosine
+         |FROM lut
+         |ORDER BY adc_cosine DESC, vec_id LIMIT 10""".stripMargin
+    ((head +: coarseIters) ++ (resCtes +: subspaces)).mkString(",\n") + ",\n" + tail
+  }
+
   /** SemDeDup block pruning (see Similarity.semDedupPrune): keep/drop
     * decision table at cosine >= 0.3 within label blocks; the oracle
     * replays the one-join witness search with arg_min.
@@ -4553,6 +4686,7 @@ object Queries {
     "graph_triangles" -> graphTriangles _,
     "embed_pq" -> embedPq _,
     "text_bpe_apply" -> textBpeApply _,
+    "sim_ivfpq" -> simIvfPq _,
     "sim_pq_adc" -> ((s: SparkSession, dir: String) =>
       graft.ops.Similarity.pqAdcTopK(t(s, dir, "embeddings"))),
     "join_skew_salted" -> joinSkewSalted _,
@@ -4696,6 +4830,7 @@ object Queries {
     "graph_triangles" -> graphTrianglesSql,
     "embed_pq" -> embedPqSql,
     "text_bpe_apply" -> textBpeApplySql,
+    "sim_ivfpq" -> simIvfPqSql,
     "sim_pq_adc" -> simPqAdcSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,

@@ -365,6 +365,16 @@ object Similarity {
   private def pqModel(
       embeddings: DataFrame, nSub: Int, k: Int,
       iterations: Int, sampleCap: Int)
+      : (Array[Array[(Long, Seq[Double])]], DataFrame) =
+    pqModelPrepared(prepared(embeddings), nSub, k, iterations, sampleCap)
+
+  /** pqModel over an already-prepared frame carrying (vec_id, v, ...);
+    * any extra columns pass through to the coded output (ivfPqTopK rides
+    * the coarse bucket and the original vector through here).
+    */
+  private def pqModelPrepared(
+      e: DataFrame, nSub: Int, k: Int,
+      iterations: Int, sampleCap: Int)
       : (Array[Array[(Long, Seq[Double])]], DataFrame) = {
     val subDim = 16 // embeddings table carries 64 dims = nSub * subDim
     // ONE hash-ordered corpus TakeOrdered feeds all subspaces, and each
@@ -372,7 +382,7 @@ object Similarity {
     // rides as a column; groupBy (j, bucket, dim) keeps the trainings
     // independent) — bit-identical to nSub separate trainCentroids runs,
     // at 1/nSub the driver actions and corpus scans
-    val sample = prepared(embeddings)
+    val sample = e.select(col("vec_id"), col("v"))
       .orderBy(graft.functions.HashOps.md5Low64(col("vec_id").cast(StringType)),
         col("vec_id"))
       .limit(sampleCap)
@@ -420,12 +430,13 @@ object Similarity {
     // one projection: slice sub-vectors to ATTRIBUTES first (a HOF lambda
     // must never hold a non-attribute subtree — CLAUDE.md rule), then argmax
     // each subspace against its literal codebook, then reconstruct + score
-    val sliced = prepared(embeddings).select(
-      (col("vec_id") +: col("v") +:
+    val passThru = e.columns.map(col).toSeq
+    val sliced = e.select(
+      (passThru ++
         (0 until nSub).map(j =>
           slice(col("v"), lit(j * subDim + 1), lit(subDim)).as(s"v$j"))): _*)
     val coded = sliced.select(
-      (col("vec_id") +: col("v") +:
+      (passThru ++
         (0 until nSub).map { j =>
           val scored = transform(typedLit(books(j).toSeq), c => struct(
             cosine(col(s"v$j"), c.getField("_2")).as("sim"),
@@ -507,6 +518,86 @@ object Similarity {
       .select(col("vec_id"),
         (dSum / (lit(qNorm) * sqrt(nSum))).as("adc_cosine"),
         cosine(col("v"), typedLit(qv)).as("exact_cosine"))
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** IVF-PQ — the billion-scale composite index (FAISS IndexIVFPQ,
+    * Jégou et al. TPAMI'11 re-derived): a coarse quantizer routes each
+    * vector to one of `nCoarse` buckets, PQ codes the RESIDUAL
+    * v − coarse[bucket] (residuals are tighter than raw vectors, so the
+    * same code budget quantizes better), and a query probes only the
+    * `nProbe` closest buckets, scoring candidates from codes alone via
+    * lookup tables — never touching a stored vector:
+    * cosine(q, coarse[b] + recon) decomposes into dotCoarse[b] (16
+    * doubles), per-subspace dot LUTs, coarse×book cross LUTs
+    * (nCoarse·nSub·k doubles), and norm LUTs — ALL driver-small plan
+    * literals. At scale the bucket column is a partition key: the probe
+    * scans ~nProbe/nCoarse of the codes, each 2 bytes per vector.
+    *
+    * Every term is a left-to-right fold and every combination is written
+    * left-associatively on both engines, so the oracle replays the coarse
+    * training, the residual PQ training, the probe choice, the ADC scores
+    * and the top-k cut bit-exactly. `exact_cosine` audits recall.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
+      nCoarse: Int = 16, nProbe: Int = 4, nSub: Int = 4, k: Int = 16,
+      iterations: Int = 3, sampleCap: Int = 4096): DataFrame = {
+    val subDim = 16
+    val coarseDf = trainCentroids(embeddings, nBuckets = nCoarse,
+      iterations = iterations, sampleCap = sampleCap)
+    val coarse: IndexedSeq[Seq[Double]] = coarseDf.orderBy(col("bucket"))
+      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+    // residuals: v - coarse[bucket]; original vector rides along for audit
+    val res = assignBucketsWith(embeddings, coarseDf)
+      .select(col("vec_id"),
+        zip_with(col("v"),
+          element_at(typedLit(coarse), (col("bucket") + 1).cast(IntegerType)),
+          (x, c) => x - c).as("v"),
+        col("v").as("v_orig"), col("bucket"))
+    val (books, coded) = pqModelPrepared(res, nSub, k, iterations, sampleCap)
+
+    val qv: Seq[Double] = prepared(embeddings)
+      .where(col("vec_id") === queryId)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+    def dot(a: Seq[Double], off: Int, b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(off + i) * b(i); i += 1 }
+      acc
+    }
+    def sq(b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += b(i) * b(i); i += 1 }
+      acc
+    }
+    val qNorm = math.sqrt(sq(qv))
+    // probe choice: same fold-cosine + (desc, bucket) tie-break as the SQL
+    val probes: Seq[Long] = coarse.zipWithIndex
+      .map { case (c, b) => (dot(qv, 0, c) / (qNorm * math.sqrt(sq(c))), b) }
+      .sortBy { case (sim, b) => (-sim, b) }.take(nProbe).map(_._2.toLong)
+    val dotCoarse = coarse.map(c => dot(qv, 0, c))
+    val nrmCoarse = coarse.map(sq)
+    val dotLut = (0 until nSub).map(j => books(j).map(c => dot(qv, j * subDim, c._2)).toSeq)
+    val nrmLut = (0 until nSub).map(j => books(j).map(c => sq(c._2)).toSeq)
+    val crossLut = (0 until nSub).map(j => coarse.map(cc =>
+      books(j).map(c => dot(cc, j * subDim, c._2)).toSeq).toSeq)
+
+    val bIdx = (col("bucket") + 1).cast(IntegerType)
+    def cIdx(j: Int) = (col(s"c$j") + 1).cast(IntegerType)
+    val dots = (0 until nSub).map(j =>
+      element_at(typedLit(dotLut(j)), cIdx(j)))
+      .foldLeft(element_at(typedLit(dotCoarse), bIdx))(_ + _)
+    val cross = (0 until nSub).map(j =>
+      element_at(element_at(typedLit(crossLut(j)), bIdx), cIdx(j))).reduce(_ + _)
+    val nsum = (0 until nSub).map(j =>
+      element_at(typedLit(nrmLut(j)), cIdx(j))).reduce(_ + _)
+    val norm = element_at(typedLit(nrmCoarse), bIdx) + lit(2.0) * cross + nsum
+    coded
+      .where(col("vec_id") =!= queryId && col("bucket").isin(probes: _*))
+      .select(col("vec_id"), col("bucket"),
+        (dots / (lit(qNorm) * sqrt(norm))).as("adc_cosine"),
+        cosine(col("v_orig"), typedLit(qv)).as("exact_cosine"))
       .orderBy(col("adc_cosine").desc, col("vec_id"))
       .limit(topK)
   }

@@ -1130,29 +1130,31 @@ class OpsSpec extends AnyFunSuite {
     .select("vec_id", "embedding").collect()
     .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toVector)).toSeq
     .sortBy(_._1)
-  private def pqTrainBooks(vecs: Seq[(Long, Vector[Double])]): Seq[IndexedSeq[Vector[Double]]] = {
-    val sample = vecs.sortBy { case (id, _) => (pqMd5Low64(id.toString), id) }.take(4096)
-    def train(sub: Seq[(Long, Vector[Double])]): IndexedSeq[Vector[Double]] = {
-      var cents: Map[Long, Vector[Double]] = sub.sortBy(_._1).take(16)
-        .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }.toMap
-      for (_ <- 1 to 3) {
-        val assigned = sub.map { case (id, v) =>
-          val best = cents.toSeq.map { case (b, cv) => (pqCosine(v, cv), -b, b) }.max._3
-          (best, id, v)
-        }
-        val updated = assigned.groupBy(_._1).map { case (b, rows) =>
-          val sorted = rows.sortBy(_._2)
-          val dims = sorted.head._3.length
-          b -> Vector.tabulate(dims) { d =>
-            sorted.foldLeft(0.0)((acc, r) => acc + r._3(d)) / sorted.length
-          }
-        }
-        cents = cents.map { case (b, cv) => b -> updated.getOrElse(b, cv) }
+  private def pqTrainOne(sub: Seq[(Long, Vector[Double])]): IndexedSeq[Vector[Double]] = {
+    var cents: Map[Long, Vector[Double]] = sub.sortBy(_._1).take(16)
+      .zipWithIndex.map { case ((_, v), i) => i.toLong -> v }.toMap
+    for (_ <- 1 to 3) {
+      val assigned = sub.map { case (id, v) =>
+        val best = cents.toSeq.map { case (b, cv) => (pqCosine(v, cv), -b, b) }.max._3
+        (best, id, v)
       }
-      (0L to 15L).map(cents).toIndexedSeq
+      val updated = assigned.groupBy(_._1).map { case (b, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val dims = sorted.head._3.length
+        b -> Vector.tabulate(dims) { d =>
+          sorted.foldLeft(0.0)((acc, r) => acc + r._3(d)) / sorted.length
+        }
+      }
+      cents = cents.map { case (b, cv) => b -> updated.getOrElse(b, cv) }
     }
+    (0L to 15L).map(cents).toIndexedSeq
+  }
+  private def pqSample(vecs: Seq[(Long, Vector[Double])]): Seq[(Long, Vector[Double])] =
+    vecs.sortBy { case (id, _) => (pqMd5Low64(id.toString), id) }.take(4096)
+  private def pqTrainBooks(vecs: Seq[(Long, Vector[Double])]): Seq[IndexedSeq[Vector[Double]]] = {
+    val sample = pqSample(vecs)
     (0 until 4).map { j =>
-      train(sample.map { case (id, v) => (id, v.slice(j * 16, j * 16 + 16)) })
+      pqTrainOne(sample.map { case (id, v) => (id, v.slice(j * 16, j * 16 + 16)) })
     }
   }
 
@@ -1282,6 +1284,61 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_lines") == n)
       assert(r.getAs[Double]("revenue") == java.lang.Double.parseDouble(rev),
         s"${r.getTimestamp(0)} ${r.getString(1)} revenue mismatch")
+    }
+  }
+
+  test("ivfpq: coarse routing, residual codes, probes and ADC equal the independent pipeline") {
+    val vecs = pqVecs
+    val coarse = pqTrainOne(pqSample(vecs))
+    def assign(v: Vector[Double]): Int =
+      coarse.zipWithIndex.map { case (cv, b) => (pqCosine(v, cv), -b, b) }.max._3
+    val residuals = vecs.map { case (id, v) =>
+      val b = assign(v)
+      (id, b, Vector.tabulate(v.length)(i => v(i) - coarse(b)(i)), v)
+    }
+    val rBooks = {
+      val rmap = residuals.map(t => t._1 -> t._3).toMap
+      pqTrainBooks(vecs.map { case (id, _) => (id, rmap(id)) })
+    }
+    def code(r: Vector[Double], j: Int): Int = {
+      val sub = r.slice(j * 16, j * 16 + 16)
+      rBooks(j).zipWithIndex.map { case (cv, b) => (pqCosine(sub, cv), -b, b) }.max._3
+    }
+    val qv = vecs.find(_._1 == 0L).get._2
+    val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x * x))
+    val probes = coarse.zipWithIndex
+      .map { case (cv, b) => (pqCosine(qv, cv), b) }
+      .sortBy { case (s, b) => (-s, b) }.take(4).map(_._2).toSet
+    def dot(a: Seq[Double], off: Int, b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(off + i) * b(i); i += 1 }
+      acc
+    }
+    def sq(b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += b(i) * b(i); i += 1 }
+      acc
+    }
+    val scored = residuals.filter(t => t._1 != 0L && probes(t._2)).map {
+      case (id, b, r, v) =>
+        val cs = (0 until 4).map(j => code(r, j))
+        val dc = dot(qv, 0, coarse(b))
+        val dots = (0 until 4).map(j => dot(qv, j * 16, rBooks(j)(cs(j))))
+          .foldLeft(dc)(_ + _)
+        val cross = (0 until 4).map(j => dot(coarse(b), j * 16, rBooks(j)(cs(j)))).reduce(_ + _)
+        val nsum = (0 until 4).map(j => sq(rBooks(j)(cs(j)))).reduce(_ + _)
+        val norm = sq(coarse(b)) + 2.0 * cross + nsum
+        (id, b.toLong, dots / (qNorm * math.sqrt(norm)), pqCosine(v, qv))
+    }
+    val expect = scored.sortBy { case (id, _, adc, _) => (-adc, id) }.take(10)
+
+    val got = Queries.all("sim_ivfpq")(spark, dir).collect()
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (r, (id, b, adc, exact)) =>
+      assert(r.getLong(0) == id, s"rank: got ${r.getLong(0)} want $id")
+      assert(r.getAs[Long]("bucket") == b, s"vec $id bucket")
+      assert(r.getAs[Double]("adc_cosine") == adc, s"vec $id adc")
+      assert(r.getAs[Double]("exact_cosine") == exact, s"vec $id exact")
     }
   }
 
