@@ -107,6 +107,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq family scoring is literal-LUT projection: no join, no corpus shuffle") {
+    for (name <- Seq("embed_pq", "sim_pq_adc", "sim_ivfpq")) {
+      val p = plan(name)
+      forbidden.foreach(op => assert(!p.contains(op), s"$name contains $op"))
+      assert(!p.contains("SortMergeJoin"),
+        s"$name scoring must not join the corpus:\n${p.take(1000)}")
+    }
+  }
+
   test("pretraining pipeline composite stays at its 3 planned shuffles") {
     // digest dedup + lang agg + output sort; a 4th exchange means the
     // composition started re-materializing
