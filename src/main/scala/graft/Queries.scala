@@ -1783,6 +1783,110 @@ object Queries {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1, 2 ORDER BY month, priority""".stripMargin
 
+  /** Ordered-funnel analysis (ClickHouse windowFunnel analog): per user,
+    * the strict view → click → purchase progression — t1 = first view,
+    * t2 = first click AFTER t1, t3 = first purchase AFTER t2 — then the
+    * per-depth census with exact elapsed-micros totals. Three
+    * map-combined conditional aggs + user-keyed joins (each stage's
+    * frame is users-sized, not events-sized, after its agg); all integer
+    * micros, no window sort over the event stream.
+    */
+  private def windowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.StreamingOps.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val t2 = ev.where(col("event_type") === "click")
+      .join(t1, "user_id").where(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase")
+      .join(t2, "user_id").where(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    ev.select("user_id").distinct()
+      .join(t1, Seq("user_id"), "left").join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).as("depth"),
+        when(col("t3").isNotNull, col("t3") - col("t1"))
+          .when(col("t2").isNotNull, col("t2") - col("t1"))
+          .otherwise(lit(0L)).as("elapsed_us"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("elapsed_us")).cast("long").as("sum_elapsed_us"))
+      .orderBy("depth")
+  }
+
+  private val windowFunnelSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |t1 AS (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e JOIN t1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.us > t1.t1 GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e JOIN t2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.us > t2.t2 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM ev),
+      |d AS (
+      |  SELECT u.user_id,
+      |    CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+      |         WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+      |    CASE WHEN t3.t3 IS NOT NULL THEN t3.t3 - t1.t1
+      |         WHEN t2.t2 IS NOT NULL THEN t2.t2 - t1.t1 ELSE 0 END AS elapsed_us
+      |  FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |  LEFT JOIN t3 USING (user_id))
+      |SELECT depth, count(*) AS n_users,
+      |  CAST(sum(elapsed_us) AS BIGINT) AS sum_elapsed_us
+      |FROM d GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** Signup-cohort retention matrix: cohort = each user's first signup
+    * day (integer epoch-day arithmetic, no calendar types in the hot
+    * path); retention flags = any activity on cohort day +0/+1/+7/+14,
+    * reduced per user (max of day-match booleans) then per cohort
+    * (exact counts). Distinct (user, day) activity is the only
+    * event-scale shuffle; everything after is users-sized.
+    */
+  private def aggRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.StreamingOps.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohorts = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("day")).as("cd"))
+    val act = ev.select(col("user_id"), col("day")).distinct()
+    cohorts.join(act, "user_id")
+      .groupBy(col("user_id"), col("cd"))
+      .agg(
+        max(when(col("day") === col("cd"), 1).otherwise(0)).as("r0"),
+        max(when(col("day") === col("cd") + 1, 1).otherwise(0)).as("r1"),
+        max(when(col("day") === col("cd") + 7, 1).otherwise(0)).as("r7"),
+        max(when(col("day") === col("cd") + 14, 1).otherwise(0)).as("r14"))
+      .groupBy(col("cd").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r0")).cast("long").as("active_d0"),
+        sum(col("r1")).cast("long").as("active_d1"),
+        sum(col("r7")).cast("long").as("active_d7"),
+        sum(col("r14")).cast("long").as("active_d14"))
+      .orderBy("cohort_day")
+  }
+
+  private val aggRetentionCohortsSql =
+    """WITH ev AS (SELECT user_id, event_type,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cd FROM ev
+      |      WHERE event_type = 'signup' GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, day FROM ev),
+      |per_user AS (
+      |  SELECT c.user_id, c.cd,
+      |    max(CASE WHEN a.day = c.cd THEN 1 ELSE 0 END) AS r0,
+      |    max(CASE WHEN a.day = c.cd + 1 THEN 1 ELSE 0 END) AS r1,
+      |    max(CASE WHEN a.day = c.cd + 7 THEN 1 ELSE 0 END) AS r7,
+      |    max(CASE WHEN a.day = c.cd + 14 THEN 1 ELSE 0 END) AS r14
+      |  FROM c JOIN act a USING (user_id) GROUP BY 1, 2)
+      |SELECT cd AS cohort_day, count(*) AS n_users,
+      |  CAST(sum(r0) AS BIGINT) AS active_d0,
+      |  CAST(sum(r1) AS BIGINT) AS active_d1,
+      |  CAST(sum(r7) AS BIGINT) AS active_d7,
+      |  CAST(sum(r14) AS BIGINT) AS active_d14
+      |FROM per_user GROUP BY cd ORDER BY cohort_day""".stripMargin
+
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -4690,6 +4794,8 @@ object Queries {
     "sim_pq_adc" -> ((s: SparkSession, dir: String) =>
       graft.ops.Similarity.pqAdcTopK(t(s, dir, "embeddings"))),
     "join_skew_salted" -> joinSkewSalted _,
+    "window_funnel" -> windowFunnel _,
+    "agg_retention_cohorts" -> aggRetentionCohorts _,
     "join_full_outer_merge" -> joinFullOuterMerge _,
     "agg_quantiles" -> aggQuantiles _,
     "agg_approx_quantiles" -> aggApproxQuantiles _,
@@ -4833,6 +4939,8 @@ object Queries {
     "sim_ivfpq" -> simIvfPqSql,
     "sim_pq_adc" -> simPqAdcSql,
     "join_skew_salted" -> joinSkewSaltedSql,
+    "window_funnel" -> windowFunnelSql,
+    "agg_retention_cohorts" -> aggRetentionCohortsSql,
     "join_full_outer_merge" -> joinFullOuterMergeSql,
     "agg_quantiles" -> aggQuantilesSql,
     "agg_approx_quantiles" -> aggApproxQuantilesSql,

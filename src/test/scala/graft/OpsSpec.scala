@@ -1342,6 +1342,58 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel and retention: per-user scans match the set-based queries exactly") {
+    val ev = graft.streaming.StreamingOps.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // funnel brute force: per-user ordered scan for view -> click -> purchase
+    val byUser = ev.groupBy(_._1).map { case (u, es) => u -> es.sortBy(_._3) }
+    val expectDepth = byUser.map { case (u, es) =>
+      val t1 = es.find(_._2 == "view").map(_._3)
+      val t2 = t1.flatMap(a => es.find(e => e._2 == "click" && e._3 > a).map(_._3))
+      val t3 = t2.flatMap(a => es.find(e => e._2 == "purchase" && e._3 > a).map(_._3))
+      val depth = if (t3.isDefined) 3 else if (t2.isDefined) 2 else if (t1.isDefined) 1 else 0
+      val elapsed = (t3.orElse(t2), t1) match {
+        case (Some(t), Some(a)) => t - a
+        case _ => 0L
+      }
+      u -> (depth, elapsed)
+    }
+    val hist = expectDepth.values.groupBy(_._1)
+      .map { case (d, vs) => d -> (vs.size.toLong, vs.map(_._2).sum) }
+    val gotF = Queries.all("window_funnel")(spark, dir).collect()
+    assert(gotF.map(_.getInt(0)).toSet == hist.keySet)
+    gotF.foreach { r =>
+      val (n, sum) = hist(r.getInt(0))
+      assert(r.getAs[Long]("n_users") == n, s"depth ${r.getInt(0)} users")
+      assert(r.getAs[Long]("sum_elapsed_us") == sum, s"depth ${r.getInt(0)} elapsed")
+    }
+    assert(hist.contains(3) && hist(3)._1 > 0, "no full conversions — funnel test vacuous")
+
+    // retention brute force
+    val days = ev.map(t => (t._1, t._2, t._3 / 86400000000L))
+    val cohorts = days.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val active = days.map(t => (t._1, t._3)).toSet
+    val gotR = Queries.all("agg_retention_cohorts")(spark, dir).collect()
+    val expectR = cohorts.groupBy(_._2).map { case (cd, us) =>
+      val users = us.keys.toSeq
+      cd -> (users.size.toLong,
+        Seq(0L, 1L, 7L, 14L).map(k => users.count(u => active((u, cd + k))).toLong))
+    }
+    assert(gotR.length == expectR.size)
+    gotR.foreach { r =>
+      val (n, rs) = expectR(r.getLong(0))
+      assert(r.getAs[Long]("n_users") == n)
+      assert(Seq(r.getAs[Long]("active_d0"), r.getAs[Long]("active_d1"),
+        r.getAs[Long]("active_d7"), r.getAs[Long]("active_d14")) == rs,
+        s"cohort ${r.getLong(0)} retention row mismatch")
+    }
+    // d0 is definitionally full (the signup itself is activity on day 0)
+    gotR.foreach(r => assert(r.getAs[Long]("active_d0") == r.getAs[Long]("n_users")))
+  }
+
   test("hll distinct sketch: registers are set-deterministic, duplicates no-ops, estimate in band") {
     import graft.ops.{HyperLogLog, Sketches}
     val s = spark
