@@ -83,19 +83,43 @@ object Bench {
     val scaling: Map[String, (Double, Double, Double)] = scaleDir match {
       case None => Map.empty
       case Some(d) =>
+        // r5's in-bench exponents for the two streaming-heavy queries
+        // contradicted cold-session TimeQ measurements (e≈1.07 in-bench vs
+        // 0.35/0.72 isolated): this block ran on a session carrying 128
+        // queries' worth of state-store maintenance threads, caches and GC
+        // debt. Isolate on a FRESH SparkContext (JIT warmth survives in
+        // the JVM) and take min-of-2 at 10x, symmetric with the min-of-2
+        // warm base times, so one-off per-dir costs (footer reads, stream
+        // staging) don't masquerade as super-linear growth. A query that
+        // THROWS at 10x records the -1/NaN sentinel instead of its
+        // truncated elapsed time (r5 ADVICE) and is excluded from the
+        // median.
+        spark.stop()
+        val s2 = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s2.sparkContext.setLogLevel("WARN")
         results.toSeq.sortBy(-_._2).take(10).map { case (name, base) =>
-          val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, d)
-            .write.mode("overwrite").format("noop").save() }
-          catch { case _: Throwable => () }
-          val sec = (System.nanoTime() - t0) / 1e9
-          name -> (base, sec, math.log10(math.max(sec, 1e-3) / math.max(base, 1e-3)))
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(name)(s2, d)
+              .write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val sec = try math.min(once(), once()) catch { case _: Throwable => -1.0 }
+          val expn =
+            if (sec <= 0) Double.NaN
+            else math.log10(math.max(sec, 1e-3) / math.max(base, 1e-3))
+          name -> (base, sec, expn)
         }.toMap
     }
     val scalingJson = scaling.toSeq.sortBy(-_._2._3).map { case (k, (b, s, e)) =>
       s"\"$k\":{\"base_sec\":${f3(b)},\"x10_sec\":${f3(s)},\"exponent\":${f3(e)}}"
     }.mkString("{", ",", "}")
-    val exps = scaling.values.map(_._3).toSeq.sorted
+    val exps =
+      scaling.values.map(_._3).filter(java.lang.Double.isFinite).toSeq.sorted
     val expMedian = if (exps.isEmpty) -1.0 else exps(exps.size / 2)
     // The harness keeps only the LAST ~2000 chars of stdout (observed in
     // BENCH_r01/r02: "tail" is exactly 2000 chars and "parsed" came back

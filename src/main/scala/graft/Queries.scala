@@ -267,7 +267,11 @@ object Queries {
 
   /** As-of join: each click annotated with the most recent preceding error
     * of the same user (graft.ops.AsOfJoin — union + carry-forward window;
-    * DuckDB's native ASOF JOIN replays it).
+    * DuckDB's native ASOF JOIN replays it). The right side is pre-reduced
+    * to ONE row per (user_id, ts) — max err_id — in BOTH engines: DuckDB's
+    * ASOF JOIN leaves the pick among equal-ts right rows unspecified, so
+    * without the reduce a corpus with duplicate error timestamps could
+    * diverge nondeterministically (r5 ADVICE).
     */
   private def asofClickError(s: SparkSession, dir: String): DataFrame = {
     val e = graft.streaming.StreamingOps.events(s, dir)
@@ -276,8 +280,8 @@ object Queries {
     val clicks = e.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
     val errors = e.where(col("event_type") === "error")
-      .select(col("user_id"), col("event_id").as("err_id"),
-        col("ts_us").as("err_ts_us"))
+      .groupBy(col("user_id"), col("ts_us").as("err_ts_us"))
+      .agg(max(col("event_id")).as("err_id"))
     graft.ops.AsOfJoin.asOf(
       clicks.withColumnRenamed("ts_us", "ts_us").withColumn("ts_key", col("ts_us")),
       errors.withColumnRenamed("err_ts_us", "ts_key"),
@@ -293,8 +297,9 @@ object Queries {
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
       |  WHERE event_type = 'click'),
       |errors AS (
-      |  SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_ts_us FROM events
-      |  WHERE event_type = 'error')
+      |  SELECT user_id, max(event_id) AS err_id, epoch_us(ts) AS err_ts_us
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY user_id, epoch_us(ts))
       |SELECT c.user_id, c.event_id, c.ts_us, e.err_id AS asof_err_id
       |FROM clicks c ASOF LEFT JOIN errors e
       |  ON c.user_id = e.user_id AND c.ts_us >= e.err_ts_us
@@ -381,9 +386,13 @@ object Queries {
         col("event_type"))
     val clicks = e.where(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts_us").as("ts_key"))
+    // One row per (user_id, ts) — max err_id — mirrored in the oracle SQL:
+    // DuckDB's ASOF JOIN is unspecified on equal-ts right-row ties (r5 ADVICE).
     val errors = e.where(col("event_type") === "error")
-      .select(col("user_id"), col("event_id").as("err_id"),
-        col("ts_us").as("ts_key"), col("ts_us").as("err_ts_us"))
+      .groupBy(col("user_id"), col("ts_us").as("ts_key"))
+      .agg(max(col("event_id")).as("err_id"))
+      .withColumn("err_ts_us", col("ts_key"))
+      .select(col("user_id"), col("err_id"), col("ts_key"), col("err_ts_us"))
     val both = graft.ops.AsOfJoin.asOfBoth(clicks, errors,
       keyCol = "user_id", tsCol = "ts_key",
       payloadCols = Seq("err_id", "err_ts_us"))
@@ -411,8 +420,9 @@ object Queries {
       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
       |  WHERE event_type = 'click'),
       |errors AS (
-      |  SELECT user_id, event_id AS err_id, epoch_us(ts) AS err_ts_us FROM events
-      |  WHERE event_type = 'error'),
+      |  SELECT user_id, max(event_id) AS err_id, epoch_us(ts) AS err_ts_us
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY user_id, epoch_us(ts)),
       |b AS (
       |  SELECT c.user_id, c.event_id, c.ts_us,
       |    e.err_id AS back_err_id, e.err_ts_us AS back_err_ts_us
@@ -1286,6 +1296,13 @@ object Queries {
     * co-located, only the node-sized rank frame moves) plus one
     * map-combined sum by dst — 2 shuffles per round, all edge/node-sized,
     * no driver state, same loop discipline as connectedComponents.
+    *
+    * The loop itself lives in [[graft.ops.Graph.pageRank]] (the operator
+    * form, r5 VERDICT #6): on this graph the generality options are
+    * no-ops — every node has out-edges (both directions present), so
+    * dangling handling is vacuous and the fixed-3-iteration default
+    * replays the oracle SQL unchanged. OpsSpec exercises the dangling /
+    * convergence knobs on graphs that need them.
     */
   private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
     val fwd = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
@@ -1294,22 +1311,8 @@ object Queries {
       .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
       .distinct()
     // reversed copy: src parities disjoint, so plain union stays duplicate-free.
-    // localCheckpoint (the CC-loop discipline, ops/Dedup.scala) materializes
-    // the edge set once; the three iterations reuse the blocks.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(32, col("src")).localCheckpoint()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var ranks = deg.select(col("src").as("node"), col("outdeg"),
-      lit(1000000000L).as("r"))
-    for (_ <- 1 to 3) {
-      val contrib = edges.join(ranks, edges("src") === ranks("node"))
-        .select(col("dst"), expr("r div outdeg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = deg.join(contrib, deg("src") === contrib("dst"))
-        .select(col("src").as("node"), col("outdeg"),
-          expr("150000000L + (85 * s) div 100").as("r"))
-    }
-    ranks
+    graft.ops.Graph.pageRank(edges, damping = 85, maxIter = 3)
       .select(col("node"), expr("node div 2").as("entity_key"),
         when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
         col("outdeg"), col("r").as("rank_raw"),
@@ -2326,7 +2329,8 @@ object Queries {
     val params = Disaggregate.Params(method = "denton-cholette",
       aggFunc = "sum", targetFreq = Some("QS"))
     consistencyViewKeyed(keyed,
-      graft.streaming.StreamingOps.incrementalDisagg(keyed, params),
+      graft.streaming.StreamingOps.incrementalDisagg(keyed, params,
+        cacheKey = Some(s"$dir#disagg_incr")),
       "year", 4)
   }
 
@@ -2985,7 +2989,15 @@ object Queries {
   private def simIvfPq(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.ivfPqTopK(t(s, dir, "embeddings"))
 
-  private val simIvfPqSql: String = {
+  /** The full IVF-PQ replay chain (coarse k-means, residual PQ training,
+    * probe, ADC scoring), parameterized by the TRAINING subset: sim_ivfpq
+    * trains on the whole corpus (`TRUE`); stream_ivfpq_upsert trains on
+    * the pre-stream base (`vec_id % 4 <> 3`) and encodes/searches the full
+    * post-upsert corpus — only the training-sample CTE differs, exactly
+    * mirroring the frozen-model split in Similarity.{ivfPqTrain,
+    * ivfPqEncode, ivfPqSearch}.
+    */
+  private def ivfPqSqlChain(trainWhere: String): String = {
     def cos(a: String, b: String): String =
       s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
         s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
@@ -2994,7 +3006,7 @@ object Queries {
     val nSub = 4
     val subDim = 16
     val head =
-      """WITH e AS MATERIALIZED (
+      s"""WITH e AS MATERIALIZED (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |samp AS MATERIALIZED (
@@ -3002,7 +3014,8 @@ object Queries {
         |    SELECT vec_id, v,
         |      (CASE WHEN h >= 9223372036854775808 THEN CAST(h - 18446744073709551616 AS BIGINT)
         |            ELSE CAST(h AS BIGINT) END) AS hs
-        |    FROM (SELECT vec_id, v, md5_number_lower(CAST(vec_id AS VARCHAR)) AS h FROM e))
+        |    FROM (SELECT vec_id, v, md5_number_lower(CAST(vec_id AS VARCHAR)) AS h FROM e
+        |          WHERE $trainWhere))
         |  ORDER BY hs, vec_id LIMIT 4096),
         |g0 AS MATERIALIZED (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS bucket, v AS cv
@@ -3108,6 +3121,21 @@ object Queries {
          |ORDER BY adc_cosine DESC, vec_id LIMIT 10""".stripMargin
     ((head +: coarseIters) ++ (resCtes +: subspaces)).mkString(",\n") + ",\n" + tail
   }
+
+  private val simIvfPqSql: String = ivfPqSqlChain("TRUE")
+
+  /** Streaming IVF-PQ upsert (StreamingOps.streamIvfPqUpsert): frozen model
+    * trained on the base ¾ of the corpus, the remaining quarter streamed in
+    * and upserted into the bucket-partitioned code table, ADC top-10 over
+    * the post-upsert index. The oracle replays the identical chain with the
+    * training sample restricted to the base subset — the streamed index is
+    * bit-equal to batch-encoding the full corpus with the frozen model, so
+    * the replay needs no streaming notion at all.
+    */
+  private def streamIvfPqUpsert(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamIvfPqUpsert(s, dir)
+
+  private val streamIvfPqUpsertSql: String = ivfPqSqlChain("vec_id % 4 <> 3")
 
   /** SemDeDup block pruning (see Similarity.semDedupPrune): keep/drop
     * decision table at cosine >= 0.3 within label blocks; the oracle
@@ -4791,6 +4819,7 @@ object Queries {
     "embed_pq" -> embedPq _,
     "text_bpe_apply" -> textBpeApply _,
     "sim_ivfpq" -> simIvfPq _,
+    "stream_ivfpq_upsert" -> streamIvfPqUpsert _,
     "sim_pq_adc" -> ((s: SparkSession, dir: String) =>
       graft.ops.Similarity.pqAdcTopK(t(s, dir, "embeddings"))),
     "join_skew_salted" -> joinSkewSalted _,
@@ -4937,6 +4966,7 @@ object Queries {
     "embed_pq" -> embedPqSql,
     "text_bpe_apply" -> textBpeApplySql,
     "sim_ivfpq" -> simIvfPqSql,
+    "stream_ivfpq_upsert" -> streamIvfPqUpsertSql,
     "sim_pq_adc" -> simPqAdcSql,
     "join_skew_salted" -> joinSkewSaltedSql,
     "window_funnel" -> windowFunnelSql,

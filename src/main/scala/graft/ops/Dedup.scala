@@ -313,12 +313,11 @@ object Dedup {
     // ONE aggregate action per round: |E| plus an order-independent set
     // fingerprint (exact decimal sum of per-edge hashes — decimal because
     // ANSI mode throws on Long-sum overflow). Fixpoint = count AND
-    // fingerprint unchanged; this replaces the former count + except()
-    // pair, which ran a full extra distributed set-difference every round.
-    // (Both sides are distinct sets of the same orientation, so count +
-    // 64-bit-hash-sum equality is a set-equality check up to a hash
-    // collision that also preserves the sum — not a concern against
-    // edge sets produced by a deterministic contraction.)
+    // fingerprint unchanged; this replaces the former per-round count +
+    // except() pair, which ran a full extra distributed set-difference
+    // every round. The round that FIRST reports convergence is then
+    // confirmed with one exact except() (below), so the probabilistic
+    // check gates work but never the final answer.
     def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(
         count(lit(1)),
@@ -368,7 +367,15 @@ object Dedup {
         .repartition(ccParts, col("u"))
         .distinct())
       val (nSmall, fpSmall) = stats(small)
-      converged = nSmall == nEdges && fpSmall.compareTo(fp) == 0
+      // Exactness restored cheaply (r5 ADVICE): count+fingerprint is a
+      // set-equality check only up to a sum-preserving hash collision, so
+      // the FIRST round that reports convergence is confirmed with one
+      // exact except() — counts already match, so an empty one-sided
+      // difference proves set equality. One extra distributed job total
+      // (on the convergence round only), not per round; a collision that
+      // fooled the fingerprint just sends the loop around again.
+      converged = nSmall == nEdges && fpSmall.compareTo(fp) == 0 &&
+        small.except(edges).isEmpty
       nEdges = nSmall
       fp = fpSmall
       edges = small

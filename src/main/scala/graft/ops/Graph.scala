@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer-exact iterative graph centrality (the generalized form of the
+  * `graph_pagerank` query loop — r5 VERDICT asked for the demo-shaped
+  * fixed-3-iteration loop to grow operator-grade options without touching
+  * the oracle-replayed arithmetic).
+  *
+  * PageRank (Brin & Page, WWW'98) in scaled-LONG arithmetic: ranks carry
+  * a 1e-9 fixed point (init = [[Base]] per node), per-edge contribution is
+  * `r div outdeg`, and the damped update is
+  * `(100−d)·1e7 + (d·inflow) div 100` — every step an exact nonnegative
+  * integer division, identical under Spark's `div` and DuckDB's `//`, so a
+  * fixed-iteration run hash-replays in SQL with no epsilon (the discipline
+  * of the IVF k-means replay, ops/Similarity.scala). Σranks ≤ n·1e9 keeps
+  * `d·Σ` far under 2⁶³ for n ≤ 10⁸ nodes — no ANSI overflow.
+  *
+  * Options beyond the replayed default:
+  *
+  *  - **Dangling-node mass redistribution** (`handleDangling = true`):
+  *    nodes with no out-edges would otherwise leak their rank each round.
+  *    Their mass joins a pool together with every node's indivisible
+  *    out-division residue (`r mod outdeg` — integer division's analogue
+  *    of float PageRank's rounding dust); the pool pays `pool div n` to
+  *    every node and the final `pool mod n` to the smallest node id. The
+  *    redistribution step therefore conserves total mass EXACTLY
+  *    (Σ inflow == Σ rank, a `==` test, not a tolerance), and the damped
+  *    update loses strictly less than one 1e-9 ulp per node to its final
+  *    floor — the bound OpsSpec pins per iteration.
+  *  - **Convergence termination** (`tolRaw > 0`): stop when
+  *    max |r′ − r| ≤ tolRaw (exact integer compare, one node-sized agg
+  *    action per round), instead of always running `maxIter` rounds.
+  *
+  * Scale shape: edges hash-partitioned by src and localCheckpointed once;
+  * per round one edge⋈rank equi-join (edge side co-located, only the
+  * node-sized rank frame moves) + one map-combined sum by dst — 2
+  * edge-sized shuffles, the CC-loop discipline (ops/Dedup.scala). Dangling
+  * handling adds one O(n) 1-row aggregate per round (3 longs to the
+  * driver — the sanctioned scalar-collect pattern); its pool share enters
+  * the plan as a literal, so nothing node-sized crosses the driver.
+  */
+object Graph {
+  /** Rank fixed-point base: 1.0 == 1e9 raw. */
+  val Base = 1000000000L
+
+  /** @param edges  (src, dst) long-keyed directed edges
+    * @param damping damping factor in percent (default 85 = 0.85)
+    * @param maxIter iteration cap
+    * @param handleDangling redistribute dangling + residue mass exactly
+    * @param tolRaw  >0: stop once max |Δr| ≤ tolRaw (raw 1e-9 units)
+    * @return (node, outdeg, r, iters) — r is the raw scaled rank, iters the
+    *         literal number of rounds actually run (lets tests observe
+    *         convergence-based termination; query projections drop it)
+    */
+  def pageRank(
+      edges: DataFrame,
+      damping: Int = 85,
+      maxIter: Int = 3,
+      handleDangling: Boolean = false,
+      tolRaw: Long = 0L,
+      parts: Int = 32): DataFrame = {
+    require(damping >= 1 && damping <= 99, "damping is an integer percent in [1, 99]")
+    require(maxIter >= 1, "at least one iteration")
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(parts, col("src")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+    var ranks = nodes.join(deg, nodes("node") === deg("src"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        lit(Base).as("r"))
+      .repartition(parts, col("node")).localCheckpoint()
+    // (100−d)·1e7 is exact for every integer percent — Base div 100 == 1e7
+    val teleport = (100L - damping) * (Base / 100L)
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      // contrib joins only rank rows that ARE sources (e.src ⊆ outdeg ≥ 1),
+      // so `r div outdeg` can never divide by zero under ANSI
+      val contrib = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      val inflow = ranks.join(contrib, ranks("node") === contrib("dst"), "left")
+        .select(ranks("node"), col("outdeg"), coalesce(col("s"), lit(0L)).as("s"))
+      val m =
+        if (!handleDangling)
+          inflow.select(col("node"), col("outdeg"), col("s").as("m"))
+        else {
+          // CaseWhen short-circuits, so `r % outdeg` never sees outdeg == 0
+          val p = ranks.agg(
+            coalesce(sum(when(col("outdeg") === 0L, col("r"))
+              .otherwise(col("r") % col("outdeg"))), lit(0L)),
+            count(lit(1)), min(col("node"))).head()
+          val (pool, n, minNode) = (p.getLong(0), p.getLong(1), p.getLong(2))
+          val sigma = pool / n
+          val extra = pool % n
+          inflow.select(col("node"), col("outdeg"),
+            (col("s") + lit(sigma) +
+              when(col("node") === minNode, lit(extra)).otherwise(lit(0L))).as("m"))
+        }
+      val next = m.select(col("node"), col("outdeg"),
+        (lit(teleport) + expr(s"($damping * m) div 100")).as("r"))
+        .repartition(parts, col("node")).localCheckpoint()
+      if (tolRaw > 0L) {
+        val maxDelta = next.select(col("node"), col("r").as("rn"))
+          .join(ranks.select(col("node"), col("r").as("ro")), "node")
+          .agg(max(abs(col("rn") - col("ro")))).head().getLong(0)
+        done = maxDelta <= tolRaw
+      }
+      ranks = next
+      it += 1
+    }
+    ranks.withColumn("iters", lit(it.toLong))
+  }
+}

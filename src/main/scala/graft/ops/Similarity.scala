@@ -308,6 +308,7 @@ object Similarity {
   def randomProjection(
       embeddings: DataFrame, nProj: Int = 16, dim: Int = 64): DataFrame = {
     require(nProj <= 31, "srp_bits packs signs into a signed 32-bit int")
+    require(nProj >= 4, "output surface hard-codes projection columns p0..p3")
     val signs: IndexedSeq[Seq[Double]] = IndexedSeq.tabulate(nProj) { j =>
       Seq.tabulate(dim) { i =>
         if (Sketches.md5Low64String(s"rp|$j|$i") >= 0) 1.0 else -1.0
@@ -376,6 +377,17 @@ object Similarity {
       e: DataFrame, nSub: Int, k: Int,
       iterations: Int, sampleCap: Int)
       : (Array[Array[(Long, Seq[Double])]], DataFrame) = {
+    val books = pqTrainBooks(e, nSub, k, iterations, sampleCap)
+    (books, pqEncodeWith(books, e, nSub))
+  }
+
+  /** The training half of [[pqModelPrepared]]: per-subspace Lloyd runs over
+    * the bounded hash-ordered sample of `e`. Split out so the streaming
+    * upsert can train on the BASE corpus and encode other frames later.
+    */
+  private def pqTrainBooks(
+      e: DataFrame, nSub: Int, k: Int,
+      iterations: Int, sampleCap: Int): Array[Array[(Long, Seq[Double])]] = {
     val subDim = 16 // embeddings table carries 64 dims = nSub * subDim
     // ONE hash-ordered corpus TakeOrdered feeds all subspaces, and each
     // Lloyd iteration is ONE job covering all nSub trainings (subspace id
@@ -427,6 +439,18 @@ object Similarity {
       it += 1
     }
     sample.unpersist(blocking = false)
+    books
+  }
+
+  /** The encoding half of [[pqModelPrepared]]: argmax each subspace of `e`
+    * against its FROZEN literal codebook. Pure zero-shuffle projection —
+    * callable on any frame carrying (vec_id, v, …), including streaming
+    * micro-batches.
+    */
+  private def pqEncodeWith(
+      books: Array[Array[(Long, Seq[Double])]],
+      e: DataFrame, nSub: Int): DataFrame = {
+    val subDim = 16
     // one projection: slice sub-vectors to ATTRIBUTES first (a HOF lambda
     // must never hold a non-attribute subtree — CLAUDE.md rule), then argmax
     // each subspace against its literal codebook, then reconstruct + score
@@ -444,7 +468,7 @@ object Similarity {
             c.getField("_1").as("bucket")))
           array_max(scored).getField("bucket").as(s"c$j")
         }): _*)
-    (books, coded)
+    coded
   }
 
   def productQuantize(
@@ -540,25 +564,80 @@ object Similarity {
     * training, the residual PQ training, the probe choice, the ADC scores
     * and the top-k cut bit-exactly. `exact_cosine` audits recall.
     */
-  def ivfPqTopK(
-      embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
-      nCoarse: Int = 16, nProbe: Int = 4, nSub: Int = 4, k: Int = 16,
-      iterations: Int = 3, sampleCap: Int = 4096): DataFrame = {
-    val subDim = 16
-    val coarseDf = trainCentroids(embeddings, nBuckets = nCoarse,
-      iterations = iterations, sampleCap = sampleCap)
-    val coarse: IndexedSeq[Seq[Double]] = coarseDf.orderBy(col("bucket"))
-      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+  /** Driver-small FROZEN IVF-PQ model: coarse centroids + per-subspace PQ
+    * codebooks (nCoarse·64 + nSub·k·16 doubles ≈ 10 KB at the defaults) —
+    * ships as plan literals wherever it's used, so encode and search stay
+    * zero-shuffle map-side projections. Freezing is the FAISS IndexIVFPQ
+    * contract (faiss IndexIVFPQ::add encodes with trained quantizers, never
+    * retrains): codes produced at different times — batch build vs
+    * streaming upsert — are mutually comparable, the property
+    * stream_ivfpq_upsert's ==batch test pins.
+    */
+  case class IvfPqModel(
+      coarse: IndexedSeq[Seq[Double]],
+      books: Array[Array[(Long, Seq[Double])]])
+
+  /** (vec_id, v = residual vs nearest coarse centroid, v_orig, bucket) for
+    * any embedding frame, against FROZEN coarse centroids (map-side argmax,
+    * zero shuffle).
+    */
+  private def residualsWith(
+      emb: DataFrame, coarse: IndexedSeq[Seq[Double]]): DataFrame = {
+    val centDf = centFrame(emb.sparkSession,
+      coarse.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toArray)
     // residuals: v - coarse[bucket]; original vector rides along for audit
-    val res = assignBucketsWith(embeddings, coarseDf)
+    assignBucketsWith(emb, centDf)
       .select(col("vec_id"),
         zip_with(col("v"),
           element_at(typedLit(coarse), (col("bucket") + 1).cast(IntegerType)),
           (x, c) => x - c).as("v"),
         col("v").as("v_orig"), col("bucket"))
-    val (books, coded) = pqModelPrepared(res, nSub, k, iterations, sampleCap)
+  }
 
-    val qv: Seq[Double] = prepared(embeddings)
+  /** Trains coarse quantizer + residual PQ books on `trainEmb` and returns
+    * the model alongside trainEmb's residual frame (so the batch path
+    * encodes its own corpus without a second assignment pass).
+    */
+  private def ivfPqTrainRes(
+      trainEmb: DataFrame, nCoarse: Int, nSub: Int, k: Int,
+      iterations: Int, sampleCap: Int): (IvfPqModel, DataFrame) = {
+    val coarseDf = trainCentroids(trainEmb, nBuckets = nCoarse,
+      iterations = iterations, sampleCap = sampleCap)
+    val coarse: IndexedSeq[Seq[Double]] = coarseDf.orderBy(col("bucket"))
+      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+    val res = residualsWith(trainEmb, coarse)
+    val books = pqTrainBooks(res, nSub, k, iterations, sampleCap)
+    (IvfPqModel(coarse, books), res)
+  }
+
+  /** Public train surface: model only (the streaming upsert trains on the
+    * pre-stream base corpus, then encodes batches as they arrive).
+    */
+  def ivfPqTrain(
+      trainEmb: DataFrame, nCoarse: Int = 16, nSub: Int = 4, k: Int = 16,
+      iterations: Int = 3, sampleCap: Int = 4096): IvfPqModel =
+    ivfPqTrainRes(trainEmb, nCoarse, nSub, k, iterations, sampleCap)._1
+
+  /** Encode any embedding frame with a FROZEN model: coarse-route, form the
+    * residual, PQ-argmax per subspace. One zero-shuffle projection — safe
+    * inside a streaming micro-batch.
+    */
+  def ivfPqEncode(model: IvfPqModel, emb: DataFrame): DataFrame =
+    pqEncodeWith(model.books, residualsWith(emb, model.coarse),
+      model.books.length)
+
+  /** ADC search over a coded frame (vec_id, bucket, c0.., v_orig) with a
+    * frozen model; `queryEmb` supplies the exact query vector. LUTs are
+    * driver-small plan literals — scoring never touches a stored vector.
+    */
+  def ivfPqSearch(
+      model: IvfPqModel, coded: DataFrame, queryEmb: DataFrame,
+      queryId: Long = 0L, topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    val subDim = 16
+    val nSub = model.books.length
+    val coarse = model.coarse
+    val books = model.books
+    val qv: Seq[Double] = prepared(queryEmb)
       .where(col("vec_id") === queryId)
       .select(col("v")).collect()(0).getSeq[Double](0)
     def dot(a: Seq[Double], off: Int, b: Seq[Double]): Double = {
@@ -600,6 +679,16 @@ object Similarity {
         cosine(col("v_orig"), typedLit(qv)).as("exact_cosine"))
       .orderBy(col("adc_cosine").desc, col("vec_id"))
       .limit(topK)
+  }
+
+  def ivfPqTopK(
+      embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
+      nCoarse: Int = 16, nProbe: Int = 4, nSub: Int = 4, k: Int = 16,
+      iterations: Int = 3, sampleCap: Int = 4096): DataFrame = {
+    val (model, res) =
+      ivfPqTrainRes(embeddings, nCoarse, nSub, k, iterations, sampleCap)
+    val coded = pqEncodeWith(model.books, res, nSub)
+    ivfPqSearch(model, coded, embeddings, queryId, topK, nProbe)
   }
 
   def ivfTopK(

@@ -198,8 +198,8 @@ object BloomBits extends Aggregator[String, Array[Long], Array[Long]] {
 
 /** MERGEABLE bottom-k sample sketch for quantile estimation (the bottom-k
   * / coordinated-sampling design of Cohen & Kaplan, PODS'07, applied to
-  * rank queries): keep the k (hash, valueBits) pairs with the SMALLEST
-  * cross-engine md5-low-64 hashes of the row key. Like [[KMinValues]],
+  * rank queries): keep the k (hash, id, valueBits) triples with the
+  * SMALLEST (md5-low-64 hash, id) composite keys of the row key. Like [[KMinValues]],
   * "k smallest of the union" is a deterministic function of the underlying
   * SET — merge-order INDEPENDENT — so the retained sample, and therefore
   * every quantile estimate read off it, replays EXACTLY in SQL
@@ -212,43 +212,54 @@ object BloomBits extends Aggregator[String, Array[Long], Array[Long]] {
   * realized error is a deterministic, oracle-hashable number. O(k) state
   * per group through the partial-agg shuffle regardless of group size.
   *
-  * Buffer layout: interleaved [h₀, bits₀, h₁, bits₁, …] sorted by hash
-  * (signed), value stored as raw IEEE bits. A duplicate hash is skipped —
-  * distinct-by-key semantics (a replayed row is a no-op; a true 64-bit
-  * collision between different keys is ~n²/2⁶⁴ ≈ 10⁻¹⁰ here).
+  * Buffer layout: interleaved [h₀, id₀, bits₀, h₁, id₁, bits₁, …] sorted
+  * by the COMPOSITE key (hash signed, then id) — exactly the oracle's
+  * `ORDER BY hs, event_id` — value stored as raw IEEE bits. A replayed row
+  * (same hash AND same id) is a no-op, but a true 64-bit hash collision
+  * between DIFFERENT ids keeps both entries, matching the SQL row_number
+  * tie-break bit-for-bit (r5 ADVICE: keying on hash alone dropped the
+  * second colliding row while the oracle kept it).
   */
 class BottomKSample(k: Int)
     extends Aggregator[(String, Long, Double), Array[Long], Array[Long]]
     with Serializable {
   override def zero: Array[Long] = Array.empty[Long]
 
-  private def insert(b: Array[Long], h: Long, bits: Long): Array[Long] = {
-    val m = b.length / 2
-    if (m == k && h >= b(2 * (m - 1))) return b
+  private def insert(b: Array[Long], h: Long, id: Long, bits: Long): Array[Long] = {
+    val m = b.length / 3
+    if (m == k) {
+      val lh = b(3 * (m - 1))
+      val lid = b(3 * (m - 1) + 1)
+      if (h > lh || (h == lh && id >= lid)) return b // at/after last key: full
+    }
     var lo = 0
     var hi = m
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (b(2 * mid) < h) lo = mid + 1 else hi = mid
+      val mh = b(3 * mid)
+      if (mh < h || (mh == h && b(3 * mid + 1) < id)) lo = mid + 1 else hi = mid
     }
-    if (lo < m && b(2 * lo) == h) return b // duplicate key: no-op
+    if (lo < m && b(3 * lo) == h && b(3 * lo + 1) == id) return b // replay: no-op
     val nm = math.min(m + 1, k)
-    val out = new Array[Long](2 * nm)
-    System.arraycopy(b, 0, out, 0, 2 * lo)
-    out(2 * lo) = h
-    out(2 * lo + 1) = bits
-    val tailPairs = nm - lo - 1
-    if (tailPairs > 0) System.arraycopy(b, 2 * lo, out, 2 * (lo + 1), 2 * tailPairs)
+    val out = new Array[Long](3 * nm)
+    System.arraycopy(b, 0, out, 0, 3 * lo)
+    out(3 * lo) = h
+    out(3 * lo + 1) = id
+    out(3 * lo + 2) = bits
+    val tailTriples = nm - lo - 1
+    if (tailTriples > 0) System.arraycopy(b, 3 * lo, out, 3 * (lo + 1), 3 * tailTriples)
     out
   }
 
   override def reduce(b: Array[Long], t: (String, Long, Double)): Array[Long] =
-    insert(b, Sketches.md5Low64String(t._2.toString),
+    insert(b, Sketches.md5Low64String(t._2.toString), t._2,
       java.lang.Double.doubleToRawLongBits(t._3))
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var out = a
     var i = 0
-    while (i < b.length / 2) { out = insert(out, b(2 * i), b(2 * i + 1)); i += 1 }
+    while (i < b.length / 3) {
+      out = insert(out, b(3 * i), b(3 * i + 1), b(3 * i + 2)); i += 1
+    }
     out
   }
   override def finish(b: Array[Long]): Array[Long] = b
@@ -493,8 +504,8 @@ object Sketches {
     import spark.implicits._
     // one row per (group, q): decode + sort the O(k) sample driver-side
     val estRows = sketches.flatMap { case (et, bk) =>
-      val values = Array.tabulate(bk.length / 2)(i =>
-        java.lang.Double.longBitsToDouble(bk(2 * i + 1)))
+      val values = Array.tabulate(bk.length / 3)(i =>
+        java.lang.Double.longBitsToDouble(bk(3 * i + 2)))
       java.util.Arrays.sort(values)
       val m = values.length
       qs.map { q =>

@@ -280,6 +280,30 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming ivfpq upsert == batch encode+search with the frozen base-trained model") {
+    // frozen-model contract: train on the base ¾, encode the FULL corpus
+    // in one batch pass — the streamed index (base build + 2 upsert
+    // micro-batches through dynamic-partition-overwrite) must land on the
+    // identical code table, so the ADC top-10 must match bit-for-bit
+    val emb = embeddings
+    val model = Similarity.ivfPqTrain(emb.where(col("vec_id") % 4 =!= 3))
+    val batch = Similarity.ivfPqSearch(model, Similarity.ivfPqEncode(model, emb), emb)
+      .collect()
+    val streamed = graft.streaming.StreamingOps.streamIvfPqUpsert(spark, dir)
+      .collect()
+    assert(batch.length == 10 && streamed.length == 10)
+    assert(streamed.toSeq == batch.toSeq,
+      s"streamed ${streamed.mkString(";")} != batch ${batch.mkString(";")}")
+    // the upsert actually contributed: at least one probed candidate set
+    // member should come from the streamed quarter across the full coded
+    // surface (not necessarily the top-10, so check the index contents via
+    // a second search with a larger k)
+    val wide = Similarity.ivfPqSearch(model, Similarity.ivfPqEncode(model, emb),
+      emb, topK = 100)
+    assert(wide.where(col("vec_id") % 4 === 3).count() > 0,
+      "no upserted vector is reachable by the probe — split or probe broken")
+  }
+
   test("a session spanning micro-batches is not split (event-time-timeout state)") {
     import spark.implicits._
     // user 1: events at 0/10/20/30 min, all within the 30-min gap => ONE
@@ -966,6 +990,60 @@ class OpsSpec extends AnyFunSuite {
     assert(topDeg > medianDeg, s"top-ranked node degree $topDeg not above median $medianDeg")
   }
 
+  test("pagerank knobs: dangling mass conserved exactly, convergence stops early and deterministically") {
+    import spark.implicits._
+    // cycle 1→2→3→1 plus 1→4 with node 4 DANGLING (no out-edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val n = 4L
+    val base = graft.ops.Graph.Base
+
+    // with redistribution: per iteration Σr loses strictly less than one
+    // 1e-9 ulp per node (the final floor), and never grows — the r5
+    // VERDICT #6 invariant. 5 rounds ⇒ Σr ∈ (n·Base − 5n, n·Base].
+    val iters = 5
+    val kept = graft.ops.Graph.pageRank(edges, maxIter = iters,
+      handleDangling = true, parts = 4)
+      .agg(sum(col("r")), count(lit(1))).head()
+    assert(kept.getLong(1) == n, "node universe is src ∪ dst")
+    val massKept = kept.getLong(0)
+    assert(massKept <= n * base, s"mass grew: $massKept > ${n * base}")
+    assert(massKept > n * base - iters * n,
+      s"mass leaked beyond the floor bound: $massKept ≤ ${n * base - iters * n}")
+
+    // without it, the dangling node's entire rank leaks every round: after
+    // 5 rounds the deficit is orders of magnitude above the n·iters floor
+    // dust (node 4 holds ≥ teleport ≈ 0.15·Base each round)
+    val massLeaky = graft.ops.Graph.pageRank(edges, maxIter = iters,
+      handleDangling = false, parts = 4)
+      .agg(sum(col("r"))).head().getLong(0)
+    assert(massLeaky < n * base - base / 10,
+      s"expected a visible dangling leak, got Σr = $massLeaky")
+
+    // convergence termination: tolRaw stops before the cap, the stop is
+    // exactly the round where max|Δr| first ≤ tol (checked against fixed
+    // runs), and the early-stopped result is bit-identical to the fixed
+    // run of the same length
+    val tol = 1000L
+    def fixed(k: Int) = graft.ops.Graph.pageRank(edges, maxIter = k,
+      handleDangling = true, parts = 4)
+      .select(col("node"), col("r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conv = graft.ops.Graph.pageRank(edges, maxIter = 100,
+      tolRaw = tol, handleDangling = true, parts = 4)
+      .select(col("node"), col("r"), col("iters")).collect()
+    val k = conv.head.getLong(2).toInt
+    assert(k < 100, s"tolRaw never triggered (ran all $k rounds)")
+    assert(conv.map(r => r.getLong(0) -> r.getLong(1)).toMap == fixed(k),
+      "early-stopped ranks differ from the fixed run of the same length")
+    def maxDelta(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      a.map { case (nd, v) => math.abs(v - b(nd)) }.max
+    assert(maxDelta(fixed(k), fixed(k - 1)) <= tol,
+      "stop round's delta exceeds tolRaw")
+    if (k >= 2)
+      assert(maxDelta(fixed(k - 1), fixed(k - 2)) > tol,
+        "loop should have stopped one round earlier")
+  }
+
   test("compaction plan: bins match brute-force next-fit-decreasing, no partition mixing") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_shipdate", "l_returnflag", "l_linestatus")
@@ -1530,11 +1608,13 @@ class OpsSpec extends AnyFunSuite {
     val seq3 = (rows ++ rows).foldLeft(bk.zero)(bk.reduce)
     assert(seq1.toSeq == seq2.toSeq, "merge order changed the retained sample")
     assert(seq1.toSeq == seq3.toSeq, "replayed rows must be no-ops")
-    assert(seq1.length == 32, "buffer holds exactly k (hash, bits) pairs")
-    // the retained pairs are the k smallest hashes of the whole key set
-    val allHashes = rows.map(t => graft.ops.Sketches.md5Low64String(t._2.toString))
-    val expect = allHashes.sorted.take(16)
-    assert((0 until 16).map(i => seq1(2 * i)) == expect)
+    assert(seq1.length == 48, "buffer holds exactly k (hash, id, bits) triples")
+    // the retained triples are the k smallest (hash, id) composite keys of
+    // the whole key set — the oracle's ORDER BY hs, event_id tie-break
+    val allKeys = rows.map(t =>
+      (graft.ops.Sketches.md5Low64String(t._2.toString), t._2))
+    val expect = allKeys.sorted.take(16)
+    assert((0 until 16).map(i => (seq1(3 * i), seq1(3 * i + 1))) == expect)
   }
 
   test("quantile bottom-k: DKW band holds, sample caps at k, est within group range") {
