@@ -1504,6 +1504,11 @@ object Queries {
     (cur, merges.toSeq)
   }
 
+  /** BPE vocabulary training over the documents corpus: 6 greedy merge
+    * rounds of the most frequent adjacent symbol pair (tie-broken
+    * lexicographically), each round one distributed pair-count + one
+    * driver argmax — the merge table is the emitted surface.
+    */
   private def textBpeVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     bpeTrain(s, dir)._2
@@ -1890,6 +1895,10 @@ object Queries {
       |  CAST(sum(r14) AS BIGINT) AS active_d14
       |FROM per_user GROUP BY cd ORDER BY cohort_day""".stripMargin
 
+  /** Window-function suite over monthly customer revenue: rank, dense_rank,
+    * row_number, lag/lead deltas and a 3-month moving sum in ONE window
+    * pass (shared partitioning, no extra shuffles).
+    */
   private def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
     val monthly = t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -2420,6 +2429,10 @@ object Queries {
   private val qualityStopwords =
     Seq("join", "hash", "row", "batch", "scan", "column", "filter", "order")
 
+  /** Pretraining quality heuristics per document: length, token count,
+    * mean token length, punctuation / digit / stopword ratios — one
+    * zero-shuffle projection (the Gopher-style filter inputs).
+    */
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     t(s, dir, "documents")
@@ -2539,6 +2552,11 @@ object Queries {
     labels
   }
 
+  /** Near-duplicate clusters: MinHash-LSH candidate pairs resolved to
+    * connected components (Dedup.connectedComponents), each doc labeled
+    * with its cluster id + size (broadcast-joined — cluster count is
+    * corpus-small).
+    */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val labels = buildClusterLabels(s, dir)
     val sizes = labels.groupBy(col("cluster_id"))
@@ -2805,6 +2823,10 @@ object Queries {
       |FROM e, q WHERE e.vec_id != 0
       |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** IVF approximate top-10 (Similarity.ivfTopK): probe the 4 nearest of
+    * 16 k-means buckets and scan only those partitions — the
+    * partition-pruning ANN shape; oracle replays training + probe exactly.
+    */
   private def simCosineIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)
 

@@ -62,6 +62,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // regenerate the query inventory on full runs (QueryIndex scaladoc);
+    // never fail the correctness dump over a docs-generation hiccup
+    if (only.isEmpty)
+      try QueryIndex.write()
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] QUERIES.md generation failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

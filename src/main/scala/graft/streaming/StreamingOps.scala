@@ -94,7 +94,7 @@ object StreamingOps {
     * time order). The directory listing stream is closed (each unclosed
     * Files.list leaks a directory handle) and the staging dir removed.
     */
-  private def stageOne(df: DataFrame, destDir: java.nio.file.Path, name: String): Unit = {
+  private[graft] def stageOne(df: DataFrame, destDir: java.nio.file.Path, name: String): Unit = {
     val staging = destDir.resolve(s"_stage_$name")
     df.coalesce(1).write.parquet(staging.toString)
     val listing = java.nio.file.Files.list(staging)
@@ -1213,6 +1213,114 @@ object StreamingOps {
       spark.table(name).orderBy(col("doc_id"))
     }
 
+  /** Driver-sketch restart contract (r5 VERDICT #7). streamCountMin /
+    * streamQuantileBottomK accumulate their sketches in DRIVER memory
+    * keyed by batchId — if the driver dies mid-stream, that state is gone,
+    * and restarting the query from the engine checkpoint alone would
+    * resume delivery at the first uncommitted batch with an EMPTY
+    * accumulator (silently under-counted sketches). The optional
+    * `checkpoint` closes the gap with the standard foreachBatch recipe:
+    *
+    *  1. the ENGINE checkpoint (`<ckpt>/engine`) makes the file source
+    *     skip committed batches on restart and keeps batchIds stable;
+    *  2. the DRIVER state file (`<ckpt>/state.bin`) is rewritten
+    *     atomically (tmp + ATOMIC_MOVE) after every folded batch with
+    *     (folded batchIds, accumulator bytes) and restored at start-up.
+    *
+    * A batch is folded into memory and THEN persisted, so a crash between
+    * fold and persist re-delivers that batch on restart (engine commit
+    * also happens after foreachBatch returns) and the recorded batchId set
+    * drops the replay — at-least-once delivery, exactly-once accumulation.
+    * State is O(sketch) bytes, so the per-batch rewrite is microseconds.
+    * OpsSpec kills a run between micro-batches and resumes it on a fresh
+    * query, pinning bit-equal final sketches vs the one-pass batch run.
+    */
+  private def ckptSave(dir: java.nio.file.Path, seen: Iterable[Long])(
+      payload: java.io.DataOutputStream => Unit): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve("state.tmp")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp)))
+    try {
+      val s = seen.toSeq.sorted
+      out.writeInt(s.size)
+      s.foreach(out.writeLong)
+      payload(out)
+    } finally out.close()
+    java.nio.file.Files.move(tmp, dir.resolve("state.bin"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def ckptLoad[A](dir: java.nio.file.Path)(
+      payload: java.io.DataInputStream => A): Option[(Set[Long], A)] = {
+    val f = dir.resolve("state.bin")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(f)))
+      try {
+        val n = in.readInt()
+        val seen = (0 until n).map(_ => in.readLong()).toSet
+        Some((seen, payload(in)))
+      } finally in.close()
+    }
+  }
+
+  /** One restartable Count-Min accumulation run over a staged directory:
+    * returns (accumulated matrix, total folded batch count including
+    * restored history). Split from [[streamCountMin]] so the kill-resume
+    * test can drive it in phases against one checkpoint.
+    */
+  private[graft] def countMinRun(
+      spark: SparkSession, srcDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpoint: Option[java.nio.file.Path]): (Array[Long], Int) = {
+    import graft.ops.{CountMin, Sketches}
+    val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
+      val n = in.readInt()
+      Array.fill(n)(in.readLong())
+    })
+    val total = restored.map(_._2)
+      .getOrElse(new Array[Long](CountMin.d * CountMin.w))
+    // foreachBatch is AT-LEAST-ONCE: a retried micro-batch arrives with
+    // the SAME batchId, and adding its matrix twice would silently break
+    // the claimed bit-equality with the batch sketch — so batchIds are
+    // recorded (and checkpointed) and replays skipped.
+    val seen = scala.collection.mutable.Set.empty[Long]
+    restored.foreach(r => seen ++= r._1)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    var w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!total.synchronized(seen.contains(batchId))) {
+          val part = Sketches.countMinSketch(batch.toDF())
+          total.synchronized {
+            if (seen.add(batchId)) {
+              var i = 0
+              while (i < total.length) { total(i) += part(i); i += 1 }
+              checkpoint.foreach(c => ckptSave(c, seen) { out =>
+                out.writeInt(total.length)
+                total.foreach(out.writeLong)
+              })
+            }
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c =>
+      w = w.option("checkpointLocation", c.resolve("engine").toString))
+    val q = w.start()
+    q.processAllAvailable()
+    q.stop()
+    (total, total.synchronized(seen.size))
+  }
+
   /** STREAMING Count-Min accumulation: the corpus arrives as a file stream
     * (one staged chunk per micro-batch), each micro-batch folds its tokens
     * into the per-batch CM matrix, and the driver adds matrices. Because CM
@@ -1224,10 +1332,13 @@ object StreamingOps {
     *
     * At scale this is the shape of a continuously-updated corpus frequency
     * monitor: O(d·w) state total, no per-key streaming state store at all.
+    * Driver-restart durability: see [[ckptSave]] — pass `checkpoint` to
+    * make the accumulator survive a driver kill (OpsSpec pins recovery).
     */
-  def streamCountMin(outer: SparkSession, dir: String): DataFrame =
+  def streamCountMin(outer: SparkSession, dir: String,
+      checkpoint: Option[java.nio.file.Path] = None): DataFrame =
     withStreamingPartitions(outer, 8) { spark =>
-      import graft.ops.{CountMin, Sketches}
+      import graft.ops.Sketches
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val nChunks = 3
@@ -1235,37 +1346,9 @@ object StreamingOps {
         (0 until nChunks).foreach(i =>
           stageOne(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), t, s"chunk$i"))
       }
-
-      val total = new Array[Long](CountMin.d * CountMin.w)
-      // foreachBatch is AT-LEAST-ONCE: a retried micro-batch arrives with
-      // the SAME batchId, and adding its matrix twice would silently break
-      // the claimed bit-equality with the batch sketch — so batchIds are
-      // recorded and replays skipped (idempotent accumulation).
-      val seen = scala.collection.mutable.Set.empty[Long]
-      val stream = spark.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp.toString)
-      val q = stream.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!total.synchronized(seen.contains(batchId))) {
-            val part = Sketches.countMinSketch(batch.toDF())
-            total.synchronized {
-              if (seen.add(batchId)) {
-                var i = 0
-                while (i < total.length) { total(i) += part(i); i += 1 }
-              }
-            }
-          }
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      require(total.synchronized(seen.size) >= 2,
-        s"chunked staging must yield multiple micro-batches, got ${seen.size}")
+      val (total, nSeen) = countMinRun(spark, tmp, docs.schema, checkpoint)
+      require(nSeen >= 2,
+        s"chunked staging must yield multiple micro-batches, got $nSeen")
       Sketches.countMinAuditWith(docs, total)
     }
 
@@ -1281,9 +1364,76 @@ object StreamingOps {
     * driver — the production shape would keep it in an aggregation state
     * store, but the merge algebra is the point being exercised.
     */
-  def streamQuantileBottomK(outer: SparkSession, dir: String): DataFrame =
+  /** One restartable bottom-k accumulation run (the [[countMinRun]] shape
+    * for a keyed, non-additive but set-deterministic sketch): returns
+    * (per-group buffers, folded batch count incl. restored history).
+    */
+  private[graft] def bottomKRun(
+      spark: SparkSession, srcDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpoint: Option[java.nio.file.Path]): (Map[String, Array[Long]], Int) = {
+    import graft.ops.BottomKSample
+    val bk = new BottomKSample(256)
+    val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val key = in.readUTF()
+        val m = in.readInt()
+        key -> Array.fill(m)(in.readLong())
+      }.toMap
+    })
+    val acc = scala.collection.mutable.Map.empty[String, Array[Long]]
+    restored.foreach(r => acc ++= r._2)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    restored.foreach(r => seen ++= r._1)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    var w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!acc.synchronized(seen.contains(batchId))) {
+          val session = batch.sparkSession
+          import session.implicits._
+          val parts = batch
+            .select(col("event_type"), col("event_id"), col("value"))
+            .as[(String, Long, Double)]
+            .groupByKey(_._1)
+            .agg(bk.toColumn.name("bk"))
+            .collect()
+          acc.synchronized {
+            if (seen.add(batchId)) {
+              parts.foreach { case (et, b) =>
+                acc(et) = acc.get(et).map(a => bk.merge(a, b)).getOrElse(b)
+              }
+              checkpoint.foreach(c => ckptSave(c, seen) { out =>
+                val entries = acc.toSeq.sortBy(_._1)
+                out.writeInt(entries.size)
+                entries.foreach { case (key, arr) =>
+                  out.writeUTF(key)
+                  out.writeInt(arr.length)
+                  arr.foreach(out.writeLong)
+                }
+              })
+            }
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c =>
+      w = w.option("checkpointLocation", c.resolve("engine").toString))
+    val q = w.start()
+    q.processAllAvailable()
+    q.stop()
+    (acc.synchronized(acc.toMap), acc.synchronized(seen.size))
+  }
+
+  def streamQuantileBottomK(outer: SparkSession, dir: String,
+      checkpoint: Option[java.nio.file.Path] = None): DataFrame =
     withStreamingPartitions(outer, 8) { spark =>
-      import graft.ops.{BottomKSample, Sketches}
+      import graft.ops.Sketches
       // cached: three chunked staging writes + four audit scans otherwise
       // re-read the parquet seven times (24 MB of 3 columns at sf0.1)
       val ev = events(spark, dir)
@@ -1294,40 +1444,9 @@ object StreamingOps {
         (0 until nChunks).foreach(i =>
           stageOne(ev.where(pmod(col("event_id"), lit(nChunks)) === i), t, s"chunk$i"))
       }
-
-      val bk = new BottomKSample(256)
-      val acc = scala.collection.mutable.Map.empty[String, Array[Long]]
-      val seen = scala.collection.mutable.Set.empty[Long]
-      val stream = spark.readStream.schema(ev.schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp.toString)
-      val q = stream.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          if (!acc.synchronized(seen.contains(batchId))) {
-            val session = batch.sparkSession
-            import session.implicits._
-            val parts = batch
-              .select(col("event_type"), col("event_id"), col("value"))
-              .as[(String, Long, Double)]
-              .groupByKey(_._1)
-              .agg(bk.toColumn.name("bk"))
-              .collect()
-            acc.synchronized {
-              if (seen.add(batchId)) parts.foreach { case (et, b) =>
-                acc(et) = acc.get(et).map(a => bk.merge(a, b)).getOrElse(b)
-              }
-            }
-          }
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      require(acc.synchronized(seen.size) >= 2,
-        s"chunked staging must yield multiple micro-batches, got ${seen.size}")
+      val (acc, nSeen) = bottomKRun(spark, tmp, ev.schema, checkpoint)
+      require(nSeen >= 2,
+        s"chunked staging must yield multiple micro-batches, got $nSeen")
       val audit = Sketches.quantileAuditWith(ev, acc.toSeq.sortBy(_._1))
         .localCheckpoint() // materialize before releasing the cached input
       ev.unpersist()

@@ -1546,6 +1546,56 @@ class OpsSpec extends AnyFunSuite {
       "additive sketch must not depend on micro-batch chunking")
   }
 
+  test("driver-sketch kill-and-resume: checkpointed count-min and bottom-k recover bit-equal") {
+    import graft.streaming.StreamingOps
+    // --- count-min: phase 1 sees one chunk, then the driver "dies" ---
+    val docs3 = docs.select(col("doc_id"), col("text"))
+    val cmSrc = java.nio.file.Files.createTempDirectory("cm_resume_src")
+    val cmCkpt = java.nio.file.Files.createTempDirectory("cm_resume_ckpt")
+    StreamingOps.stageOne(docs3.where(pmod(col("doc_id"), lit(3)) === 0), cmSrc, "chunk0")
+    val (t1, n1) = StreamingOps.countMinRun(spark, cmSrc, docs3.schema, Some(cmCkpt))
+    assert(n1 == 1, s"phase 1 should fold exactly one micro-batch, got $n1")
+    assert(t1.sum > 0, "phase 1 accumulated nothing")
+    // phase 2: the rest of the corpus lands; a FRESH run over the same
+    // checkpoint must restore the accumulator from state.bin, let the
+    // engine checkpoint skip the committed batch, and fold only the rest
+    StreamingOps.stageOne(docs3.where(pmod(col("doc_id"), lit(3)) === 1), cmSrc, "chunk1")
+    StreamingOps.stageOne(docs3.where(pmod(col("doc_id"), lit(3)) === 2), cmSrc, "chunk2")
+    val (t2, n2) = StreamingOps.countMinRun(spark, cmSrc, docs3.schema, Some(cmCkpt))
+    assert(n2 == 3, s"resume should see 3 folded batches total, got $n2")
+    val cmFull = graft.ops.Sketches.countMinSketch(docs3)
+    assert(t2.toSeq == cmFull.toSeq,
+      "resumed count-min differs from the one-pass batch sketch")
+    // phase 3: restart with nothing new — at-least-once replay must not
+    // double-fold anything
+    val (t3, n3) = StreamingOps.countMinRun(spark, cmSrc, docs3.schema, Some(cmCkpt))
+    assert(n3 == 3 && t3.toSeq == cmFull.toSeq,
+      "idle restart changed the checkpointed accumulator")
+
+    // --- bottom-k: same choreography for the keyed sketch ---
+    val ev = StreamingOps.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val bkSrc = java.nio.file.Files.createTempDirectory("bk_resume_src")
+    val bkCkpt = java.nio.file.Files.createTempDirectory("bk_resume_ckpt")
+    StreamingOps.stageOne(ev.where(pmod(col("event_id"), lit(3)) === 0), bkSrc, "chunk0")
+    val (a1, m1) = StreamingOps.bottomKRun(spark, bkSrc, ev.schema, Some(bkCkpt))
+    assert(m1 == 1 && a1.nonEmpty)
+    StreamingOps.stageOne(ev.where(pmod(col("event_id"), lit(3)) === 1), bkSrc, "chunk1")
+    StreamingOps.stageOne(ev.where(pmod(col("event_id"), lit(3)) === 2), bkSrc, "chunk2")
+    val (a2, m2) = StreamingOps.bottomKRun(spark, bkSrc, ev.schema, Some(bkCkpt))
+    assert(m2 == 3)
+    val bk = new graft.ops.BottomKSample(256)
+    import spark.implicits._
+    val bkFull = ev.as[(String, Long, Double)]
+      .groupByKey(_._1).agg(bk.toColumn.name("bk")).collect().toMap
+    assert(a2.keySet == bkFull.keySet, "resumed bottom-k lost a group")
+    a2.foreach { case (k, arr) =>
+      assert(arr.toSeq == bkFull(k).toSeq,
+        s"group $k: resumed buffer differs from the one-pass batch sketch")
+    }
+    Seq(cmSrc, cmCkpt, bkSrc, bkCkpt).foreach(rmTree)
+  }
+
   test("semdedup: witness is the LOWEST qualifying lower-id neighbor; kept iff none") {
     val tau = 0.3
     val out = Similarity.semDedupPrune(embeddings, threshold = tau).collect()

@@ -275,8 +275,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("bidirectional asof join pays one shuffle: both frames share the sort") {
     val p = plan("join_asof_nearest")
     forbidden.foreach(op => assert(!p.contains(op), s"plan contains $op"))
-    // one key exchange feeding both window frames + the output sort
-    assert(countExchanges(p) <= 2, s"asof directions must share the sort:\n$p")
+    // one key exchange feeding both window frames + the output sort, plus
+    // the r5-ADVICE tie-break pre-reduce on the right side (one row per
+    // (user_id, ts) — a map-side-combinable partial agg, so its exchange
+    // carries already-reduced rows; the determinism is worth the shuffle)
+    assert(countExchanges(p) <= 3, s"asof directions must share the sort:\n$p")
+    assert(p.contains("partial"),
+      s"tie-break pre-reduce must map-side combine:\n${p.take(800)}")
   }
 
   test("dataset card: both aggregates map-side combine, no all-pairs joins") {
