@@ -16,9 +16,7 @@ object SqlQueries {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings"))
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    graft.streaming.StreamingOps.events(spark, dir)
       .createOrReplaceTempView("events")
   }
 

@@ -190,18 +190,33 @@ object StreamingOps {
       ()
   }
 
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * drops: TIMESTAMP(NANOS) (readable only as raw nanos via the
+    * `nanosAsLong` legacy conf) and plain micros TIMESTAMP_NTZ. Normalize
+    * either to the session-UTC TIMESTAMP every downstream query assumes —
+    * the NTZ cast is value-exact because every entrypoint pins the session
+    * timezone to UTC (build.sbt javaOptions / Verify builder).
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def windowedEventCounts(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects; read it as raw nanos and rebuild a microsecond timestamp
+    // see normalizeTs: nanosAsLong is harmless on micros files and required
+    // to read the NANOS encoding at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source wants a directory: point it at the table
     // dir and glob-filter to the events file
-    val stream = spark.readStream
+    val stream = normalizeTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -415,11 +430,10 @@ object StreamingOps {
   def streamSlidingCounts(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
+    val stream = normalizeTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
@@ -465,11 +479,10 @@ object StreamingOps {
   def streamDedupEvents(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
+    val stream = normalizeTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
       .select(col("event_id"), col("ts"))
       // simulate an at-least-once source: every event delivered twice, so
       // the dedup state actually has duplicates to drop (the raw table's
@@ -513,11 +526,10 @@ object StreamingOps {
   def streamClickPurchaseJoin(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src(): DataFrame = spark.readStream
+    def src(): DataFrame = normalizeTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
     val clicks = src().where(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"),
         col("ts").as("cts"))
@@ -559,11 +571,12 @@ object StreamingOps {
       |  AND p.purchase_ts_us <= c.click_ts_us + 1800000000
       |ORDER BY click_id, purchase_id""".stripMargin
 
-  /** Batch read of the events table (nanos timestamps rebuilt to micros). */
+  /** Batch read of the events table (ts normalized to session-UTC micros
+    * whichever parquet encoding the testdata drop used — see normalizeTs).
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   /** The events stream with the deterministic 200-event click spike ten

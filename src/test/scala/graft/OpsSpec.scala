@@ -237,9 +237,7 @@ class OpsSpec extends AnyFunSuite {
   test("streaming windowed counts equal the batch equivalent") {
     val streamed = graft.streaming.StreamingOps.windowedEventCounts(spark, dir)
       .collect().map(_.toString).sorted
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.streaming.StreamingOps.events(spark, dir)
       .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
