@@ -1312,7 +1312,15 @@ object Queries {
       .distinct()
     // reversed copy: src parities disjoint, so plain union stays duplicate-free.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    graft.ops.Graph.pageRank(edges, damping = 85, maxIter = 3)
+    // Loop width is THE scale knob (r5 verdict): a fixed 32 puts the whole
+    // per-iteration hash aggregation of a 100x corpus into 32 concurrent
+    // tasks and OOMs a local[32]/8g session (caught by the r6 full-registry
+    // sweep). Self-size from the fact-table row count — a parquet
+    // footer-only count (~ms), no data scan; integer-exact ranks make the
+    // result partitioning-invariant, so the oracle is untouched.
+    val liRows = t(s, dir, "lineitem").count()
+    val parts = math.max(32L, math.min(512L, liRows / 250000L)).toInt
+    graft.ops.Graph.pageRank(edges, damping = 85, maxIter = 3, parts = parts)
       .select(col("node"), expr("node div 2").as("entity_key"),
         when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
         col("outdeg"), col("r").as("rank_raw"),

@@ -42,17 +42,25 @@ object ScaleSweep {
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // name -> dirLabel -> seconds (-1 on failure)
     val acc = scala.collection.mutable.Map.empty[String, Map[String, Double]]
-    dirs.foreach { case (label, dir) =>
-      // fresh context per decade: stop-the-world between dirs so no decade
-      // inherits the previous one's executor pools / state-store threads
+    def freshSession(): SparkSession = {
       SparkSession.getActiveSession.foreach(_.stop())
-      val spark = SparkSession.builder()
+      val s = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    dirs.foreach { case (label, dir) =>
+      // fresh context per decade: stop-the-world between dirs so no decade
+      // inherits the previous one's executor pools / state-store threads
+      var spark = freshSession()
       names.foreach { n =>
+        // an executor-thread OOM kills the local SparkContext; without this
+        // check one dying query zombies every query after it (r6 lesson:
+        // stream_sessionize's x100 OOM took 32 queries down with it)
+        if (spark.sparkContext.isStopped) spark = freshSession()
         val sec =
           try {
             (1 to runs).map { _ =>

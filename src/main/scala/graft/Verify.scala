@@ -67,7 +67,8 @@ object Verify {
     if (only.isEmpty)
       try QueryIndex.write()
       catch { case e: Throwable =>
-        System.err.println(s"[verify] QUERIES.md generation failed: ${e.getMessage}")
+        System.err.println(s"[verify] QUERIES.md generation failed: $e")
+        e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
       }
     spark.stop()
   }

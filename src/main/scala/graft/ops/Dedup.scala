@@ -161,13 +161,29 @@ object Dedup {
     * which is what lets the DuckDB oracle recompute the same set from
     * scratch. Token hashes are MD5 low-64 (md5_number_lower bits) so the
     * signature itself replays cross-engine.
+    *
+    * `maxBucket` is the quadratic-blowup safety valve: buckets past it are
+    * dropped (and with them the exactness claim for pairs whose every
+    * shared band is a mega-bucket). The default is 8192, not 256, because
+    * template-heavy corpora bias signature bits and legitimately pile
+    * hundreds of NON-near-dup docs onto one 16-bit band key (the
+    * 2026-08-13 testdata drop: max bucket 317 at sf0.1, 1073 at the 100×
+    * dir — max-load growth, not linear), and a skipped bucket silently
+    * breaks banded == all-pairs. An 8192 bucket is ~34M xor/bit_count
+    * comparisons in one task (~sub-second) and 128 KB of (id, sig) state.
+    * The honest asymptote: 4×16-bit bands are FORCED by the hamming<=3
+    * pigeonhole over a 64-bit signature, so bucket sizes must grow with
+    * the corpus; past ~10^9 docs the production mitigations are upstream
+    * boilerplate collapse (exact/substring dedup first) or Manku-style
+    * multi-table probing with wider compound bands, which trades the
+    * deterministic recall guarantee for collision control.
     */
   def simhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
-      maxBucket: Int = 256): DataFrame = {
+      maxBucket: Int = 8192): DataFrame = {
     val withSig = docs.select(col(idCol).as("doc_id"),
       simhash64(col(textCol)).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),

@@ -1029,11 +1029,16 @@ object StreamingOps {
     * retract pairs it already emitted if a bucket later exceeds the cap),
     * so buckets past `maxBucket` fail loudly instead of silently
     * diverging from the batch semantics; exact-dup clusters that large
-    * should be collapsed by upstream exact dedup first.
+    * should be collapsed by upstream exact dedup first. The cap matches
+    * the batch default (8192 — see Dedup.simhashPairs: template-biased
+    * signature bits give the regenerated corpus a 317-doc band bucket of
+    * genuinely distinct docs at sf0.1 and 1073 at the 100× dir, so 256
+    * was far too tight), keeping stream == batch == all-pairs-oracle
+    * value-equal.
     */
   def streamDedupSimhash(
       outer: SparkSession, dir: String,
-      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
+      maxHamming: Int = 3, maxBucket: Int = 8192): DataFrame =
     withStreamingPartitions(outer, 8) { spark =>
       import spark.implicits._
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -52,8 +52,17 @@ def read(src, name):
 
 
 def write(dst, name, table):
-    pq.write_table(table, os.path.join(dst, f"{name}.parquet"))
-    print(f"  {name}: {table.num_rows} rows")
+    # cap rows per row group: Spark's parquet scan parallelism is bounded by
+    # row-group count, and pyarrow's default (1M rows) makes every scaled
+    # table a ONE-row-group file — which serializes the whole scan+project
+    # stage of projection-shaped queries onto a single core at every scale
+    # (r6 finding: text_pii_scrub at 100x spent 141 s on one core). 64
+    # groups per table mirrors a real lakehouse layout where parallelism
+    # comes from file/row-group count.
+    rg = max(8192, table.num_rows // 64)
+    pq.write_table(table, os.path.join(dst, f"{name}.parquet"),
+                   row_group_size=rg)
+    print(f"  {name}: {table.num_rows} rows (row_group_size={rg})")
 
 
 def offset_copy(table, copies, offsets):
