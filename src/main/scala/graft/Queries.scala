@@ -2816,6 +2816,60 @@ object Queries {
       |SELECT vec_id, block, rank, neighbor_id, cosine
       |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
 
+  /** Scale-adaptive blocked kNN graph (Similarity.knnGraphBucketed): the
+    * label block refined by a corpus-size-adaptive SRP bucket, keeping
+    * block sizes ~constant at every decade (the at-scale answer to
+    * sim_knn_graph's by-contract Θ(Σ block²)). The oracle re-derives the
+    * hyperplanes from md5_number_lower("rp|j|i"), computes the bucket
+    * width b from ITS OWN count(*) with the same integer loop, and replays
+    * the exact within-(label,bucket) search bit-for-bit.
+    */
+  private def simKnnGraphBucketed(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphBucketed(t(s, dir, "embeddings"), k = 3)
+
+  private val simKnnGraphBucketedSql: String = {
+    val nBits = 16
+    def proj(j: Int): String =
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * " +
+        s"(CASE WHEN md5_number_lower('rp|$j|' || CAST(i-1 AS VARCHAR)) " +
+        s"< 9223372036854775808 THEN 1.0 ELSE -1.0 END))) AS p$j"
+    val projs = (0 until nBits).map(proj).mkString(",\n    ")
+    val bitsExpr = (0 until nBits)
+      .map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH width AS (
+       |  SELECT COALESCE((SELECT CAST(min(t.b) AS INT) FROM range(0, 17) t(b)
+       |                   WHERE 160 * (1::BIGINT << t.b) >=
+       |                         (SELECT count(*) FROM embeddings)), 16) AS b),
+       |e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id, label, v,
+       |    $projs
+       |  FROM e),
+       |bkt AS (
+       |  SELECT vec_id, label AS block, v,
+       |    CAST(($bitsExpr) AS INT) & ((1 << (SELECT b FROM width)) - 1)
+       |      AS bucket,
+       |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+       |  FROM p),
+       |pr AS (
+       |  SELECT a.vec_id, a.block, a.bucket, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+       |      / (a.nrm * b.nrm) AS cosine
+       |  FROM bkt a JOIN bkt b
+       |    ON a.block = b.block AND a.bucket = b.bucket
+       |   AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+       |  FROM pr)
+       |SELECT vec_id, block, bucket, rank, neighbor_id, cosine
+       |FROM r WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   private def simCosineBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryId = 0L, k = 10)
 
@@ -4891,6 +4945,7 @@ object Queries {
     "sim_cosine_brute" -> simCosineBrute _,
     "sim_cosine_ivf" -> simCosineIvf _,
     "sim_knn_graph" -> simKnnGraph _,
+    "sim_knn_graph_bucketed" -> simKnnGraphBucketed _,
     "sim_semdedup" -> simSemDedup _,
     "embed_quantize_int8" -> embedQuantizeInt8 _,
     "embed_random_projection" -> embedRandomProjection _,
@@ -5023,6 +5078,7 @@ object Queries {
     "embed_random_projection" -> embedRandomProjectionSql,
     "text_tfidf" -> textTfidfSql,
     "sim_knn_graph" -> simKnnGraphSql,
+    "sim_knn_graph_bucketed" -> simKnnGraphBucketedSql,
     "text_lang_id" -> textLangIdSql,
     "text_token_frequencies" -> textTokenFrequenciesSql,
     "text_token_examples" -> textTokenExamplesSql,

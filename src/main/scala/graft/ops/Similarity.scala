@@ -181,6 +181,14 @@ object Similarity {
     * key — candidate count is Σ block², never corpus² — and per-node top-k
     * is one window partitioned by the source vector, so its sort scales
     * with block size, not corpus size.
+    *
+    * COST CONTRACT: Θ(Σ block²). Blocking is the caller's knob — with a
+    * FIXED-cardinality block column (as here: 10 labels) block sizes grow
+    * linearly with the corpus and the exact search is Θ(N²) by definition
+    * (the r6 three-decade sweep measured e≈1.7 on exactly this shape).
+    * The at-scale choice is a corpus-size-adaptive refinement:
+    * [[knnGraphBucketed]] (SRP-refined blocks, e≈1) or IVF clusters with
+    * cluster count ∝ N (the SemDeDup paper's configuration).
     */
   def knnGraphBlocked(
       embeddings: DataFrame, k: Int = 3, blockCol: String = "label"): DataFrame = {
@@ -202,6 +210,69 @@ object Similarity {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Scale-adaptive blocked kNN graph — [[knnGraphBlocked]] with the block
+    * refined by a hyperplane-LSH bucket whose WIDTH GROWS WITH THE CORPUS,
+    * so expected block size stays ~`targetBlock` at every scale and the
+    * Σ block² pair stage is linear in N (the r6 sweep measured the
+    * label-only variant at e≈1.7: fixed-cardinality blocks grow linearly
+    * with the corpus, so exact-within-block search is Θ(N²) BY CONTRACT —
+    * blocking is the caller's knob, and this is the at-scale choice).
+    *
+    * The bucket is the low `b` bits of the [[randomProjection]] SRP
+    * signature, `b` = smallest value with targetBlock·2^b ≥ count — an
+    * integer loop both engines replicate exactly (no float log2, whose
+    * rounding could differ at powers of two). Hyperplanes are the identical
+    * md5-derived ±1 rows, so the oracle re-derives every bucket bit-exactly
+    * at ANY dir (it computes b from its own count(*)).
+    *
+    * Semantics: exact k-NN AMONG vectors sharing (label, srp-bucket) —
+    * near-neighbors agree on SRP bits with high probability, unrelated
+    * vectors scatter uniformly, which is what bounds the blocks.
+    */
+  def knnGraphBucketed(
+      embeddings: DataFrame, k: Int = 3, targetBlock: Int = 160,
+      nBits: Int = 16, dim: Int = 64, blockCol: String = "label"): DataFrame = {
+    // footer-only count: the one driver-side scalar the blocking width
+    // derives from (same pattern as graph_pagerank's loop-width self-sizing)
+    val n = embeddings.count()
+    var b = 0
+    while (b < nBits && targetBlock.toLong * (1L << b) < n) b += 1
+    val signs: IndexedSeq[Seq[Double]] = IndexedSeq.tabulate(nBits) { j =>
+      Seq.tabulate(dim) { i =>
+        if (Sketches.md5Low64String(s"rp|$j|$i") >= 0) 1.0 else -1.0
+      }
+    }
+    val e0 = embeddings.select(col("vec_id"), col(blockCol).as("block"),
+      asDouble(col("embedding")).as("v"))
+    val projCols = (0 until nBits).map { j =>
+      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
+        lit(0.0), (acc, x) => acc + x).as(s"p$j")
+    }
+    val projected =
+      e0.select(Seq(col("vec_id"), col("block"), col("v")) ++ projCols: _*)
+    val bits = (0 until nBits)
+      .map(j => when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast(IntegerType)
+    val bucketed = projected.select(col("vec_id"), col("block"), col("v"),
+      bits.bitwiseAND(lit((1 << b) - 1)).as("bucket"))
+    val a = bucketed.select(col("vec_id"), col("block"), col("bucket"),
+      col("v").as("va"))
+    val bb = bucketed.select(col("vec_id").as("neighbor_id"), col("block"),
+      col("bucket"), col("v").as("vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    a.join(bb, Seq("block", "bucket"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("block"), col("bucket"), col("neighbor_id"),
+        cosine(col("va"), col("vb")).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("block"), col("bucket"), col("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** SemDeDup pruning (Abbas et al. 2023, arXiv:2303.09540 — semantic
     * dedup inside embedding clusters), lowest-id-witness variant: within
     * each block, a vector is DROPPED when a lower-id vector in the same
@@ -211,11 +282,15 @@ object Similarity {
     * recursive greedy variant differs only when near-dup chains exceed two
     * hops at the threshold.
     *
-    * Scale shape mirrors [[knnGraphBlocked]]: the pair stage is an
-    * EQUI-join on the block key (Σ block² candidates, never corpus²; at
-    * 100 TB the block is the IVF bucket from [[trainCentroids]], a
-    * partition column), followed by one partial-aggregating min per vector
-    * — no window sort, no all-pairs stage.
+    * Scale shape mirrors [[knnGraphBlocked]], including its Θ(Σ block²)
+    * COST CONTRACT: the pair stage is an EQUI-join on the block key
+    * (Σ block² candidates, never corpus²), followed by one
+    * partial-aggregating min per vector — no window sort, no all-pairs
+    * stage. With a fixed-cardinality block column the pair stage is Θ(N²)
+    * by definition; at scale the caller supplies bounded blocks — IVF
+    * clusters with cluster count ∝ N (the SemDeDup paper trains 50k
+    * k-means clusters for LAION precisely so blocks stay ~constant), or an
+    * SRP refinement as in [[knnGraphBucketed]].
     *
     * Returns (vec_id, block, kept, witness_id, witness_cosine) — the full
     * decision table, so the filter step downstream is a trivial

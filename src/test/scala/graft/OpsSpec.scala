@@ -740,6 +740,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed knn graph: degenerates to blocked at B=0, buckets bound blocks adaptively") {
+    // targetBlock >= corpus: the integer loop picks b=0, the SRP refinement
+    // is a no-op, and the result must equal the exact within-label graph
+    // (modulo the extra bucket column, which must be all-zero)
+    val n = embeddings.count()
+    val atB0 = Similarity.knnGraphBucketed(embeddings,
+      k = 3, targetBlock = (n + 1).toInt).collect()
+    assert(atB0.forall(_.getInt(2) == 0), "b=0 must put every vector in bucket 0")
+    val exact = Similarity.knnGraphBlocked(embeddings, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val b0 = atB0
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getLong(4), r.getDouble(5)))
+    assert(b0.toSeq == exact.toSeq, "b=0 bucketed graph must equal the exact blocked graph")
+    // default targetBlock: bucket width derives from the corpus count via
+    // the shared integer loop; every edge joins within (label, bucket) and
+    // bucket ids stay under 2^b
+    var b = 0
+    while (b < 16 && 160L * (1L << b) < n) b += 1
+    val got = Similarity.knnGraphBucketed(embeddings, k = 3).collect()
+    assert(got.forall(r => r.getInt(2) >= 0 && r.getInt(2) < (1 << b)),
+      s"bucket ids must be in [0, 2^$b)")
+    assert(got.forall(r => r.getLong(4) != r.getLong(0)), "no self edges")
+    // refined blocks only shrink candidate sets: every bucketed cosine at
+    // rank 1 is <= the exact blocked rank-1 cosine for the same vector
+    val exactTop = exact.filter(_._3 == 1).map(t => t._1 -> t._5).toMap
+    got.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getDouble(5) <= exactTop(r.getLong(0)) + 1e-12,
+        s"vec ${r.getLong(0)}: bucketed top-1 beats exact top-1")
+    }
+  }
+
   test("stratified sample: kept == ticket under threshold, stable under repartition") {
     import graft.ops.PipelineOps
     val rates = Map("en" -> 0.35, "es" -> 0.6, "fr" -> 0.8)
