@@ -1277,6 +1277,66 @@ object Queries {
       |FROM cz JOIN cl ON cz.dim = cl.dim AND cz.j = cl.j
       |ORDER BY cz.dim, cz.j""".stripMargin
 
+  /** Co-located fact-fact join over bucketed tables (ops/TableLayout): both
+    * orders and lineitem are written `bucketBy(8, orderkey)` + `sortBy`
+    * once per (JVM, dir), and the join then runs as a sort-merge with ZERO
+    * shuffle exchanges — the scan's own bucket HashPartitioning satisfies
+    * the join's distribution requirement (pinned in PlanInvariantsSpec
+    * against the ≥2-exchange plan the same join produces unbucketed).
+    * Broadcast is disabled on the child session because broadcasting the
+    * 150k-row orders side would also avoid the shuffle but is precisely
+    * the strategy that stops existing at 100 TB fact-fact scale; the
+    * bucketed merge is the one that survives. The registered result is a
+    * compact per-priority rollup of the join for the value-exact oracle;
+    * the plan property is pinned on the bare join.
+    */
+  private def layoutBucketedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TableLayout.bucketedJoin(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  private val layoutBucketedJoinSql =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_items,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Partition-pruned scan over the date-partitioned events layout
+    * (ops/TableLayout.partitionedEvents): a 3-day window over the ~30-day
+    * corpus plans to exactly 3 of ~30 partition directories —
+    * `FileSourceScanExec.selectedPartitions` never lists the rest (pinned
+    * in PlanInvariantsSpec). The lakehouse time-partitioning contract:
+    * query cost follows the WINDOW size, not the corpus size, which is
+    * what makes "last 3 days of a year-long 100 TB stream" an O(3 days)
+    * scan. Values replay exactly against DuckDB on the UNpartitioned
+    * source via the same UTC date derivation.
+    */
+  private def scanPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.ops.TableLayout.partitionedEvents(s, dir)
+    s.read.parquet(path)
+      .where(col("event_date").between(
+        lit("2024-01-10").cast(DateType), lit("2024-01-12").cast(DateType)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val scanPartitionPruningSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+      |    AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** PageRank centrality over the supplier↔customer trade graph — the
     * second iterative graph operator next to connected components
     * (ops/Dedup.scala). Nodes: suppliers (key·2) and customers (key·2+1,
@@ -4894,6 +4954,8 @@ object Queries {
     "window_rank_suite" -> windowRankSuite _,
     "window_scd2" -> windowScd2 _,
     "layout_zorder" -> layoutZorder _,
+    "layout_bucketed_join" -> layoutBucketedJoin _,
+    "scan_partition_pruning" -> scanPartitionPruning _,
     "graph_pagerank" -> graphPagerank _,
     "layout_compaction_plan" -> layoutCompactionPlan _,
     "diag_skew_profile" -> diagSkewProfile _,
@@ -5042,6 +5104,8 @@ object Queries {
     "window_rank_suite" -> windowRankSuiteSql,
     "window_scd2" -> windowScd2Sql,
     "layout_zorder" -> layoutZorderSql,
+    "layout_bucketed_join" -> layoutBucketedJoinSql,
+    "scan_partition_pruning" -> scanPartitionPruningSql,
     "graph_pagerank" -> graphPagerankSql,
     "layout_compaction_plan" -> layoutCompactionPlanSql,
     "diag_skew_profile" -> diagSkewProfileSql,

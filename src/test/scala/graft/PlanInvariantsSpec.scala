@@ -338,6 +338,44 @@ class PlanInvariantsSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  test("layout_bucketed_join: zero-exchange sort-merge join, vs >=2 unbucketed") {
+    import org.apache.spark.sql.functions.col
+    // the registered operator's bare join (before the rollup the oracle
+    // hashes): scan bucketing satisfies the SMJ distribution on BOTH sides
+    val bare = graft.ops.TableLayout.bucketedJoin(spark, dir)
+    val p = bare.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(900))
+    assert(countExchanges(p) == 0,
+      s"bucketed join must not shuffle either fact side:\n${p.take(1500)}")
+    // the identical join without the layout: both sides pay an Exchange
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plain = s2.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(s2.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(countExchanges(plain.queryExecution.executedPlan.toString) >= 2,
+      "unbucketed control should shuffle both sides")
+  }
+
+  test("scan_partition_pruning: 3-day window plans exactly 3 of 30 partitions") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DateType
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = graft.ops.TableLayout.partitionedEvents(spark, dir)
+    def selected(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+        .head.selectedPartitions.partitionCount
+    val pruned = spark.read.parquet(path).where(col("event_date").between(
+      lit("2024-01-10").cast(DateType), lit("2024-01-12").cast(DateType)))
+    assert(selected(pruned) == 3,
+      "planner must list only the 3 matching date directories")
+    assert(selected(spark.read.parquet(path)) == 30,
+      "control: the unfiltered scan sees the full 30-day corpus")
+  }
+
   test("bucketed tables co-locate the join: no exchange on either side") {
     // The 1000-executor co-location story: both sides bucketed on the join
     // key at write time -> SortMergeJoin consumes the bucketing directly,
