@@ -2635,6 +2635,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING incremental near-dup clustering: the verified LSH pair feed
+    * arrives in discovery order and connected components are MAINTAINED in
+    * a bucketed label table (contract new edges onto current labels, CC the
+    * delta graph, dynamic-overwrite only the touched buckets — see
+    * StreamingOps.streamDedupClusters). The final labels are bit-equal to
+    * one batch CC over the full pair set, so the surface and oracle are
+    * dedup_clusters' verbatim.
+    */
+  private def streamDedupClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.streaming.StreamingOps.streamDedupClusters(s, dir)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   private val dedupClustersSql =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id, list_distinct(
@@ -5061,7 +5078,11 @@ object Queries {
     "stream_dedup_simhash" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamDedupSimhash(s, dir)),
     "stream_pipeline_ingest" -> ((s: SparkSession, dir: String) =>
-      graft.streaming.StreamingOps.streamPipelineIngest(s, dir))
+      graft.streaming.StreamingOps.streamPipelineIngest(s, dir)),
+    // streaming incremental connected components; the final label table is
+    // bit-equal to one batch CC over the full pair set (see
+    // StreamingOps.streamDedupClusters), so it shares dedup_clusters' oracle
+    "stream_dedup_clusters" -> streamDedupClustersQ _
   )
 
   val oracles: Map[String, String] = Map(
@@ -5209,6 +5230,7 @@ object Queries {
     "pipeline_mix_upsample" -> pipelineMixUpsampleSql,
     "pipeline_cdc_merge" -> pipelineCdcMergeSql,
     "stream_dedup_simhash" -> dedupSimhashSql,
-    "stream_pipeline_ingest" -> streamPipelineIngestSql
+    "stream_pipeline_ingest" -> streamPipelineIngestSql,
+    "stream_dedup_clusters" -> dedupClustersSql
   )
 }

@@ -965,6 +965,178 @@ object StreamingOps {
       out
     }
 
+  /** STREAMING INCREMENTAL CONNECTED COMPONENTS — near-dup cluster
+    * maintenance as verified pairs ARRIVE, the incremental member of the
+    * dedup family (batch twin: `Dedup.connectedComponents` behind
+    * `dedup_clusters`). A pair becomes discoverable when the LATER of its
+    * two documents arrives, so the pair feed is ordered by
+    * (greatest(doc_a, doc_b), least(..)) and split into micro-batches on
+    * that arrival order.
+    *
+    * State is the label table (doc_id, label = component-min doc_id),
+    * parquet-partitioned by `bucket = pmod(xxhash64(doc_id), nBuckets)` —
+    * a doc's bucket never changes, so every rewrite is a
+    * dynamic-partition-overwrite of only the buckets holding touched
+    * docs (the stream_disagg_incremental pattern). Each batch:
+    *
+    *  1. look up the arriving endpoints' current labels (a point lookup;
+    *     at scale the bucketed layout makes it a pruned read of the
+    *     endpoints' own partitions),
+    *  2. CONTRACT the new edges onto those labels (an edge between two
+    *     already-labeled docs becomes an edge between their component
+    *     representatives) and run the batch large-star/small-star CC on
+    *     the contracted DELTA graph only — its size is bounded by the
+    *     batch, never the corpus,
+    *  3. relabel: members of components whose representative lost the min
+    *     (the relabel map is touched-components-small, so the join is a
+    *     broadcast map-side pass over the bucketed state) plus the fresh
+    *     endpoints, rewritten via dynamic overwrite of their buckets.
+    *
+    * Per-batch work is O(|batch| + |docs in merged components|) — the
+    * latter is the unavoidable lower bound for maintaining explicit
+    * min-labels (merging two clusters must relabel the loser). Finding
+    * those members scans the doc-keyed state map-side with the broadcast
+    * relabel map; a production deployment that cannot afford even that
+    * metadata-light scan keeps the label-keyed twin of this table (the
+    * classic two-index design) and prunes to the loser label's partitions.
+    *
+    * Correctness: by induction, after every batch label(d) is the min doc
+    * id of d's component in the pairs seen so far — contraction preserves
+    * connectivity and min-of-mins is the component min — so the FINAL
+    * state is bit-equal to one batch CC over the full pair set, which is
+    * why the query shares dedup_clusters' DuckDB oracle verbatim and
+    * OpsSpec pins ==batch including a cross-batch component merge.
+    */
+  def streamDedupClusters(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
+      val nBatches = 3
+      val tmp = stagedCorpus(dir, "ccpairs") { t =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val pairs = graft.ops.Dedup.minhashLshPairs(docs, bands = 32)
+          .select(col("doc_a"), col("doc_b"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(greatest(col("doc_a"), col("doc_b")),
+            least(col("doc_a"), col("doc_b")))
+        val withB = pairs
+          .select(ntile(nBatches).over(w).as("b"), col("doc_a"), col("doc_b"))
+        (1 to nBatches).foreach { b =>
+          stageOne(withB.where(col("b") === b).drop("b"), t, s"chunk${b - 1}")
+        }
+      }
+      streamCcRun(spark, tmp)
+    }
+
+  /** Test surface for [[streamDedupClusters]]: run the incremental CC on an
+    * explicit (b, doc_a, doc_b) frame — batch assignment chosen by the
+    * caller, so specs can force a cross-batch merge of two established
+    * components. Stages fresh (uncached) files and cleans them up.
+    */
+  def streamDedupClustersOf(pairsWithB: DataFrame, nBuckets: Int = 8): DataFrame =
+    withStreamingPartitions(pairsWithB.sparkSession, 8) { spark =>
+      val src = java.nio.file.Files.createTempDirectory("graft_cc_src")
+      val bs = pairsWithB.select(col("b").cast("int")).distinct()
+        .orderBy(col("b")).collect().map(_.getInt(0))
+      bs.zipWithIndex.foreach { case (b, i) =>
+        stageOne(pairsWithB.where(col("b") === b)
+          .select(col("doc_a").cast("long"), col("doc_b").cast("long")),
+          src, s"chunk$i")
+      }
+      val out = streamCcRun(spark, src, nBuckets)
+      deleteRecursively(src)
+      out
+    }
+
+  /** The incremental-CC engine shared by the corpus wrapper and the test
+    * surface: streams staged pair chunks (one micro-batch per file) and
+    * maintains the bucketed label table. Returns (doc_id, cluster_id).
+    */
+  private def streamCcRun(spark: SparkSession, srcDir: java.nio.file.Path,
+      nBuckets: Int = 8): DataFrame = {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_cc_state")
+    val schema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    // driver-side flag, not a filesystem probe: dynamic overwrite leaves no
+    // root _SUCCESS marker to test for. Atomic: written on the stream's
+    // micro-batch thread, read on the caller thread after q.stop()
+    val hasState = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val state =
+          if (hasState.get())
+            sp.read.parquet(stateDir.toString)
+              .select(col("doc_id"), col("label"), col("bucket").cast("long"))
+          else
+            sp.range(0).select(col("id").as("doc_id"), col("id").as("label"),
+              col("id").as("bucket"))
+        val edges = batch.select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val ends = edges.select(col("doc_a").as("doc_id"))
+          .unionAll(edges.select(col("doc_b").as("doc_id"))).distinct()
+        // endpoint label lookup — batch-sized; bucketed layout makes this a
+        // partition-pruned point read at scale
+        val lookup = ends
+          .join(state.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+          .localCheckpoint()
+        val la = lookup.select(col("doc_id").as("doc_a"), col("label").as("la"))
+        val lb = lookup.select(col("doc_id").as("doc_b"), col("label").as("lb"))
+        val contracted = edges
+          .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+          .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+            coalesce(col("lb"), col("doc_b")).as("doc_b"))
+        // CC on the contracted DELTA graph only (old representatives +
+        // fresh docs): node -> new component min
+        val relabel = graft.ops.Dedup.connectedComponents(contracted)
+          .toDF("node", "new_label").localCheckpoint()
+        // members of components whose representative lost the min...
+        val changedOld = state
+          .join(broadcast(relabel.where(col("node") =!= col("new_label"))),
+            state("label") === col("node"))
+          .select(state("doc_id"), col("new_label").as("label"))
+        // ...plus the endpoints this batch first introduced
+        val fresh = lookup.where(col("label").isNull)
+          .join(broadcast(relabel), col("doc_id") === col("node"))
+          .select(col("doc_id"), col("new_label").as("label"))
+        val updated = changedOld.unionByName(fresh)
+          .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
+          .localCheckpoint()
+        val touched = updated.select(col("bucket")).distinct()
+          .collect().map(_.getLong(0)).toSeq // ≤ nBuckets rows
+        if (touched.nonEmpty) {
+          // whole-bucket rewrite content: untouched survivors of the
+          // touched buckets + every updated row (localCheckpoint
+          // materializes BEFORE the overwrite deletes the files being read)
+          val keepers = state.where(col("bucket").isin(touched: _*))
+            .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("label"), col("bucket"))
+            .localCheckpoint()
+          keepers
+            .unionByName(updated.select(col("doc_id"), col("label"), col("bucket")))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(stateDir.toString)
+          hasState.set(true)
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val labels =
+      if (hasState.get())
+        spark.read.parquet(stateDir.toString)
+          .select(col("doc_id"), col("label").as("cluster_id"))
+          .localCheckpoint()
+      else
+        spark.range(0).select(col("id").as("doc_id"), col("id").as("cluster_id"))
+    deleteRecursively(stateDir)
+    labels
+  }
+
   /** STREAMING mixture-weight sampling: the SAME stratifiedSample
     * projection (PipelineOps) applied to a streamed corpus. The point is
     * the determinism property: the keep decision is a pure hash of doc_id,

@@ -302,6 +302,39 @@ class OpsSpec extends AnyFunSuite {
       "no upserted vector is reachable by the probe — split or probe broken")
   }
 
+  test("streaming incremental CC: cross-batch merge lands on the batch labels") {
+    import spark.implicits._
+    // b1 establishes two components {1,2,3} and {10,11}; b2 extends the
+    // second ({11,12}); b3 merges BOTH established components through a
+    // FRESH bridge doc 7 — the hardest path: contraction must route the
+    // bridge edges onto the two old representatives and the relabel must
+    // rewrite every member of the losing component
+    val pairs = Seq(
+      (1, 1L, 2L), (1, 2L, 3L), (1, 10L, 11L),
+      (2, 11L, 12L),
+      (3, 3L, 7L), (3, 7L, 10L)
+    ).toDF("b", "doc_a", "doc_b")
+    val streamed = graft.streaming.StreamingOps.streamDedupClustersOf(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"streamed $streamed != batch $batch")
+    assert(streamed.size == 7 && streamed.forall(_._2 == 1L),
+      s"merge did not converge to the global min: $streamed")
+  }
+
+  test("stream_dedup_clusters == batch dedup labels on the corpus pair set") {
+    val batch = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs, bands = 32))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = graft.streaming.StreamingOps.streamDedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed labels diverge from batch CC (${streamed.size} vs ${batch.size})")
+  }
+
   test("a session spanning micro-batches is not split (event-time-timeout state)") {
     import spark.implicits._
     // user 1: events at 0/10/20/30 min, all within the 30-min gap => ONE
