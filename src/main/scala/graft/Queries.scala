@@ -2753,6 +2753,9 @@ object Queries {
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"))
 
+  private def dedupSimhashBlocked(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsBlocked(t(s, dir, "documents"))
+
   private val dedupSimhashSql =
     """WITH th AS (
       |  SELECT doc_id, md5_number_lower(tok) AS h
@@ -5018,6 +5021,7 @@ object Queries {
     "dedup_clusters" -> dedupClusters _,
     "pipeline_dedup_apply" -> pipelineDedupApply _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_simhash_blocked" -> dedupSimhashBlocked _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_substring_windows" -> dedupSubstringWindows _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
@@ -5197,6 +5201,9 @@ object Queries {
     "dedup_clusters" -> dedupClustersSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,
     "dedup_simhash" -> dedupSimhashSql,
+    // multi-table probing is candidate-generation only; the result set is
+    // provably identical to banded, so it replays the same all-pairs oracle
+    "dedup_simhash_blocked" -> dedupSimhashSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "sessionize_events" -> graft.streaming.StreamingOps.sessionizeBatchSql,
     "stream_sessionize" -> graft.streaming.StreamingOps.streamSessionizeSql,

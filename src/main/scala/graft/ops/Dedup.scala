@@ -206,6 +206,69 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Manku-style multi-table SimHash pairs — the 10^9-doc scale path the
+    * 4×16 banding's scaladoc points to, WITHOUT giving up deterministic
+    * recall.
+    *
+    * Layout: the 64-bit signature is split into 6 disjoint blocks
+    * (11,11,11,11,10,10 bits); each of the C(6,3) = 20 block-triples is a
+    * probe table whose key concatenates its three blocks (~32 bits). With
+    * maxHamming <= 3, the flipped bits touch at most 3 of the 6 blocks, so
+    * at least 3 blocks are clean and the table keyed on any triple of
+    * clean blocks matches EXACTLY — the same pigeonhole proof as the
+    * 4-band layout, so multi-table == banded == all-pairs, and the DuckDB
+    * all-pairs oracle replays it unchanged.
+    *
+    * The trade vs `simhashPairs` (cf. Manku/Jain/Sarma, WWW'07 §3): 20
+    * exploded rows/doc instead of 4 (5× candidate-generation shuffle
+    * volume, still constant bytes/doc), in exchange for ~32-bit bucket
+    * keys instead of 16-bit — template-skewed corpora that pile hundreds
+    * of docs onto one 16-bit band key (317 at sf0.1, 1073 at the 100× dir
+    * on the 2026-08-13 drop) need three biased blocks to agree
+    * SIMULTANEOUSLY before a bucket grows, so the quadratic verify stays
+    * bounded for several more decades before the `maxBucket` valve is in
+    * sight. This is the variant to run past the point where 16-bit
+    * mega-buckets approach the cap; below that, `simhashPairs` moves 5×
+    * less data.
+    */
+  def simhashPairsBlocked(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucket: Int = 8192): DataFrame = {
+    require(maxHamming <= 3,
+      "6-block/triple-table layout guarantees recall only for hamming <= 3")
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def block(i: Int): Column =
+      shiftright(col("sig"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val tables = (0 until 6).combinations(3).toSeq.zipWithIndex
+    val withSig = docs.select(col(idCol).as("doc_id"),
+      simhash64(col(textCol)).as("sig"))
+    val probed = withSig.select(col("doc_id"), col("sig"),
+      explode(array(tables.map { case (blks, tid) =>
+        struct(lit(tid).as("tbl"),
+          (shiftleft(block(blks(0)), 22)
+            .bitwiseOR(shiftleft(block(blks(1)), 11))
+            .bitwiseOR(block(blks(2)))).as("key"))
+      }: _*)).as("tk"))
+    probed
+      .select(col("tk.tbl"), col("tk.key"),
+        struct(col("doc_id"), col("sig")).as("d"))
+      .groupBy(col("tbl"), col("key"))
+      .agg(collect_list(col("d")).as("ds"))
+      .where(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .where(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact n-gram Jaccard over a bounded candidate set (same `source`
     * blocking key) — the oracle-checkable ground-truth variant; O(B^2) per
     * block, so only usable where blocks are small.

@@ -159,6 +159,68 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"banded=${lsh.size} exact=${exact.size}")
   }
 
+  test("multi-table (Manku) simhash == banded == all-pairs, incl. planted h<=3 flips") {
+    // planted positives: exact copies of 5 docs with 1..3 bit-positions'
+    // worth of appended tokens removed — guaranteed-by-construction pairs
+    // are NOT relied on (token edits move several signature bits); instead
+    // plant at the signature level by checking blocked == banded on the
+    // natural corpus, whose near-dup set is known non-trivial (stream test
+    // asserts nonEmpty), and then brute-force-audit the blocked output.
+    val banded = Dedup.simhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = Dedup.simhashPairsBlocked(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded.nonEmpty, "corpus must contain simhash near-dups")
+    assert(blocked == banded,
+      s"blocked=${blocked.size} banded=${banded.size} (both must equal all-pairs)")
+    // synthetic adversarial flips: for one real signature, flipping any 3
+    // bits must still be caught by some clean block-triple table
+    val sig0 = docs.select(Dedup.simhash64(col("text"))).first().getLong(0)
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val flipped = (1L to 40L).map { i =>
+      val k = 1 + rnd.nextInt(3)
+      val s = (1 to k).foldLeft(sig0)((s, _) => s ^ (1L << rnd.nextInt(64)))
+      (i + 1000000L, s)
+    } :+ (1000000L, sig0)
+    val sigDf = flipped.toDF("doc_id", "sig")
+    // feed pre-built signatures through the probe machinery by faking the
+    // text->sig step: call the internals via a docs frame whose "text" is
+    // unused. Cheapest honest route: rebuild pair gen on sigDf inline with
+    // the same 6-block/20-table layout and compare to brute force.
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def block(i: Int) = shiftright(col("sig"), offsets(i))
+      .bitwiseAND(lit((1L << widths(i)) - 1))
+    val probed = sigDf.select(col("doc_id"), col("sig"),
+      explode(array((0 until 6).combinations(3).toSeq.zipWithIndex.map {
+        case (bl, tid) => struct(lit(tid).as("tbl"),
+          shiftleft(block(bl(0)), 22)
+            .bitwiseOR(shiftleft(block(bl(1)), 11))
+            .bitwiseOR(block(bl(2))).as("key"))
+      }: _*)).as("tk"))
+    val got = probed.select(col("tk.tbl"), col("tk.key"),
+        struct(col("doc_id"), col("sig")).as("d"))
+      .groupBy("tbl", "key").agg(collect_list(col("d")).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
+      .where(col("h") <= 3).dropDuplicates("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aS = sigDf.select(col("doc_id").as("da"), col("sig").as("sa"))
+    val bS = sigDf.select(col("doc_id").as("db"), col("sig").as("sb"))
+    val exactF = aS.crossJoin(bS).where(col("da") < col("db"))
+      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+      .select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactF,
+      s"flip audit: got=${got.size} exact=${exactF.size} — a <=3-bit flip escaped every table")
+  }
+
   test("embedding LSH finds exactly the brute-force cosine pairs (planted near-dups)") {
     // the natural corpus has no pairs above 0.9 (max pairwise cosine ~0.5),
     // so plant scaled copies: same direction => cosine ~1, guaranteed band
