@@ -2983,7 +2983,7 @@ object Queries {
     * Spark's aggregate()/native DotProduct fold; md5_number_lower is
     * reinterpreted signed to match graft_md5_low64.
     */
-  private val simCosineIvfSql: String = {
+  private val (simCosineIvfSql: String, simSemDedupBucketedSql: String) = {
     def cos(a: String, b: String): String =
       s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
         s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
@@ -3035,7 +3035,59 @@ object Queries {
          |FROM asg a JOIN probes p USING (bucket), q
          |WHERE a.vec_id <> 0
          |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
-    (head +: iterCtes :+ tail).mkString(",\n")
+    // semdedup-over-(IVF × adaptive SRP): identical training +
+    // full-corpus assignment CTEs, the sim_knn_graph_bucketed width/SRP
+    // CTEs to bound block size, then the sim_semdedup witness join with
+    // block = bucket·2^16 | srpLowBits. The only centroid/SRP-dependent
+    // output is the INTEGER block id (both replay bit-exactly, as
+    // sim_cosine_ivf / sim_knn_graph_bucketed prove); every emitted
+    // double is a raw-data cosine computed by the same left-to-right fold.
+    val nBits = 16
+    def srpProj(j: Int): String =
+      s"list_sum(list_transform(range(1, 65), i -> v[i] * " +
+        s"(CASE WHEN md5_number_lower('rp|$j|' || CAST(i-1 AS VARCHAR)) " +
+        s"< 9223372036854775808 THEN 1.0 ELSE -1.0 END))) AS p$j"
+    val srpProjs = (0 until nBits).map(srpProj).mkString(",\n    ")
+    val srpBits = (0 until nBits)
+      .map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    val semTail =
+      s"""width AS (
+         |  SELECT COALESCE((SELECT CAST(min(t.b) AS INT) FROM range(0, 17) t(b)
+         |                   WHERE 160 * (1::BIGINT << t.b) >=
+         |                         (SELECT count(*) FROM embeddings)), 16) AS b),
+         |asg AS (
+         |  SELECT vec_id, bucket, v FROM (
+         |    SELECT e.vec_id, c.bucket, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.bucket ASC) AS rn
+         |    FROM e CROSS JOIN c$iters c) WHERE rn = 1),
+         |sp AS (
+         |  SELECT vec_id, bucket, v,
+         |    $srpProjs
+         |  FROM asg),
+         |nn AS (
+         |  SELECT vec_id,
+         |    CAST(bucket AS BIGINT) * 65536 +
+         |      (CAST(($srpBits) AS INT) & ((1 << (SELECT b FROM width)) - 1))
+         |      AS block,
+         |    v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM sp),
+         |pp AS (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i]))
+         |      / (a.nrm * b.nrm) AS c
+         |  FROM nn a JOIN nn b ON a.block = b.block AND b.vec_id < a.vec_id),
+         |w AS (
+         |  SELECT vec_id, min(neighbor_id) AS witness_id,
+         |    arg_min(c, neighbor_id) AS witness_cosine
+         |  FROM pp WHERE c >= 0.3 GROUP BY vec_id)
+         |SELECT nn.vec_id, nn.block, w.vec_id IS NULL AS kept,
+         |  w.witness_id, w.witness_cosine
+         |FROM nn LEFT JOIN w ON nn.vec_id = w.vec_id
+         |ORDER BY nn.vec_id""".stripMargin
+    ((head +: iterCtes :+ tail).mkString(",\n"),
+      (head +: iterCtes :+ semTail).mkString(",\n"))
   }
 
   /** Product quantization (see Similarity.productQuantize): 4 subspace
@@ -3307,6 +3359,9 @@ object Queries {
     */
   private def simSemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedupPrune(t(s, dir, "embeddings"), threshold = 0.3)
+
+  private def simSemDedupBucketed(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPruneBucketed(t(s, dir, "embeddings"), threshold = 0.3)
 
   private val simSemDedupSql =
     """WITH e AS (
@@ -5030,6 +5085,7 @@ object Queries {
     "sim_knn_graph" -> simKnnGraph _,
     "sim_knn_graph_bucketed" -> simKnnGraphBucketed _,
     "sim_semdedup" -> simSemDedup _,
+    "sim_semdedup_bucketed" -> simSemDedupBucketed _,
     "embed_quantize_int8" -> embedQuantizeInt8 _,
     "embed_random_projection" -> embedRandomProjection _,
     "text_tfidf" -> textTfidf _,
@@ -5163,6 +5219,7 @@ object Queries {
     "sim_cosine_brute" -> simCosineBruteSql,
     "sim_cosine_ivf" -> simCosineIvfSql,
     "sim_semdedup" -> simSemDedupSql,
+    "sim_semdedup_bucketed" -> simSemDedupBucketedSql,
     "embed_quantize_int8" -> embedQuantizeInt8Sql,
     "embed_random_projection" -> embedRandomProjectionSql,
     "text_tfidf" -> textTfidfSql,

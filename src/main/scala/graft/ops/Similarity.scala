@@ -298,9 +298,65 @@ object Similarity {
     */
   def semDedupPrune(
       embeddings: DataFrame, threshold: Double = 0.3,
-      blockCol: String = "label"): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col(blockCol).as("block"),
-      asDouble(col("embedding")).as("v"))
+      blockCol: String = "label"): DataFrame =
+    semDedupCore(embeddings.select(col("vec_id"), col(blockCol).as("block"),
+      asDouble(col("embedding")).as("v")), threshold)
+
+  /** SemDeDup with operator-owned, SCALE-ADAPTIVE blocking — the at-scale
+    * instantiation the [[semDedupPrune]] cost contract calls for. Blocks
+    * are (IVF coarse bucket, adaptive SRP refinement):
+    *
+    *  - the semantic part is the deterministic k-means bucket of
+    *    [[assignBuckets]] (trained once on a capped sample, assignment a
+    *    zero-shuffle map-side argmax) — the SemDeDup paper's
+    *    cluster-then-prune construction;
+    *  - the SIZE BOUND is the [[knnGraphBucketed]] discipline: the low `b`
+    *    bits of the md5-derived SRP signature, with `b` the smallest value
+    *    satisfying targetBlock·2^b ≥ count — an integer loop the oracle
+    *    re-derives from its own count(*), so expected block population
+    *    stays ~targetBlock at EVERY corpus size and the Θ(Σ block²) pair
+    *    stage is linear in N (the label-blocked variant measured e≈1.1–1.3
+    *    across the r6 three-decade sweep, exactly its documented
+    *    fixed-cardinality contract).
+    *
+    * block id = bucket·2^16 | srpLowBits (one BIGINT both engines build
+    * identically). Witness semantics and output shape match
+    * [[semDedupPrune]]; the whole training + assignment + SRP + witness
+    * chain replays in DuckDB (sim_cosine_ivf k-means CTEs + the
+    * sim_knn_graph_bucketed width/projection CTEs + the sim_semdedup
+    * witness join).
+    */
+  def semDedupPruneBucketed(
+      embeddings: DataFrame, threshold: Double = 0.3, nBuckets: Int = 16,
+      targetBlock: Int = 160, nBits: Int = 16, dim: Int = 64): DataFrame = {
+    val n = embeddings.count()
+    var b = 0
+    while (b < nBits && targetBlock.toLong * (1L << b) < n) b += 1
+    val signs: IndexedSeq[Seq[Double]] = IndexedSeq.tabulate(nBits) { j =>
+      Seq.tabulate(dim) { i =>
+        if (Sketches.md5Low64String(s"rp|$j|$i") >= 0) 1.0 else -1.0
+      }
+    }
+    val assigned = assignBuckets(embeddings, nBuckets) // (vec_id, v, bucket)
+    val projCols = (0 until nBits).map { j =>
+      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
+        lit(0.0), (acc, x) => acc + x).as(s"p$j")
+    }
+    val projected = assigned.select(
+      Seq(col("vec_id"), col("bucket"), col("v")) ++ projCols: _*)
+    val bits = (0 until nBits)
+      .map(j => when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast(IntegerType)
+    val blocked = projected.select(col("vec_id"),
+      (col("bucket").cast(LongType) * lit(65536L) +
+        bits.bitwiseAND(lit((1 << b) - 1)).cast(LongType)).as("block"),
+      col("v"))
+    semDedupCore(blocked, threshold)
+  }
+
+  /** Witness core shared by the label-blocked and IVF-bucketed variants:
+    * expects (vec_id, block, v). */
+  private def semDedupCore(e: DataFrame, threshold: Double): DataFrame = {
     val a = e.select(col("vec_id"), col("block"), col("v").as("va"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("block"),
       col("v").as("vb"))

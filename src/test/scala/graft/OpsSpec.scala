@@ -221,6 +221,26 @@ class OpsSpec extends AnyFunSuite {
       s"flip audit: got=${got.size} exact=${exactF.size} — a <=3-bit flip escaped every table")
   }
 
+  test("bucketed semdedup: decision table is total, witnesses valid, blocks bounded") {
+    val out = Similarity.semDedupPruneBucketed(embeddings, threshold = 0.3)
+      .collect()
+    assert(out.length == embeddings.count(), "one decision row per vector")
+    // witness validity: dropped rows name a lower-id witness; kept rows none
+    out.foreach { r =>
+      val kept = r.getBoolean(2)
+      if (kept) assert(r.isNullAt(3), s"kept row with witness: $r")
+      else {
+        assert(r.getLong(3) < r.getLong(0), s"witness not lower-id: $r")
+        assert(r.getDouble(4) >= 0.3, s"witness below threshold: $r")
+      }
+    }
+    // the size bound the blocking exists for: expected ~targetBlock, assert
+    // a generous multiple (skew tolerance) — the label-blocked variant's
+    // blocks grow ~N/10 and fail this at any testdata size >= sf0.01
+    val maxBlock = out.groupBy(_.getLong(1)).map(_._2.length).max
+    assert(maxBlock <= 8 * 160, s"block size $maxBlock breaches the SRP bound")
+  }
+
   test("embedding LSH finds exactly the brute-force cosine pairs (planted near-dups)") {
     // the natural corpus has no pairs above 0.9 (max pairwise cosine ~0.5),
     // so plant scaled copies: same direction => cosine ~1, guaranteed band

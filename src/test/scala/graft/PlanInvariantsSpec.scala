@@ -31,7 +31,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   test("candidate-generation queries never degrade to all-pairs joins") {
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash",
-        "dedup_simhash_blocked",
+        "dedup_simhash_blocked", "sim_semdedup_bucketed",
         "dedup_embedding_cosine", "dedup_ngram_jaccard", "sim_knn_graph",
         "join_range_events_windows", "join_asof_click_error")) {
       val p = plan(name)
