@@ -4886,12 +4886,17 @@ object Queries {
     * exact count plus a `within_5pct` accuracy bound the oracle asserts as
     * TRUE — Spark's HLL is deterministic for fixed input, so the boolean is
     * stable, and a sketch regression past 5% relative error flips the gate
-    * red. At 100 TB the sketch is the product (mergeable, constant memory);
-    * the exact count is the verification harness.
+    * red. The sketch runs at rsd = 0.005, NOT the 0.05 default: the claimed
+    * bound must sit ~10 standard deviations above the estimator's typical
+    * error, because a bound equal to the rsd is a coin flip per input —
+    * the sf0.1 corpus breached it while sf0.01 passed (caught by the r6
+    * sf0.1 oracle replay). ~32 KB of registers, still mergeable/constant
+    * memory. At 100 TB the sketch is the product; the exact count is the
+    * verification harness.
     */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingOps.events(s, dir) // nanos-safe events read
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), 0.005).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /

@@ -2,6 +2,11 @@ import duckdb, json, glob, os, sys
 import pandas as pd
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 out = sys.argv[2] if len(sys.argv) > 2 else '/root/repo/target/verify_out'
+# Optional comma-separated skip list (3rd arg) for large-dir replays where
+# a DuckDB oracle is itself super-linear (all-pairs / recursive-CTE dedup
+# family): the full gate runs at sf0.01; a scoped sf0.1 gate skips only
+# the oracles whose REPLAY cost (not the Spark side) explodes.
+skip = set((sys.argv[3] if len(sys.argv) > 3 else '').split(',')) - {''}
 con = duckdb.connect()
 for tbl in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')")
@@ -11,6 +16,9 @@ def norm(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 for name, sql in sorted(oracles.items()):
+    if name in skip:
+        print(f'{name:26s} SKIP (oracle replay cost; gate runs at sf0.01)')
+        continue
     try:
         want = con.execute(sql).fetchdf()
         got = pd.read_parquet(f'{out}/{name}')
