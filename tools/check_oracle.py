@@ -7,19 +7,25 @@ out = sys.argv[2] if len(sys.argv) > 2 else '/root/repo/target/verify_out'
 # family): the full gate runs at sf0.01; a scoped sf0.1 gate skips only
 # the oracles whose REPLAY cost (not the Spark side) explodes.
 skip = set((sys.argv[3] if len(sys.argv) > 3 else '').split(',')) - {''}
-con = duckdb.connect()
-for tbl in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
-    con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')")
-oracles = json.load(open(f'{out}/oracle_sql.json'))
+# Optional per-oracle wall budget in seconds (4th arg, or CHECK_BUDGET env).
+# With a budget, each oracle replays in its own process (parallelism
+# CHECK_PAR, default 4) and a blown budget prints BUDGET instead of hanging
+# the whole gate on one quadratic replay — the practical mode for sf0.1+.
+budget = float(sys.argv[4] if len(sys.argv) > 4 else
+               os.environ.get('CHECK_BUDGET', '0') or '0')
+
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
-for name, sql in sorted(oracles.items()):
-    if name in skip:
-        print(f'{name:26s} SKIP (oracle replay cost; gate runs at sf0.01)')
-        continue
+
+def check_one(args):
+    name, sql = args
     try:
+        con = duckdb.connect()
+        for tbl in ['region','nation','customer','supplier','part','orders',
+                    'lineitem','events','documents','embeddings']:
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')")
         want = con.execute(sql).fetchdf()
         got = pd.read_parquet(f'{out}/{name}')
         w, g = norm(want), norm(got)
@@ -49,6 +55,56 @@ for name, sql in sorted(oracles.items()):
                     diffs = (wv.fillna(-999).values != gv.fillna(-999).values).sum()
                     status = f'VALUES col={c} ndiff={diffs} want0={wv.iloc[0]} got0={gv.iloc[0]}'
                     break
-        print(f'{name:26s} {status}')
+        return f'{name:26s} {status}'
     except Exception as e:
-        print(f'{name:26s} ERROR {type(e).__name__}: {str(e)[:140]}')
+        return f'{name:26s} ERROR {type(e).__name__}: {str(e)[:140]}'
+
+def worker(item, q):
+    q.put(check_one(item))
+
+def main():
+    oracles = json.load(open(f'{out}/oracle_sql.json'))
+    todo = []
+    for name, sql in sorted(oracles.items()):
+        if name in skip:
+            print(f'{name:26s} SKIP (oracle replay cost; gate runs at sf0.01)', flush=True)
+        else:
+            todo.append((name, sql))
+    if budget <= 0:
+        for item in todo:
+            print(check_one(item), flush=True)
+        return
+    import multiprocessing as mp
+    ctx = mp.get_context('spawn')
+    par = int(os.environ.get('CHECK_PAR', '4'))
+    # one process per oracle so a blown budget is terminated cleanly
+    # (DuckDB queries can't be interrupted from the same process)
+    sem = []
+    pending = list(todo)
+    import time
+    running = []  # (name, proc, queue, t0)
+    def harvest(block):
+        for i in range(len(running) - 1, -1, -1):
+            name, proc, q, t0 = running[i]
+            timed_out = time.time() - t0 > budget
+            if not proc.is_alive() or timed_out:
+                if timed_out and proc.is_alive():
+                    proc.terminate(); proc.join(5)
+                    print(f'{name:26s} BUDGET >{budget:.0f}s (replay cost; see sf0.01 gate)', flush=True)
+                else:
+                    proc.join()
+                    print(q.get() if not q.empty() else f'{name:26s} ERROR worker died', flush=True)
+                running.pop(i)
+        if block and running:
+            time.sleep(1)
+    while pending or running:
+        while pending and len(running) < par:
+            item = pending.pop(0)
+            q = ctx.Queue()
+            p = ctx.Process(target=worker, args=(item, q))
+            p.start()
+            running.append((item[0], p, q, time.time()))
+        harvest(block=True)
+
+if __name__ == '__main__':
+    main()
