@@ -3563,8 +3563,9 @@ object Queries {
     * Jaccard between per-language sub-corpora. The hashed surface is the
     * exact Jaccard (both engines recompute it from distinct shingle sets)
     * plus `est_within_tol`, which pins the sketch estimate to ±0.2 of truth
-    * (k=64 ⇒ σ ≈ √(J(1−J)/64) ≤ 0.063, so 0.2 is >3σ — deterministic for
-    * fixed input, red if the sketch algebra regresses). At 100 TB the sketch
+    * (k=256 ⇒ σ = √(J(1−J)/256) ≤ 0.031, so 0.2 is ≥6.4σ — the
+    * sketch-oracle σ-margin discipline of ROUND6_NOTES §8: a bound near the
+    * estimator's own σ measures the corpus, not the code). At 100 TB the sketch
     * is the product: the shuffle carries k longs per group; the exact
     * distinct-shingle join is the verification harness.
     */

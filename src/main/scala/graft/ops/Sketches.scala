@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   * per group regardless of corpus size.
   */
 object MinHashUnion extends Aggregator[(String, Array[Long]), Array[Long], Array[Long]] {
-  val k = 64
+  // 256, not 64: the corpus-similarity oracle pins |est − exact| ≤ 0.2, and
+  // an accuracy bound must sit far above the estimator's σ (≤ 0.5/√k at
+  // J = 0.5) or it measures the corpus, not the code — k=64 put the bound
+  // at 3.2σ (≈2% chance of a spurious red per regenerated corpus across
+  // ~15 group pairs); k=256 puts it at 6.4σ (≈1e-10). Still 2 KB/group.
+  val k = 256
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
   override def reduce(b: Array[Long], row: (String, Array[Long])): Array[Long] = {
     val a = row._2
