@@ -2907,20 +2907,32 @@ object Queries {
   private def simKnnGraphBucketed(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphBucketed(t(s, dir, "embeddings"), k = 3)
 
+  /** Shared DuckDB fragments for the adaptive-SRP replay — ONE definition
+    * of the hyperplane projection, bit packing and width derivation (the
+    * Scala twin is Similarity.withAdaptiveSrpBucket), used by BOTH
+    * sim_knn_graph_bucketed and sim_semdedup_bucketed so the cross-engine
+    * contract cannot drift between the two oracles.
+    */
+  private def srpProjsSql: String = (0 until 16).map { j =>
+    s"list_sum(list_transform(range(1, 65), i -> v[i] * " +
+      s"(CASE WHEN md5_number_lower('rp|$j|' || CAST(i-1 AS VARCHAR)) " +
+      s"< 9223372036854775808 THEN 1.0 ELSE -1.0 END))) AS p$j"
+  }.mkString(",\n    ")
+
+  private def srpBitsSql: String = (0 until 16)
+    .map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  private def srpWidthCteSql: String =
+    """width AS (
+      |  SELECT COALESCE((SELECT CAST(min(t.b) AS INT) FROM range(0, 17) t(b)
+      |                   WHERE 160 * (1::BIGINT << t.b) >=
+      |                         (SELECT count(*) FROM embeddings)), 16) AS b)""".stripMargin
+
   private val simKnnGraphBucketedSql: String = {
-    val nBits = 16
-    def proj(j: Int): String =
-      s"list_sum(list_transform(range(1, 65), i -> v[i] * " +
-        s"(CASE WHEN md5_number_lower('rp|$j|' || CAST(i-1 AS VARCHAR)) " +
-        s"< 9223372036854775808 THEN 1.0 ELSE -1.0 END))) AS p$j"
-    val projs = (0 until nBits).map(proj).mkString(",\n    ")
-    val bitsExpr = (0 until nBits)
-      .map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH width AS (
-       |  SELECT COALESCE((SELECT CAST(min(t.b) AS INT) FROM range(0, 17) t(b)
-       |                   WHERE 160 * (1::BIGINT << t.b) >=
-       |                         (SELECT count(*) FROM embeddings)), 16) AS b),
+    val projs = srpProjsSql
+    val bitsExpr = srpBitsSql
+    s"""WITH $srpWidthCteSql,
        |e AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3042,20 +3054,10 @@ object Queries {
     // output is the INTEGER block id (both replay bit-exactly, as
     // sim_cosine_ivf / sim_knn_graph_bucketed prove); every emitted
     // double is a raw-data cosine computed by the same left-to-right fold.
-    val nBits = 16
-    def srpProj(j: Int): String =
-      s"list_sum(list_transform(range(1, 65), i -> v[i] * " +
-        s"(CASE WHEN md5_number_lower('rp|$j|' || CAST(i-1 AS VARCHAR)) " +
-        s"< 9223372036854775808 THEN 1.0 ELSE -1.0 END))) AS p$j"
-    val srpProjs = (0 until nBits).map(srpProj).mkString(",\n    ")
-    val srpBits = (0 until nBits)
-      .map(j => s"(CASE WHEN p$j > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString(" + ")
+    val srpProjs = srpProjsSql
+    val srpBits = srpBitsSql
     val semTail =
-      s"""width AS (
-         |  SELECT COALESCE((SELECT CAST(min(t.b) AS INT) FROM range(0, 17) t(b)
-         |                   WHERE 160 * (1::BIGINT << t.b) >=
-         |                         (SELECT count(*) FROM embeddings)), 16) AS b),
+      s"""$srpWidthCteSql,
          |asg AS (
          |  SELECT vec_id, bucket, v FROM (
          |    SELECT e.vec_id, c.bucket, e.v,

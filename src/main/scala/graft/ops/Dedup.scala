@@ -236,6 +236,19 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
+      maxBucket: Int = 8192): DataFrame =
+    simhashPairsFromSigs(
+      docs.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sig")),
+      maxHamming, maxBucket)
+
+  /** The multi-table probe machinery of [[simhashPairsBlocked]] at
+    * signature level (doc_id, sig) — one definition of the 6-block layout
+    * and key packing, so the adversarial flip audit in OpsSpec exercises
+    * the PRODUCTION layout rather than a private re-implementation.
+    */
+  private[graft] def simhashPairsFromSigs(
+      withSig: DataFrame,
+      maxHamming: Int = 3,
       maxBucket: Int = 8192): DataFrame = {
     require(maxHamming <= 3,
       "6-block/triple-table layout guarantees recall only for hamming <= 3")
@@ -244,8 +257,6 @@ object Dedup {
     def block(i: Int): Column =
       shiftright(col("sig"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     val tables = (0 until 6).combinations(3).toSeq.zipWithIndex
-    val withSig = docs.select(col(idCol).as("doc_id"),
-      simhash64(col(textCol)).as("sig"))
     val probed = withSig.select(col("doc_id"), col("sig"),
       explode(array(tables.map { case (blks, tid) =>
         struct(lit(tid).as("tbl"),

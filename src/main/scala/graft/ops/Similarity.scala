@@ -234,27 +234,10 @@ object Similarity {
       nBits: Int = 16, dim: Int = 64, blockCol: String = "label"): DataFrame = {
     // footer-only count: the one driver-side scalar the blocking width
     // derives from (same pattern as graph_pagerank's loop-width self-sizing)
-    val n = embeddings.count()
-    var b = 0
-    while (b < nBits && targetBlock.toLong * (1L << b) < n) b += 1
-    val signs: IndexedSeq[Seq[Double]] = IndexedSeq.tabulate(nBits) { j =>
-      Seq.tabulate(dim) { i =>
-        if (Sketches.md5Low64String(s"rp|$j|$i") >= 0) 1.0 else -1.0
-      }
-    }
     val e0 = embeddings.select(col("vec_id"), col(blockCol).as("block"),
       asDouble(col("embedding")).as("v"))
-    val projCols = (0 until nBits).map { j =>
-      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
-        lit(0.0), (acc, x) => acc + x).as(s"p$j")
-    }
-    val projected =
-      e0.select(Seq(col("vec_id"), col("block"), col("v")) ++ projCols: _*)
-    val bits = (0 until nBits)
-      .map(j => when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _).cast(IntegerType)
-    val bucketed = projected.select(col("vec_id"), col("block"), col("v"),
-      bits.bitwiseAND(lit((1 << b) - 1)).as("bucket"))
+    val bucketed = withAdaptiveSrpBucket(e0, embeddings.count(),
+      targetBlock, nBits, dim, "bucket")
     val a = bucketed.select(col("vec_id"), col("block"), col("bucket"),
       col("v").as("va"))
     val bb = bucketed.select(col("vec_id").as("neighbor_id"), col("block"),
@@ -329,30 +312,53 @@ object Similarity {
   def semDedupPruneBucketed(
       embeddings: DataFrame, threshold: Double = 0.3, nBuckets: Int = 16,
       targetBlock: Int = 160, nBits: Int = 16, dim: Int = 64): DataFrame = {
-    val n = embeddings.count()
+    // the block id packs the SRP bits into the low 16 bits below the IVF
+    // bucket — wider signatures would silently alias into the bucket field
+    require(nBits <= 16, "block id reserves 16 bits for the SRP refinement")
+    val assigned = assignBuckets(embeddings, nBuckets) // (vec_id, v, bucket)
+    val srp = withAdaptiveSrpBucket(assigned, embeddings.count(),
+      targetBlock, nBits, dim, "srp")
+    val blocked = srp.select(col("vec_id"),
+      (col("bucket").cast(LongType) * lit(1L << 16) +
+        col("srp").cast(LongType)).as("block"),
+      col("v"))
+    semDedupCore(blocked, threshold)
+  }
+
+  /** Adaptive-width SRP bucket shared by [[knnGraphBucketed]] and
+    * [[semDedupPruneBucketed]] (one definition so the oracle-replay
+    * contract — md5-derived ±1 hyperplanes `rp|j|i`, width b = smallest
+    * value with targetBlock·2^b ≥ n, both re-derived by the DuckDB CTEs —
+    * can never drift between call sites): appends INT `outCol` = the low-b
+    * packed sign bits of the `v` column's projections.
+    */
+  private def withAdaptiveSrpBucket(
+      e: DataFrame, n: Long, targetBlock: Int, nBits: Int, dim: Int,
+      outCol: String): DataFrame = {
     var b = 0
     while (b < nBits && targetBlock.toLong * (1L << b) < n) b += 1
-    val signs: IndexedSeq[Seq[Double]] = IndexedSeq.tabulate(nBits) { j =>
+    val signs = srpSigns(nBits, dim)
+    val projCols = (0 until nBits).map { j =>
+      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
+        lit(0.0), (acc, x) => acc + x).as(s"__p$j")
+    }
+    val in = e.columns.map(col).toSeq
+    val projected = e.select(in ++ projCols: _*)
+    val bits = (0 until nBits)
+      .map(j => when(col(s"__p$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast(IntegerType)
+    projected.select(in :+ bits.bitwiseAND(lit((1 << b) - 1)).as(outCol): _*)
+  }
+
+  /** The md5-derived ±1 hyperplane matrix every SRP consumer shares
+    * (sign_ij from the cross-engine md5-low-64 bits of "rp|j|i").
+    */
+  private[ops] def srpSigns(nBits: Int, dim: Int): IndexedSeq[Seq[Double]] =
+    IndexedSeq.tabulate(nBits) { j =>
       Seq.tabulate(dim) { i =>
         if (Sketches.md5Low64String(s"rp|$j|$i") >= 0) 1.0 else -1.0
       }
     }
-    val assigned = assignBuckets(embeddings, nBuckets) // (vec_id, v, bucket)
-    val projCols = (0 until nBits).map { j =>
-      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
-        lit(0.0), (acc, x) => acc + x).as(s"p$j")
-    }
-    val projected = assigned.select(
-      Seq(col("vec_id"), col("bucket"), col("v")) ++ projCols: _*)
-    val bits = (0 until nBits)
-      .map(j => when(col(s"p$j") > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _).cast(IntegerType)
-    val blocked = projected.select(col("vec_id"),
-      (col("bucket").cast(LongType) * lit(65536L) +
-        bits.bitwiseAND(lit((1 << b) - 1)).cast(LongType)).as("block"),
-      col("v"))
-    semDedupCore(blocked, threshold)
-  }
 
   /** Witness core shared by the label-blocked and IVF-bucketed variants:
     * expects (vec_id, block, v). */
@@ -440,11 +446,7 @@ object Similarity {
       embeddings: DataFrame, nProj: Int = 16, dim: Int = 64): DataFrame = {
     require(nProj <= 31, "srp_bits packs signs into a signed 32-bit int")
     require(nProj >= 4, "output surface hard-codes projection columns p0..p3")
-    val signs: IndexedSeq[Seq[Double]] = IndexedSeq.tabulate(nProj) { j =>
-      Seq.tabulate(dim) { i =>
-        if (Sketches.md5Low64String(s"rp|$j|$i") >= 0) 1.0 else -1.0
-      }
-    }
+    val signs = srpSigns(nProj, dim)
     val e = prepared(embeddings)
     val projCols = (0 until nProj).map { j =>
       aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),

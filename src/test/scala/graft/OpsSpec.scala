@@ -185,31 +185,10 @@ class OpsSpec extends AnyFunSuite {
       (i + 1000000L, s)
     } :+ (1000000L, sig0)
     val sigDf = flipped.toDF("doc_id", "sig")
-    // feed pre-built signatures through the probe machinery by faking the
-    // text->sig step: call the internals via a docs frame whose "text" is
-    // unused. Cheapest honest route: rebuild pair gen on sigDf inline with
-    // the same 6-block/20-table layout and compare to brute force.
-    val widths = Seq(11, 11, 11, 11, 10, 10)
-    val offsets = widths.scanLeft(0)(_ + _).init
-    def block(i: Int) = shiftright(col("sig"), offsets(i))
-      .bitwiseAND(lit((1L << widths(i)) - 1))
-    val probed = sigDf.select(col("doc_id"), col("sig"),
-      explode(array((0 until 6).combinations(3).toSeq.zipWithIndex.map {
-        case (bl, tid) => struct(lit(tid).as("tbl"),
-          shiftleft(block(bl(0)), 22)
-            .bitwiseOR(shiftleft(block(bl(1)), 11))
-            .bitwiseOR(block(bl(2))).as("key"))
-      }: _*)).as("tk"))
-    val got = probed.select(col("tk.tbl"), col("tk.key"),
-        struct(col("doc_id"), col("sig")).as("d"))
-      .groupBy("tbl", "key").agg(collect_list(col("d")).as("ds"))
-      .where(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("a"), col("ds"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("h"))
-      .where(col("h") <= 3).dropDuplicates("da", "db")
+    // feed pre-built signatures through the PRODUCTION probe machinery
+    // (simhashPairsFromSigs is the same code simhashPairsBlocked runs —
+    // a layout regression cannot hide behind a test-local re-implementation)
+    val got = Dedup.simhashPairsFromSigs(sigDf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val aS = sigDf.select(col("doc_id").as("da"), col("sig").as("sa"))
     val bS = sigDf.select(col("doc_id").as("db"), col("sig").as("sb"))

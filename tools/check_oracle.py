@@ -19,13 +19,17 @@ def norm(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
-def check_one(args):
+def connect():
+    con = duckdb.connect()
+    for tbl in ['region','nation','customer','supplier','part','orders',
+                'lineitem','events','documents','embeddings']:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')")
+    return con
+
+def check_one(args, con=None):
     name, sql = args
     try:
-        con = duckdb.connect()
-        for tbl in ['region','nation','customer','supplier','part','orders',
-                    'lineitem','events','documents','embeddings']:
-            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')")
+        con = con or connect()
         want = con.execute(sql).fetchdf()
         got = pd.read_parquet(f'{out}/{name}')
         w, g = norm(want), norm(got)
@@ -71,15 +75,15 @@ def main():
         else:
             todo.append((name, sql))
     if budget <= 0:
+        con = connect()
         for item in todo:
-            print(check_one(item), flush=True)
+            print(check_one(item, con), flush=True)
         return
     import multiprocessing as mp
     ctx = mp.get_context('spawn')
     par = int(os.environ.get('CHECK_PAR', '4'))
     # one process per oracle so a blown budget is terminated cleanly
     # (DuckDB queries can't be interrupted from the same process)
-    sem = []
     pending = list(todo)
     import time
     running = []  # (name, proc, queue, t0)
