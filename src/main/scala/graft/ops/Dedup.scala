@@ -173,10 +173,15 @@ object Dedup {
     * comparisons in one task (~sub-second) and 128 KB of (id, sig) state.
     * The honest asymptote: 4×16-bit bands are FORCED by the hamming<=3
     * pigeonhole over a 64-bit signature, so bucket sizes must grow with
-    * the corpus; past ~10^9 docs the production mitigations are upstream
-    * boilerplate collapse (exact/substring dedup first) or Manku-style
-    * multi-table probing with wider compound bands, which trades the
-    * deterministic recall guarantee for collision control.
+    * the corpus — there are only 2^16 keys per band, and average bucket
+    * population grows linearly past ~65k docs/band value. MEASURED on the
+    * four-decade sweep (ROUND6_NOTES): sub-linear through 500k docs, then
+    * e≈2.1 into the 5M-doc decade (531 s vs 44 s for the multi-table
+    * variant). At that scale switch to [[simhashPairsBlocked]] — same
+    * deterministic hamming<=3 recall via C(6,3) block-triple tables with
+    * ~32-bit keys, 5× the candidate-generation volume, buckets that stay
+    * small for ~2^16× longer — or collapse boilerplate upstream first
+    * (exact/substring dedup).
     */
   def simhashPairs(
       docs: DataFrame,
