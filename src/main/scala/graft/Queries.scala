@@ -2995,7 +2995,8 @@ object Queries {
     * Spark's aggregate()/native DotProduct fold; md5_number_lower is
     * reinterpreted signed to match graft_md5_low64.
     */
-  private val (simCosineIvfSql: String, simSemDedupBucketedSql: String) = {
+  private val (simCosineIvfSql: String, simSemDedupBucketedSql: String,
+      simOutlierCentroidSql: String) = {
     def cos(a: String, b: String): String =
       s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
         s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
@@ -3088,9 +3089,34 @@ object Queries {
          |  w.witness_id, w.witness_cosine
          |FROM nn LEFT JOIN w ON nn.vec_id = w.vec_id
          |ORDER BY nn.vec_id""".stripMargin
+    // centroid-outlier tail: full-corpus argmax assignment KEEPING the
+    // winning cosine, lowest-similarity 50 = the vectors no cluster
+    // explains (Similarity.centroidOutliers)
+    val outlierTail =
+      s"""asg AS (
+         |  SELECT vec_id, bucket, sim FROM (
+         |    SELECT e.vec_id, c.bucket, ${cos("e.v", "c.cv")} AS sim,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.bucket ASC) AS rn
+         |    FROM e CROSS JOIN c$iters c) WHERE rn = 1)
+         |SELECT vec_id, bucket, sim AS centroid_cosine FROM asg
+         |ORDER BY centroid_cosine ASC, vec_id ASC LIMIT 50""".stripMargin
     ((head +: iterCtes :+ tail).mkString(",\n"),
-      (head +: iterCtes :+ semTail).mkString(",\n"))
+      (head +: iterCtes :+ semTail).mkString(",\n"),
+      (head +: iterCtes :+ outlierTail).mkString(",\n"))
   }
+
+  /** Embedding-space outlier audit (Similarity.centroidOutliers): the 50
+    * vectors with the lowest cosine to their nearest k-means centroid —
+    * the far tail no cluster explains (OOD / junk triage, the SemDeDup
+    * prototypicality signal run in reverse). Training + assignment reuse
+    * the sim_cosine_ivf broadcast-centroid chain: the scan is a
+    * zero-shuffle projection and the result is one TakeOrdered; the
+    * oracle replays k-means + argmax + the left-fold cosine bit-exactly.
+    */
+  private def simOutlierCentroid(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(t(s, dir, "embeddings"), nBuckets = 16,
+      topN = 50)
 
   /** Product quantization (see Similarity.productQuantize): 4 subspace
     * codebooks trained with the trainCentroids discipline, 4-bit codes,
@@ -3688,6 +3714,119 @@ object Queries {
       |          md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** Dataset-version snapshot diff (PipelineOps.snapshotDiff): the
+    * added/removed/changed audit between two corpus releases, v2 derived
+    * deterministically in the query's own derivation (de-vacuizing
+    * pattern). Text never shuffles — each side reduces to (doc_id,
+    * md5 fingerprint) at scan; the diff is one co-partitionable
+    * full-outer equi-join and the output is the delta, not the corpus.
+    */
+  private def pipelineDatasetDiff(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PipelineOps.snapshotDiff(t(s, dir, "documents"))
+
+  private val pipelineDatasetDiffSql =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS fp1 FROM documents),
+      |hd AS (
+      |  SELECT doc_id, text,
+      |    ((CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+      |           ELSE h END) % 20 + 20) % 20 AS hb
+      |  FROM (SELECT doc_id, text,
+      |          md5_number_lower('v2|' || CAST(doc_id AS VARCHAR)) AS h
+      |        FROM documents)),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN hb = 1 THEN text || ' [rev2]' ELSE text END) AS fp2
+      |  FROM hd WHERE hb <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000000 AS doc_id,
+      |    md5('added doc ' || CAST(doc_id AS VARCHAR)) AS fp2
+      |  FROM hd WHERE hb = 2),
+      |j AS (
+      |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v2.fp2 IS NULL THEN 'removed'
+      |         WHEN v1.fp1 IS NULL THEN 'added'
+      |         WHEN v1.fp1 <> v2.fp2 THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+      |delta AS (SELECT * FROM j WHERE status <> 'unchanged'),
+      |c AS (SELECT status, CAST(count(*) AS BIGINT) AS status_total
+      |      FROM delta GROUP BY status)
+      |SELECT delta.doc_id, delta.status, c.status_total
+      |FROM delta JOIN c USING (status)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Trained quality scorer (QualityModel.ridgeQuality): ridge regression
+    * of per-doc stopword count on (token count, char count), fit by ONE
+    * map-side-combinable aggregation of nine exact-integer normal-equation
+    * sums, solved in exact BigInt Cramer arithmetic, scored as a
+    * broadcast-literal projection. The 100 most stopword-deficient docs
+    * (most-negative residual) are the flagged low-quality tail. The
+    * oracle re-derives the sums (HUGEINT), the determinants, and the
+    * string-routed β divisions, landing on bit-identical doubles.
+    */
+  private def pipelineQualityRidge(s: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.ridgeQuality(t(s, dir, "documents"))
+
+  private val pipelineQualityRidgeSql: String = {
+    val stops = graft.ops.QualityModel.stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS x1,
+       |    CAST(n_chars AS BIGINT) AS x2,
+       |    CAST(len(list_filter(toks, w -> w IN ($stops))) AS BIGINT) AS y
+       |  FROM f),
+       |s AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+       |    CAST(sum(x1*x1) AS HUGEINT) AS s11,
+       |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
+       |    CAST(sum(x2*x2) AS HUGEINT) AS s22,
+       |    CAST(sum(y) AS HUGEINT) AS t0,
+       |    CAST(sum(x1*y) AS HUGEINT) AS t1,
+       |    CAST(sum(x2*y) AS HUGEINT) AS t2
+       |  FROM x),
+       |a AS (
+       |  SELECT n + 1 AS a11, s1 AS a12, s2 AS a13,
+       |         s1 AS a21, s11 + 1 AS a22, s12 AS a23,
+       |         s2 AS a31, s12 AS a32, s22 + 1 AS a33,
+       |         t0, t1, t2
+       |  FROM s),
+       |d AS (
+       |  SELECT
+       |    a11*(a22*a33 - a23*a32) - a12*(a21*a33 - a23*a31)
+       |      + a13*(a21*a32 - a22*a31) AS det,
+       |    t0*(a22*a33 - a23*a32) - a12*(t1*a33 - a23*t2)
+       |      + a13*(t1*a32 - a22*t2) AS det0,
+       |    a11*(t1*a33 - a23*t2) - t0*(a21*a33 - a23*a31)
+       |      + a13*(a21*t2 - t1*a31) AS det1,
+       |    a11*(a22*t2 - t1*a32) - a12*(a21*t2 - t1*a31)
+       |      + t0*(a21*a32 - a22*a31) AS det2
+       |  FROM a),
+       |b AS (
+       |  SELECT
+       |    CAST(CAST(det0 AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b0,
+       |    CAST(CAST(det1 AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b1,
+       |    CAST(CAST(det2 AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(det AS VARCHAR) AS DOUBLE) AS b2
+       |  FROM d)
+       |SELECT x.doc_id,
+       |  CAST(x1 AS INT) AS n_words, CAST(x2 AS INT) AS n_chars,
+       |  CAST(y AS INT) AS n_stop, b.b0, b.b1, b.b2,
+       |  b.b0 + b.b1 * CAST(x1 AS DOUBLE) + b.b2 * CAST(x2 AS DOUBLE) AS yhat,
+       |  CAST(y AS DOUBLE) -
+       |    (b.b0 + b.b1 * CAST(x1 AS DOUBLE) + b.b2 * CAST(x2 AS DOUBLE))
+       |    AS resid
+       |FROM x, b
+       |ORDER BY resid ASC, doc_id ASC LIMIT 100""".stripMargin
+  }
 
   /** Benchmark decontamination (see PipelineOps.decontaminate): every train
     * document's 8-gram overlap with the held-out eval split (the same
@@ -5090,6 +5229,11 @@ object Queries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "sim_cosine_brute" -> simCosineBrute _,
     "sim_cosine_ivf" -> simCosineIvf _,
+    "sim_outlier_centroid" -> simOutlierCentroid _,
+    "pipeline_dataset_diff" -> pipelineDatasetDiff _,
+    "pipeline_quality_ridge" -> pipelineQualityRidge _,
+    "stream_quality_ridge" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamQualityRidge(s, dir)),
     "sim_knn_graph" -> simKnnGraph _,
     "sim_knn_graph_bucketed" -> simKnnGraphBucketed _,
     "sim_semdedup" -> simSemDedup _,
@@ -5226,6 +5370,12 @@ object Queries {
     "dedup_substring_windows" -> dedupSubstringWindowsSql,
     "sim_cosine_brute" -> simCosineBruteSql,
     "sim_cosine_ivf" -> simCosineIvfSql,
+    "sim_outlier_centroid" -> simOutlierCentroidSql,
+    "pipeline_dataset_diff" -> pipelineDatasetDiffSql,
+    "pipeline_quality_ridge" -> pipelineQualityRidgeSql,
+    // streamed model == batch model bit-exactly (additive integer
+    // sufficient statistics), so the streaming run replays the SAME oracle
+    "stream_quality_ridge" -> pipelineQualityRidgeSql,
     "sim_semdedup" -> simSemDedupSql,
     "sim_semdedup_bucketed" -> simSemDedupBucketedSql,
     "embed_quantize_int8" -> embedQuantizeInt8Sql,

@@ -265,4 +265,48 @@ object PipelineOps {
         col("target_share"), col("share_after"))
       .orderBy(col("lang"))
   }
+
+  /** Dataset-version snapshot diff — the audit a lakehouse curation
+    * pipeline runs between two corpus releases: which documents were
+    * added / removed / changed. Version 2 is DERIVED deterministically
+    * from v1 in the query's own derivation (the oracle de-vacuizing
+    * pattern — built identically on both engines from doc_id alone):
+    * bucket h = pmod(md5_low64('v2|'||doc_id), 20) removes h=0 docs,
+    * rewrites h=1 docs (suffix marker), and spawns one new doc per h=2
+    * doc at doc_id+10⁸ (disjoint from every natural id at any tested
+    * decade).
+    *
+    * Scale shape: each side reduces to (key, 16-byte md5 fingerprint)
+    * AT SCAN — document text never shuffles; the diff is ONE full-outer
+    * equi-join on the snapshot key, co-partitioned for free when both
+    * releases are bucketed by that key (the lakehouse layout), and the
+    * emitted delta is the change set, not the corpus. The per-status
+    * totals ride back on a broadcast of the ≤3-row count table.
+    */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val h = pmod(graft.functions.HashOps.md5Low64(
+      concat(lit("v2|"), col("doc_id").cast(StringType))), lit(20L))
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp1"))
+    val hd = docs.withColumn("h", h)
+    val carried = hd.where(col("h") =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("h") === 1, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("fp2"))
+    val added = hd.where(col("h") === 2)
+      .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+        md5(concat(lit("added doc "), col("doc_id").cast(StringType)))
+          .as("fp2"))
+    val joined = v1.join(carried.unionByName(added), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp2").isNull, "removed")
+          .when(col("fp1").isNull, "added")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+    val delta = joined.where(col("status") =!= "unchanged")
+    val counts = delta.groupBy(col("status"))
+      .agg(count(lit(1)).as("status_total"))
+    delta.join(broadcast(counts), Seq("status"))
+      .select(col("doc_id"), col("status"), col("status_total"))
+      .orderBy(col("doc_id"))
+  }
 }

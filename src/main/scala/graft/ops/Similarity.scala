@@ -173,6 +173,30 @@ object Similarity {
   def assignBuckets(embeddings: DataFrame, nBuckets: Int = 16): DataFrame =
     assignBucketsWith(embeddings, trainCentroids(embeddings, nBuckets))
 
+  /** Embedding-space OUTLIER detection: the `topN` vectors with the
+    * LOWEST cosine to their own nearest k-means centroid — points no
+    * cluster explains, the SemDeDup paper's prototypicality signal run in
+    * reverse (ABBAS et al. 2023 keep cluster-typical points; a curation
+    * pipeline ALSO wants the far tail surfaced for OOD audit / junk
+    * triage). Reuses the [[trainCentroids]] broadcast-centroid argmax, so
+    * the whole query is a zero-shuffle projection plus one TakeOrdered —
+    * at 100 TB the centroids stay plan literals and the scan streams.
+    * Every emitted double is the deterministic left-fold cosine, so the
+    * sim_cosine_ivf oracle chain replays it bit-exactly.
+    */
+  def centroidOutliers(embeddings: DataFrame, nBuckets: Int = 16,
+      topN: Int = 50): DataFrame = {
+    val centArr: Seq[(Long, Seq[Double])] =
+      trainCentroids(embeddings, nBuckets).orderBy(col("bucket"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    prepared(embeddings)
+      .withColumn("best", bestBucket(centArr))
+      .select(col("vec_id"), col("best.bucket").as("bucket"),
+        col("best.sim").as("centroid_cosine"))
+      .orderBy(col("centroid_cosine").asc, col("vec_id").asc)
+      .limit(topN)
+  }
+
   /** Exact k-NN neighbor graph WITHIN a blocking key — the SemDeDup /
     * embedding-clustering primitive: block the corpus (here the labeled
     * blocks the testdata provides; at 100 TB the IVF bucket from

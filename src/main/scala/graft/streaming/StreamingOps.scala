@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -105,6 +105,39 @@ object StreamingOps {
     deleteRecursively(staging)
   }
 
+  /** Parallel multi-file staging for streams whose fold is CHUNKING-
+    * INDEPENDENT (count-min is purely additive, bottom-k is a
+    * set-deterministic function of the union — both accumulate to the
+    * same bits under ANY micro-batch split). One hash-partitioned write
+    * job uses every core, then each part file is moved up to become one
+    * micro-batch under maxFilesPerTrigger=1. Replaces nParts serial
+    * `coalesce(1)` jobs, whose single-threaded parquet encode of the
+    * full corpus dominated stream_count_min at the 1000x decade
+    * (e3 = 1.14 was staging, not the sketch fold). NOT for streams whose
+    * choreography gives micro-batch CONTENT meaning (late-data nudge
+    * batches, sessionize phases) — those keep [[stageOne]].
+    */
+  private[graft] def stageParts(df: DataFrame, destDir: java.nio.file.Path,
+      baseName: String, nParts: Int, partKey: Column): Unit = {
+    val staging = destDir.resolve(s"_stage_$baseName")
+    df.repartition(nParts, partKey).write.parquet(staging.toString)
+    val listing = java.nio.file.Files.list(staging)
+    val parts =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.toVector
+          .filter(_.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+      } finally listing.close()
+    require(parts.size >= 2,
+      s"parallel staging of $baseName produced ${parts.size} file(s); " +
+        "chunk-independent streams still need >=2 micro-batches")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.move(p, destDir.resolve(s"$baseName$i.parquet")); ()
+    }
+    deleteRecursively(staging)
+  }
+
   /** Best-effort recursive delete of a staged temp dir once its stream has
     * stopped — each invocation otherwise leaves a corpus-sized copy on
     * disk, and Bench alone runs every streaming query three times.
@@ -188,6 +221,27 @@ object StreamingOps {
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
       ()
+  }
+
+  /** The shared streamed-documents frame: (doc_id, text, n_chars) — the
+    * columns every chunking-independent document stream needs (count-min
+    * reads text, the ridge model reads all three), so they share ONE
+    * staged corpus per (dir) and Bench stages the documents exactly once.
+    */
+  private[graft] def stagedDocsFrame(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+
+  /** Parallel-staged micro-batch corpus of [[stagedDocsFrame]]: ~300k docs
+    * per file, self-sized from the footer-only count (see [[stageParts]]).
+    */
+  private[graft] def stagedDocsCorpus(spark: SparkSession, dir: String): java.nio.file.Path = {
+    val docs = stagedDocsFrame(spark, dir)
+    val nDocs = docs.count()
+    val nChunks = math.max(3L, math.min(24L, nDocs / 300000L)).toInt
+    stagedCorpus(dir, "docs3") { t =>
+      stageParts(docs, t, "chunk", nChunks, col("doc_id"))
+    }
   }
 
   /** `events.ts` has shipped in two parquet encodings across testdata
@@ -1529,17 +1583,92 @@ object StreamingOps {
       checkpoint: Option[java.nio.file.Path] = None): DataFrame =
     withStreamingPartitions(outer, 8) { spark =>
       import graft.ops.Sketches
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val nChunks = 3
-      val tmp = stagedCorpus(dir, "cm") { t =>
-        (0 until nChunks).foreach(i =>
-          stageOne(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), t, s"chunk$i"))
-      }
+      val docs = stagedDocsFrame(spark, dir)
+      // CM accumulation is bit-identical under ANY chunking, so staging is
+      // a parallel multi-part write (stageParts), self-sized from the
+      // footer-only row count: ~300k docs of text per micro-batch file.
+      val tmp = stagedDocsCorpus(spark, dir)
       val (total, nSeen) = countMinRun(spark, tmp, docs.schema, checkpoint)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       Sketches.countMinAuditWith(docs, total)
+    }
+
+  /** One restartable sufficient-statistics accumulation run (the
+    * [[countMinRun]] shape for model training): per micro-batch, ONE
+    * aggregation computes the nine exact-integer normal-equation sums
+    * (graft.ops.QualityModel.sufficient) and the driver adds them —
+    * BigInt addition is associative/commutative, so the accumulated
+    * Stats are bit-identical to the one-pass batch aggregation under any
+    * chunking, arrival order, or retry (batchIds recorded, replays
+    * skipped). Checkpoint payload is the nine decimal strings.
+    */
+  private[graft] def ridgeRun(
+      spark: SparkSession, srcDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpoint: Option[java.nio.file.Path]): (graft.ops.QualityModel.Stats, Int) = {
+    import graft.ops.QualityModel
+    val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
+      val v = Vector.fill(9)(BigInt(in.readUTF()))
+      QualityModel.Stats(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8))
+    })
+    var acc = restored.map(_._2).getOrElse(QualityModel.Stats.zero)
+    val seen = scala.collection.mutable.Set.empty[Long]
+    restored.foreach(r => seen ++= r._1)
+    val lock = new Object
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    var w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!lock.synchronized(seen.contains(batchId))) {
+          val part = QualityModel.sufficient(QualityModel.features(batch.toDF()))
+          lock.synchronized {
+            if (seen.add(batchId)) {
+              acc = acc |+| part
+              checkpoint.foreach(c => ckptSave(c, seen) { out =>
+                Seq(acc.n, acc.s1, acc.s2, acc.s11, acc.s12, acc.s22,
+                  acc.t0, acc.t1, acc.t2)
+                  .foreach(x => out.writeUTF(x.toString))
+              })
+            }
+          }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c =>
+      w = w.option("checkpointLocation", c.resolve("engine").toString))
+    val q = w.start()
+    q.processAllAvailable()
+    q.stop()
+    (lock.synchronized(acc), lock.synchronized(seen.size))
+  }
+
+  /** STREAMING quality-model refresh: the corpus arrives as a file stream
+    * and each micro-batch folds its nine exact-integer normal-equation
+    * sums into the driver accumulator — continuous RE-TRAINING of the
+    * ridge quality scorer (graft.ops.QualityModel) as documents arrive.
+    * Because the sufficient statistics are purely additive integers, the
+    * streamed model is BIT-IDENTICAL to the batch fit under any chunking
+    * — the stream_count_min additivity argument applied to model
+    * training, which is why this query replays the batch
+    * pipeline_quality_ridge DuckDB oracle verbatim. State is nine BigInts
+    * (O(p²) for p features), no per-key store; the final scoring pass is
+    * the same broadcast-literal projection as the batch query.
+    */
+  def streamQualityRidge(outer: SparkSession, dir: String,
+      checkpoint: Option[java.nio.file.Path] = None): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
+      import graft.ops.QualityModel
+      val docs = stagedDocsFrame(spark, dir)
+      val tmp = stagedDocsCorpus(spark, dir)
+      val (st, nSeen) = ridgeRun(spark, tmp, docs.schema, checkpoint)
+      require(nSeen >= 2,
+        s"chunked staging must yield multiple micro-batches, got $nSeen")
+      QualityModel.score(QualityModel.features(docs), QualityModel.solve(st))
     }
 
   /** STREAMING group-wise quantile estimation: per-micro-batch bottom-k
@@ -1629,10 +1758,13 @@ object StreamingOps {
       val ev = events(spark, dir)
         .select(col("event_type"), col("event_id"), col("value"))
         .persist()
-      val nChunks = 3
+      // bottom-k ("k smallest hashes of the union") is set-deterministic,
+      // so chunking is free to follow staging parallelism (see stageParts):
+      // ~5M three-column event rows per micro-batch file.
+      val nEvents = ev.count()
+      val nChunks = math.max(3L, math.min(24L, nEvents / 5000000L)).toInt
       val tmp = stagedCorpus(dir, "bk") { t =>
-        (0 until nChunks).foreach(i =>
-          stageOne(ev.where(pmod(col("event_id"), lit(nChunks)) === i), t, s"chunk$i"))
+        stageParts(ev, t, "chunk", nChunks, col("event_id"))
       }
       val (acc, nSeen) = bottomKRun(spark, tmp, ev.schema, checkpoint)
       require(nSeen >= 2,

@@ -1719,6 +1719,102 @@ class OpsSpec extends AnyFunSuite {
     Seq(cmSrc, cmCkpt, bkSrc, bkCkpt).foreach(rmTree)
   }
 
+  test("ridge quality model: exact solve, streamed == batch, kill-and-resume") {
+    import graft.ops.QualityModel
+    import graft.streaming.StreamingOps
+    // the solved betas satisfy the integer normal equations (A β = b) to
+    // double rounding — validates the BigInt Cramer route end-to-end
+    val docs3 = docs.select(col("doc_id"), col("text"), col("n_chars"))
+    val st = QualityModel.sufficient(QualityModel.features(docs3))
+    assert(st.n == docs3.count() && st.s11 > 0 && st.t0 > 0)
+    val (b0, b1, b2) = QualityModel.solve(st)
+    def d(x: BigInt) = x.toDouble
+    val r0 = (d(st.n + 1) * b0 + d(st.s1) * b1 + d(st.s2) * b2) - d(st.t0)
+    val r1 = (d(st.s1) * b0 + d(st.s11 + 1) * b1 + d(st.s12) * b2) - d(st.t1)
+    val r2 = (d(st.s2) * b0 + d(st.s12) * b1 + d(st.s22 + 1) * b2) - d(st.t2)
+    val scale = math.max(1.0, d(st.t2).abs)
+    assert(math.abs(r0) / scale < 1e-9 && math.abs(r1) / scale < 1e-9 &&
+      math.abs(r2) / scale < 1e-9,
+      s"normal-equation residuals too large: $r0 $r1 $r2")
+
+    // streamed sufficient statistics land on the bit-identical model
+    val streamed = StreamingOps.streamQualityRidge(spark, dir)
+      .collect().map(_.toString)
+    val batch = QualityModel.ridgeQuality(docs3).collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      "additive training statistics must not depend on micro-batch chunking")
+
+    // kill-and-resume: phase 1 folds one chunk, driver "dies", fresh run
+    // restores the accumulator and folds only the remainder
+    val src = java.nio.file.Files.createTempDirectory("ridge_resume_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("ridge_resume_ckpt")
+    StreamingOps.stageOne(docs3.where(pmod(col("doc_id"), lit(3)) === 0), src, "chunk0")
+    val (s1, n1) = StreamingOps.ridgeRun(spark, src, docs3.schema, Some(ckpt))
+    assert(n1 == 1 && s1.n > 0)
+    StreamingOps.stageOne(docs3.where(pmod(col("doc_id"), lit(3)) === 1), src, "chunk1")
+    StreamingOps.stageOne(docs3.where(pmod(col("doc_id"), lit(3)) === 2), src, "chunk2")
+    val (s2, n2) = StreamingOps.ridgeRun(spark, src, docs3.schema, Some(ckpt))
+    assert(n2 == 3 && s2 == st,
+      "resumed sufficient statistics differ from the one-pass batch aggregation")
+    val (s3, n3) = StreamingOps.ridgeRun(spark, src, docs3.schema, Some(ckpt))
+    assert(n3 == 3 && s3 == st, "idle restart changed the accumulator")
+    Seq(src, ckpt).foreach(rmTree)
+  }
+
+  test("centroid outliers: globally the lowest best-centroid cosines, ascending") {
+    val out = Similarity.centroidOutliers(embeddings, nBuckets = 16, topN = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 50)
+    assert(out.forall(t => t._3 >= -1.0 - 1e-12 && t._3 <= 1.0 + 1e-12))
+    assert(out.sliding(2).forall(p => p(0)._3 <= p(1)._3),
+      "outliers must be emitted worst (lowest cosine) first")
+    // ground truth: driver-side best-centroid cosine per vector (same
+    // left-to-right fold as the native expression), 50 smallest
+    val cents = Similarity.trainCentroids(embeddings, 16).orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val vecs = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val best = vecs.map { case (id, v) =>
+      val scored = cents.map { case (bkt, c) => (cos(v, c), -bkt, bkt) }
+      (id, scored.max)
+    }
+    val expected = best.sortBy { case (id, (sim, _, _)) => (sim, id) }
+      .take(50).map { case (id, (sim, _, bkt)) => (id, bkt, sim) }.toSeq
+    assert(out.toSeq == expected,
+      "operator result must equal the exact driver-side recompute bit-for-bit")
+  }
+
+  test("snapshot diff: status partition matches the derivation buckets exactly") {
+    import graft.functions.HashOps
+    val out = graft.ops.PipelineOps.snapshotDiff(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val h = docs.select(col("doc_id"),
+      pmod(HashOps.md5Low64(concat(lit("v2|"), col("doc_id").cast("string"))),
+        lit(20L)).as("h")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expRemoved = h.filter(_._2 == 0L).keySet
+    val expChanged = h.filter(_._2 == 1L).keySet
+    val expAdded = h.filter(_._2 == 2L).keys.map(_ + 100000000L).toSet
+    assert(out.collect { case (id, "removed", _) => id }.toSet == expRemoved)
+    assert(out.collect { case (id, "changed", _) => id }.toSet == expChanged)
+    assert(out.collect { case (id, "added", _) => id }.toSet == expAdded)
+    assert(expRemoved.nonEmpty && expChanged.nonEmpty && expAdded.nonEmpty,
+      "derivation must exercise all three statuses at test scale")
+    // per-status totals ride on every row and agree with the partition
+    out.groupBy(_._2).foreach { case (status, rows) =>
+      assert(rows.map(_._3).distinct.toSeq == Seq(rows.size.toLong),
+        s"status_total wrong for $status")
+    }
+    // delta only: no 'unchanged' rows, ids unique
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(!out.exists(_._2 == "unchanged"))
+  }
+
   test("semdedup: witness is the LOWEST qualifying lower-id neighbor; kept iff none") {
     val tau = 0.3
     val out = Similarity.semDedupPrune(embeddings, threshold = tau).collect()

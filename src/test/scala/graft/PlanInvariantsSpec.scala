@@ -219,6 +219,33 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"anti-joins must broadcast the small drop sets:\n${p.take(1200)}")
   }
 
+  test("centroid outliers never shuffle the corpus: literal-centroid argmax + TakeOrdered") {
+    // training collects its bounded sample eagerly; the RETURNED plan is a
+    // pure scan + projection whose only ordering step is the global top-N
+    val p = plan("sim_outlier_centroid")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffle crept into the outlier scan:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n${p.take(800)}")
+    assert(p.contains("TakeOrdered"), s"top-N must be TakeOrdered:\n${p.take(800)}")
+  }
+
+  test("ridge scoring is a broadcast-literal projection: no shuffle, no join") {
+    // training is ONE separate agg job; the returned scoring plan streams
+    val p = plan("pipeline_quality_ridge")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"scoring must not shuffle the corpus:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"no join belongs in scoring:\n${p.take(800)}")
+    assert(p.contains("TakeOrdered"), s"top-N must be TakeOrdered:\n${p.take(800)}")
+  }
+
+  test("snapshot diff: fingerprints at scan, one equi-join, counts broadcast back") {
+    val p = plan("pipeline_dataset_diff")
+    forbidden.foreach(op =>
+      assert(!p.contains(op), s"pipeline_dataset_diff plan contains $op:\n${p.take(1200)}"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-status totals must broadcast:\n${p.take(1200)}")
+  }
+
   test("IVF query plan never shuffles the corpus: assignment is a map-side argmax") {
     // trainCentroids' iteration jobs run eagerly (bounded sample); the
     // RETURNED plan — full-corpus assignment + probe join + top-k — must be
