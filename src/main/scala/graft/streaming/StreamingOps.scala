@@ -73,6 +73,17 @@ object StreamingOps {
   private val childSessions =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]
 
+  /** The caller session's shuffle-partition setting — for DRIVER-FOLD
+    * sketch streams (count-min, bottom-k, ridge stats), which keep no
+    * per-key state store and whose per-batch aggregations + audit scans
+    * are ordinary batch jobs that want full session parallelism. Pinning
+    * them to the state-store demos' n=8 cost 7× at the 100× decade
+    * (stream_count_min 26.8 s vs the batch twin's 3.8 s).
+    */
+  private def fullParallelism(outer: SparkSession): Int =
+    try outer.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Throwable => 32 }
+
   private def withStreamingPartitions[A](spark: SparkSession, n: Int)(body: SparkSession => A): A = {
     // ONE cached child per (caller session, n): repeated invocations reuse
     // its session state (codegen cache, memory-sink views) exactly as the
@@ -232,16 +243,21 @@ object StreamingOps {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("n_chars"))
 
-  /** Parallel-staged micro-batch corpus of [[stagedDocsFrame]]: ~300k docs
+  /** Parallel-staged micro-batch corpus of [[stagedDocsFrame]]: ~50k docs
     * per file, self-sized from the footer-only count (see [[stageParts]]).
+    * Files are deliberately SMALLER than a micro-batch: the file-stream
+    * source gives one input split per file, so within-batch parallelism
+    * comes from reading `filesPerTrigger` files per trigger — one big file
+    * per batch runs each batch's fold on a single core (measured 7× at
+    * the 100× decade).
     */
-  private[graft] def stagedDocsCorpus(spark: SparkSession, dir: String): java.nio.file.Path = {
+  private[graft] def stagedDocsCorpus(spark: SparkSession, dir: String): (java.nio.file.Path, Int) = {
     val docs = stagedDocsFrame(spark, dir)
     val nDocs = docs.count()
-    val nChunks = math.max(3L, math.min(24L, nDocs / 300000L)).toInt
-    stagedCorpus(dir, "docs3") { t =>
+    val nChunks = math.max(3L, math.min(96L, nDocs / 5000L)).toInt
+    (stagedCorpus(dir, "docs3") { t =>
       stageParts(docs, t, "chunk", nChunks, col("doc_id"))
-    }
+    }, math.max(1, nChunks / 3))
   }
 
   /** `events.ts` has shipped in two parquet encodings across testdata
@@ -1520,7 +1536,8 @@ object StreamingOps {
   private[graft] def countMinRun(
       spark: SparkSession, srcDir: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType,
-      checkpoint: Option[java.nio.file.Path]): (Array[Long], Int) = {
+      checkpoint: Option[java.nio.file.Path],
+      filesPerTrigger: Int = 1): (Array[Long], Int) = {
     import graft.ops.{CountMin, Sketches}
     val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
       val n = in.readInt()
@@ -1536,7 +1553,7 @@ object StreamingOps {
     restored.foreach(r => seen ++= r._1)
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(srcDir.toString)
     var w = stream.writeStream
       .outputMode("append")
@@ -1581,14 +1598,14 @@ object StreamingOps {
     */
   def streamCountMin(outer: SparkSession, dir: String,
       checkpoint: Option[java.nio.file.Path] = None): DataFrame =
-    withStreamingPartitions(outer, 8) { spark =>
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       import graft.ops.Sketches
       val docs = stagedDocsFrame(spark, dir)
       // CM accumulation is bit-identical under ANY chunking, so staging is
-      // a parallel multi-part write (stageParts), self-sized from the
-      // footer-only row count: ~300k docs of text per micro-batch file.
-      val tmp = stagedDocsCorpus(spark, dir)
-      val (total, nSeen) = countMinRun(spark, tmp, docs.schema, checkpoint)
+      // a parallel multi-part write and each trigger folds a PARALLEL
+      // multi-file batch (see stagedDocsCorpus).
+      val (tmp, fpt) = stagedDocsCorpus(spark, dir)
+      val (total, nSeen) = countMinRun(spark, tmp, docs.schema, checkpoint, fpt)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       Sketches.countMinAuditWith(docs, total)
@@ -1606,7 +1623,8 @@ object StreamingOps {
   private[graft] def ridgeRun(
       spark: SparkSession, srcDir: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType,
-      checkpoint: Option[java.nio.file.Path]): (graft.ops.QualityModel.Stats, Int) = {
+      checkpoint: Option[java.nio.file.Path],
+      filesPerTrigger: Int = 1): (graft.ops.QualityModel.Stats, Int) = {
     import graft.ops.QualityModel
     val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
       val v = Vector.fill(9)(BigInt(in.readUTF()))
@@ -1618,7 +1636,7 @@ object StreamingOps {
     val lock = new Object
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(srcDir.toString)
     var w = stream.writeStream
       .outputMode("append")
@@ -1661,11 +1679,11 @@ object StreamingOps {
     */
   def streamQualityRidge(outer: SparkSession, dir: String,
       checkpoint: Option[java.nio.file.Path] = None): DataFrame =
-    withStreamingPartitions(outer, 8) { spark =>
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       import graft.ops.QualityModel
       val docs = stagedDocsFrame(spark, dir)
-      val tmp = stagedDocsCorpus(spark, dir)
-      val (st, nSeen) = ridgeRun(spark, tmp, docs.schema, checkpoint)
+      val (tmp, fpt) = stagedDocsCorpus(spark, dir)
+      val (st, nSeen) = ridgeRun(spark, tmp, docs.schema, checkpoint, fpt)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       QualityModel.score(QualityModel.features(docs), QualityModel.solve(st))
@@ -1690,7 +1708,8 @@ object StreamingOps {
   private[graft] def bottomKRun(
       spark: SparkSession, srcDir: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType,
-      checkpoint: Option[java.nio.file.Path]): (Map[String, Array[Long]], Int) = {
+      checkpoint: Option[java.nio.file.Path],
+      filesPerTrigger: Int = 1): (Map[String, Array[Long]], Int) = {
     import graft.ops.BottomKSample
     val bk = new BottomKSample(256)
     val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
@@ -1707,7 +1726,7 @@ object StreamingOps {
     restored.foreach(r => seen ++= r._1)
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(srcDir.toString)
     var w = stream.writeStream
       .outputMode("append")
@@ -1751,7 +1770,7 @@ object StreamingOps {
 
   def streamQuantileBottomK(outer: SparkSession, dir: String,
       checkpoint: Option[java.nio.file.Path] = None): DataFrame =
-    withStreamingPartitions(outer, 8) { spark =>
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       import graft.ops.Sketches
       // cached: three chunked staging writes + four audit scans otherwise
       // re-read the parquet seven times (24 MB of 3 columns at sf0.1)
@@ -1759,14 +1778,16 @@ object StreamingOps {
         .select(col("event_type"), col("event_id"), col("value"))
         .persist()
       // bottom-k ("k smallest hashes of the union") is set-deterministic,
-      // so chunking is free to follow staging parallelism (see stageParts):
-      // ~5M three-column event rows per micro-batch file.
+      // so chunking is free to follow staging parallelism: ~250k
+      // three-column event rows per file, several files per trigger (the
+      // stagedDocsCorpus within-batch-parallelism discipline).
       val nEvents = ev.count()
-      val nChunks = math.max(3L, math.min(24L, nEvents / 5000000L)).toInt
+      val nChunks = math.max(3L, math.min(96L, nEvents / 250000L)).toInt
       val tmp = stagedCorpus(dir, "bk") { t =>
         stageParts(ev, t, "chunk", nChunks, col("event_id"))
       }
-      val (acc, nSeen) = bottomKRun(spark, tmp, ev.schema, checkpoint)
+      val (acc, nSeen) = bottomKRun(spark, tmp, ev.schema, checkpoint,
+        math.max(1, nChunks / 3))
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       val audit = Sketches.quantileAuditWith(ev, acc.toSeq.sortBy(_._1))
