@@ -3715,6 +3715,139 @@ object Queries {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Exponentially-weighted moving average of the daily event-value
+    * series per event type — pandas `ewm(alpha=0.5, adjust=True)`
+    * truncated to a 32-row window, made ORACLE-EXACT by fixed-point
+    * arithmetic: per-event values go through the established
+    * DECIMAL(18,4)·10⁴ long route, daily totals are exact integers, and
+    * the weighted numerator Σ xᵢ·2^(i-1) is an exact integer fold (the
+    * α=1/2 choice makes every weight a power of two, so nothing rounds
+    * until ONE final correctly-rounded division by the exact
+    * (2ⁿ−1)·10⁴). Per-series window sort only — the daily frame is
+    * groups-sized, never event-sized, after one map-combined shuffle.
+    */
+  private def windowEwma(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val daily = graft.streaming.StreamingOps.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType).as("v4"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v4").cast(dec38)).as("d4"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-31, Window.currentRow)
+    // frame-ordered window list (oldest first); the fold carries the
+    // power-of-two weight in the accumulator, so every term is exact
+    val withArr = daily.withColumn("a", collect_list(col("d4")).over(w))
+      .withColumn("n_window", size(col("a")))
+    val num = aggregate(col("a"),
+      struct(lit(0).cast(dec38).as("s"), lit(1).cast(dec38).as("w")),
+      (acc, x) => struct(
+        (acc.getField("s") + x * acc.getField("w")).cast(dec38).as("s"),
+        (acc.getField("w") * 2).cast(dec38).as("w")),
+      acc => acc.getField("s"))
+    withArr.select(col("event_type"), col("day"),
+        (col("d4").cast(StringType).cast(DoubleType) / 10000.0)
+          .as("daily_value"),
+        col("n_window"),
+        (num.cast(StringType).cast(DoubleType) /
+          expr("cast((shiftleft(1L, n_window) - 1) * 10000 as double)"))
+          .as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val windowEwmaSql =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+      |  FROM events),
+      |d AS (SELECT event_type, day, CAST(sum(v4) AS HUGEINT) AS d4
+      |      FROM e GROUP BY 1, 2),
+      |wagg AS (
+      |  SELECT event_type, day, d4,
+      |    array_agg(d4) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS a
+      |  FROM d)
+      |SELECT event_type, day,
+      |  CAST(CAST(d4 AS VARCHAR) AS DOUBLE) / 10000.0 AS daily_value,
+      |  CAST(len(a) AS INT) AS n_window,
+      |  CAST(CAST(list_sum(list_transform(range(1, len(a)+1),
+      |      i -> a[i] * (1::BIGINT << (i-1)))) AS VARCHAR) AS DOUBLE)
+      |    / CAST(((1::BIGINT << len(a)) - 1) * 10000 AS DOUBLE) AS ewma
+      |FROM wagg ORDER BY event_type, day""".stripMargin
+
+  /** Source/sink round-trip audit: the corpus is written to a line-based
+    * interchange format (JSONL — the raw-corpus format every pretraining
+    * ingest speaks — or quoted CSV) and read back with an explicit
+    * schema; the emitted (length, md5) per doc is then checked by an
+    * oracle that recomputes the SAME values straight from parquet — any
+    * escaping/encoding loss in the round-trip hash-diverges. The corpus
+    * is ASCII, so the query PLANTS hard content on every 10th doc
+    * (quotes, comma, pipe, newline, tab, backslash, BMP unicode) in its
+    * own derivation, built identically in the oracle (de-vacuizing
+    * pattern). JSONL stays line-splittable at scale; multiLine CSV makes
+    * each file a single split — documented as the non-scale path.
+    */
+  private def sourceRoundtrip(s: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    val gnarly = " \"q,uo|te\"\nüñïçødé \\back\tslash"
+    val staged = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(gnarly)))
+          .otherwise(col("text")).as("text"))
+    val out = java.nio.file.Files.createTempDirectory(s"graft_src_$fmt")
+    val path = out.resolve("data").toString
+    val schema = staged.schema
+    fmt match {
+      case "json" => staged.write.mode("overwrite").json(path)
+      case _ => staged.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(path)
+    }
+    val back = fmt match {
+      case "json" => s.read.schema(schema).json(path)
+      case _ => s.read.schema(schema).option("header", "true")
+        .option("multiLine", "true").option("escape", "\"").csv(path)
+    }
+    val res = back.select(col("doc_id"), col("lang"),
+        length(col("text")).cast(IntegerType).as("n_chars_rt"),
+        md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // materialize before deleting the staged files
+    rmTreeQuiet(out)
+    res
+  }
+
+  private def rmTreeQuiet(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
+
+  private def sourceJsonlRoundtrip(s: SparkSession, dir: String): DataFrame =
+    sourceRoundtrip(s, dir, "json")
+
+  private def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame =
+    sourceRoundtrip(s, dir, "csv")
+
+  // both formats share one oracle: recompute the planted projection
+  // straight from parquet — a lossy round-trip cannot match it
+  private val sourceRoundtripSql =
+    """WITH p AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 10 = 0
+      |         THEN text || ' "q,uo|te"' || chr(10) || 'üñïçødé \back'
+      |                   || chr(9) || 'slash'
+      |         ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars_rt,
+      |  md5(text) AS fp
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Dataset-version snapshot diff (PipelineOps.snapshotDiff): the
     * added/removed/changed audit between two corpus releases, v2 derived
     * deterministically in the query's own derivation (de-vacuizing
@@ -5232,6 +5365,9 @@ object Queries {
     "sim_outlier_centroid" -> simOutlierCentroid _,
     "pipeline_dataset_diff" -> pipelineDatasetDiff _,
     "pipeline_quality_ridge" -> pipelineQualityRidge _,
+    "window_ewma" -> windowEwma _,
+    "source_jsonl_roundtrip" -> sourceJsonlRoundtrip _,
+    "source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "stream_quality_ridge" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamQualityRidge(s, dir)),
     "sim_knn_graph" -> simKnnGraph _,
@@ -5373,6 +5509,9 @@ object Queries {
     "sim_outlier_centroid" -> simOutlierCentroidSql,
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,
     "pipeline_quality_ridge" -> pipelineQualityRidgeSql,
+    "window_ewma" -> windowEwmaSql,
+    "source_jsonl_roundtrip" -> sourceRoundtripSql,
+    "source_csv_roundtrip" -> sourceRoundtripSql,
     // streamed model == batch model bit-exactly (additive integer
     // sufficient statistics), so the streaming run replays the SAME oracle
     "stream_quality_ridge" -> pipelineQualityRidgeSql,

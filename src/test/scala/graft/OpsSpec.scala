@@ -1815,6 +1815,57 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "unchanged"))
   }
 
+  test("source round-trips (jsonl, csv) are lossless on planted hard content") {
+    // direct recompute of the planted projection — NO round-trip
+    val gnarly = " \"q,uo|te\"\nüñïçødé \\back\tslash"
+    val direct = docs.select(col("doc_id"), col("lang"),
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(gnarly))).otherwise(col("text")).as("text"))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("int").as("n_chars_rt"),
+        md5(col("text")).as("fp"))
+      .orderBy(col("doc_id")).collect().map(_.toString)
+    assert(direct.exists(_.contains("slash")) == false) // fp/len only
+    for (q <- Seq("source_jsonl_roundtrip", "source_csv_roundtrip")) {
+      val rt = SparkEntry.queries(q)(spark, dir).collect().map(_.toString)
+      assert(rt.toSeq == direct.toSeq, s"$q lost content in the round-trip")
+    }
+  }
+
+  test("ewma: exact BigInt recompute and pandas adjust=True semantics") {
+    val out = SparkEntry.queries("window_ewma")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    // group daily integer totals driver-side and replay the exact fold
+    val daily = graft.streaming.StreamingOps.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+          .cast("long").as("v4"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v4")).as("d4")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), BigInt(r.getLong(2)))).toMap
+    val series = daily.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    out.foreach { case (et, day, dv, n, ewma) =>
+      val days = series(et)
+      val idx = days.indexOf(day)
+      val win = days.slice(math.max(0, idx - 31), idx + 1)
+      assert(win.size == n)
+      val num = win.zipWithIndex
+        .map { case (d, i) => daily((et, d)) * (BigInt(1) << i) }.sum
+      val denom = ((BigInt(1) << n) - 1) * 10000
+      val expected =
+        java.lang.Double.parseDouble(num.toString) / denom.toDouble
+      assert(ewma == expected, s"($et,$day): $ewma != exact $expected")
+      assert(dv == java.lang.Double.parseDouble(daily((et, day)).toString) / 10000.0)
+      // a weighted mean must sit inside the window's value range
+      val lo = win.map(d => daily((et, d))).min.toDouble / 10000.0
+      val hi = win.map(d => daily((et, d))).max.toDouble / 10000.0
+      assert(ewma >= lo - 1e-9 && ewma <= hi + 1e-9)
+    }
+  }
+
   test("semdedup: witness is the LOWEST qualifying lower-id neighbor; kept iff none") {
     val tau = 0.3
     val out = Similarity.semDedupPrune(embeddings, threshold = tau).collect()

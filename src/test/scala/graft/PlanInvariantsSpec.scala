@@ -219,6 +219,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"anti-joins must broadcast the small drop sets:\n${p.take(1200)}")
   }
 
+  test("ewma: one map-combined event shuffle; window runs on the groups-sized daily frame") {
+    val p = plan("window_ewma")
+    assert(p.contains("partial_"), s"daily totals must map-side combine:\n${p.take(800)}")
+    assert(countExchanges(p) <= 3, s"expected agg + window + sort exchanges only:\n$p")
+  }
+
   test("centroid outliers never shuffle the corpus: literal-centroid argmax + TakeOrdered") {
     // training collects its bounded sample eagerly; the RETURNED plan is a
     // pure scan + projection whose only ordering step is the global top-N
