@@ -5366,6 +5366,8 @@ object Queries {
     "pipeline_dataset_diff" -> pipelineDatasetDiff _,
     "pipeline_quality_ridge" -> pipelineQualityRidge _,
     "window_ewma" -> windowEwma _,
+    "stream_dataset_diff" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamDatasetDiff(s, dir)),
     "source_jsonl_roundtrip" -> sourceJsonlRoundtrip _,
     "source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "stream_quality_ridge" -> ((s: SparkSession, dir: String) =>
@@ -5510,6 +5512,9 @@ object Queries {
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,
     "pipeline_quality_ridge" -> pipelineQualityRidgeSql,
     "window_ewma" -> windowEwmaSql,
+    // per-row verdicts vs static v1 + an at-close anti-join reproduce the
+    // batch diff bit-exactly under any chunking — same oracle verbatim
+    "stream_dataset_diff" -> pipelineDatasetDiffSql,
     "source_jsonl_roundtrip" -> sourceRoundtripSql,
     "source_csv_roundtrip" -> sourceRoundtripSql,
     // streamed model == batch model bit-exactly (additive integer

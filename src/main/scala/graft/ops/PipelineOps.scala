@@ -284,9 +284,26 @@ object PipelineOps {
     * totals ride back on a broadcast of the ≤3-row count table.
     */
   def snapshotDiff(docs: DataFrame): DataFrame = {
+    val joined = v1Fingerprints(docs)
+      .join(v2Fingerprints(docs), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp2").isNull, "removed")
+          .when(col("fp1").isNull, "added")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+    withStatusTotals(joined.where(col("status") =!= "unchanged"))
+  }
+
+  /** The v1 side of the diff: (doc_id, md5 fingerprint) at scan. */
+  private[graft] def v1Fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp1"))
+
+  /** The derived v2 release as (doc_id, fp2) — shared by the batch diff
+    * and its streaming twin so the derivation cannot drift.
+    */
+  private[graft] def v2Fingerprints(docs: DataFrame): DataFrame = {
     val h = pmod(graft.functions.HashOps.md5Low64(
       concat(lit("v2|"), col("doc_id").cast(StringType))), lit(20L))
-    val v1 = docs.select(col("doc_id"), md5(col("text")).as("fp1"))
     val hd = docs.withColumn("h", h)
     val carried = hd.where(col("h") =!= 0)
       .select(col("doc_id"),
@@ -296,13 +313,11 @@ object PipelineOps {
       .select((col("doc_id") + lit(100000000L)).as("doc_id"),
         md5(concat(lit("added doc "), col("doc_id").cast(StringType)))
           .as("fp2"))
-    val joined = v1.join(carried.unionByName(added), Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        when(col("fp2").isNull, "removed")
-          .when(col("fp1").isNull, "added")
-          .when(col("fp1") =!= col("fp2"), "changed")
-          .otherwise("unchanged").as("status"))
-    val delta = joined.where(col("status") =!= "unchanged")
+    carried.unionByName(added)
+  }
+
+  /** Attach per-status totals (≤3-row broadcast) and canonical order. */
+  private[graft] def withStatusTotals(delta: DataFrame): DataFrame = {
     val counts = delta.groupBy(col("status"))
       .agg(count(lit(1)).as("status_total"))
     delta.join(broadcast(counts), Seq("status"))

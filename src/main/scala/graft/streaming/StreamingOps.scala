@@ -1689,6 +1689,79 @@ object StreamingOps {
       QualityModel.score(QualityModel.features(docs), QualityModel.solve(st))
     }
 
+  /** STREAMING corpus-release diff: the version-2 release's fingerprints
+    * arrive as a file stream. The per-row verdicts (added / changed /
+    * unchanged) are decidable ON ARRIVAL against the static v1
+    * fingerprint table, so each micro-batch emits them immediately —
+    * idempotently, one overwritten partition directory per batchId, so an
+    * at-least-once replay cannot duplicate a verdict — while the arriving
+    * keys accumulate to a DISK table (never driver memory). `removed`, the
+    * one verdict that needs v2 COMPLETENESS, is a single anti-join at
+    * stream close. Every verdict is a per-row function of (row, v1) and
+    * the removed set is a function of the v2 SET, so the final frame is
+    * BIT-IDENTICAL to the batch [[graft.ops.PipelineOps.snapshotDiff]]
+    * under any chunking — and replays the batch DuckDB oracle verbatim.
+    *
+    * Scale shape: at 100 TB the v1 side is bucketed by the snapshot key,
+    * making each per-batch lookup join co-located; the accumulated delta /
+    * seen tables are the CDC-ingest append pattern (the
+    * stream_ivfpq_upsert discipline), partitioned by batch.
+    */
+  def streamDatasetDiff(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
+      import graft.ops.PipelineOps
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val v1 = PipelineOps.v1Fingerprints(docs).persist()
+      val v2 = PipelineOps.v2Fingerprints(docs)
+      val nV2 = docs.count() // v2 cardinality ~ corpus (19/20 carried + adds)
+      val nChunks = math.max(3L, math.min(96L, nV2 / 50000L)).toInt
+      val tmp = stagedCorpus(dir, "diffv2") { t =>
+        stageParts(v2, t, "chunk", nChunks, col("doc_id"))
+      }
+      val work = java.nio.file.Files.createTempDirectory("graft_diff_stream")
+      val deltaDir = work.resolve("delta")
+      val seenDir = work.resolve("seen")
+      val nSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stream = spark.readStream.schema(v2.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", math.max(1, nChunks / 3))
+        .parquet(tmp.toString)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val arr = batch.toDF()
+          val verdicts = arr.join(v1, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              when(col("fp1").isNull, "added")
+                .when(col("fp1") =!= col("fp2"), "changed")
+                .otherwise("unchanged").as("status"))
+            .where(col("status") =!= "unchanged")
+          verdicts.write.mode("overwrite")
+            .parquet(deltaDir.resolve(s"bid=$batchId").toString)
+          arr.select(col("doc_id")).write.mode("overwrite")
+            .parquet(seenDir.resolve(s"bid=$batchId").toString)
+          nSeen.incrementAndGet()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      require(nSeen.get >= 2,
+        s"chunked staging must yield multiple micro-batches, got ${nSeen.get}")
+      val seenAll = spark.read.parquet(seenDir.toString).select(col("doc_id"))
+      val removed = v1.join(seenAll, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("removed").as("status"))
+      val delta = spark.read.parquet(deltaDir.toString)
+        .select(col("doc_id"), col("status"))
+        .unionByName(removed)
+      val out = PipelineOps.withStatusTotals(delta)
+        .localCheckpoint() // materialize before the temp tables go away
+      v1.unpersist()
+      deleteRecursively(work)
+      out
+    }
+
   /** STREAMING group-wise quantile estimation: per-micro-batch bottom-k
     * buffers (graft.ops.BottomKSample) merged into a per-group accumulator.
     * "k smallest hashes of the union" is merge-order INDEPENDENT, so the

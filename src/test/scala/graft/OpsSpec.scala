@@ -1815,6 +1815,15 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "unchanged"))
   }
 
+  test("streamed dataset diff is bit-equal to the batch snapshot diff") {
+    val streamed = graft.streaming.StreamingOps.streamDatasetDiff(spark, dir)
+      .collect().map(_.toString)
+    val batch = graft.ops.PipelineOps.snapshotDiff(docs)
+      .collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      "per-arrival verdicts + at-close anti-join must reproduce the batch diff")
+  }
+
   test("source round-trips (jsonl, csv) are lossless on planted hard content") {
     // direct recompute of the planted projection — NO round-trip
     val gnarly = " \"q,uo|te\"\nüñïçødé \\back\tslash"
