@@ -3801,11 +3801,13 @@ object Queries {
     val schema = staged.schema
     fmt match {
       case "json" => staged.write.mode("overwrite").json(path)
+      case "orc" => staged.write.mode("overwrite").orc(path)
       case _ => staged.write.mode("overwrite")
         .option("header", "true").option("escape", "\"").csv(path)
     }
     val back = fmt match {
       case "json" => s.read.schema(schema).json(path)
+      case "orc" => s.read.schema(schema).orc(path)
       case _ => s.read.schema(schema).option("header", "true")
         .option("multiLine", "true").option("escape", "\"").csv(path)
     }
@@ -3833,6 +3835,9 @@ object Queries {
 
   private def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame =
     sourceRoundtrip(s, dir, "csv")
+
+  private def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame =
+    sourceRoundtrip(s, dir, "orc")
 
   // both formats share one oracle: recompute the planted projection
   // straight from parquet — a lossy round-trip cannot match it
@@ -5370,6 +5375,7 @@ object Queries {
       graft.streaming.StreamingOps.streamDatasetDiff(s, dir)),
     "source_jsonl_roundtrip" -> sourceJsonlRoundtrip _,
     "source_csv_roundtrip" -> sourceCsvRoundtrip _,
+    "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "stream_quality_ridge" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamQualityRidge(s, dir)),
     "sim_knn_graph" -> simKnnGraph _,
@@ -5517,6 +5523,7 @@ object Queries {
     "stream_dataset_diff" -> pipelineDatasetDiffSql,
     "source_jsonl_roundtrip" -> sourceRoundtripSql,
     "source_csv_roundtrip" -> sourceRoundtripSql,
+    "source_orc_roundtrip" -> sourceRoundtripSql,
     // streamed model == batch model bit-exactly (additive integer
     // sufficient statistics), so the streaming run replays the SAME oracle
     "stream_quality_ridge" -> pipelineQualityRidgeSql,

@@ -1835,7 +1835,8 @@ class OpsSpec extends AnyFunSuite {
         md5(col("text")).as("fp"))
       .orderBy(col("doc_id")).collect().map(_.toString)
     assert(direct.exists(_.contains("slash")) == false) // fp/len only
-    for (q <- Seq("source_jsonl_roundtrip", "source_csv_roundtrip")) {
+    for (q <- Seq("source_jsonl_roundtrip", "source_csv_roundtrip",
+        "source_orc_roundtrip")) {
       val rt = SparkEntry.queries(q)(spark, dir).collect().map(_.toString)
       assert(rt.toSeq == direct.toSeq, s"$q lost content in the round-trip")
     }
