@@ -3790,11 +3790,19 @@ object Queries {
     */
   private def sourceRoundtrip(s: SparkSession, dir: String,
       fmt: String): DataFrame = {
+    // three plant classes (see sourceRoundtripSql): gnarly escaping
+    // content, whitespace-EDGED text (catches the CSV writer/reader's
+    // default trim of unquoted fields — quoting never protects it, so
+    // ignore*WhiteSpace must be off; review r6), and fully EMPTY text
+    // (catches the CSV empty-vs-null ambiguity)
     val gnarly = " \"q,uo|te\"\nüñïçødé \\back\tslash"
     val staged = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         when(pmod(col("doc_id"), lit(10)) === 0,
           concat(col("text"), lit(gnarly)))
+          .when(pmod(col("doc_id"), lit(10)) === 5,
+            concat(lit(" "), col("text"), lit("  ")))
+          .when(pmod(col("doc_id"), lit(10)) === 3, lit(""))
           .otherwise(col("text")).as("text"))
     val out = java.nio.file.Files.createTempDirectory(s"graft_src_$fmt")
     val path = out.resolve("data").toString
@@ -3803,13 +3811,23 @@ object Queries {
       case "json" => staged.write.mode("overwrite").json(path)
       case "orc" => staged.write.mode("overwrite").orc(path)
       case _ => staged.write.mode("overwrite")
-        .option("header", "true").option("escape", "\"").csv(path)
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
     }
     val back = fmt match {
       case "json" => s.read.schema(schema).json(path)
       case "orc" => s.read.schema(schema).orc(path)
       case _ => s.read.schema(schema).option("header", "true")
-        .option("multiLine", "true").option("escape", "\"").csv(path)
+        .option("multiLine", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        // the corpus has no nulls: point nullValue at an impossible
+        // sentinel so "" parses back as the empty STRING (the default
+        // nullValue "" would resurrect empty text as null)
+        .option("nullValue", "\u0001")
+        .csv(path)
     }
     val res = back.select(col("doc_id"), col("lang"),
         length(col("text")).cast(IntegerType).as("n_chars_rt"),
@@ -3821,14 +3839,7 @@ object Queries {
   }
 
   private def rmTreeQuiet(p: java.nio.file.Path): Unit =
-    try {
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
-        finally walk.close()
-      }
-    } catch { case _: java.io.IOException => () }
+    graft.util.Fs.deleteRecursively(p)
 
   private def sourceJsonlRoundtrip(s: SparkSession, dir: String): DataFrame =
     sourceRoundtrip(s, dir, "json")
@@ -3847,6 +3858,8 @@ object Queries {
       |    CASE WHEN doc_id % 10 = 0
       |         THEN text || ' "q,uo|te"' || chr(10) || 'üñïçødé \back'
       |                   || chr(9) || 'slash'
+      |         WHEN doc_id % 10 = 5 THEN ' ' || text || '  '
+      |         WHEN doc_id % 10 = 3 THEN ''
       |         ELSE text END AS text
       |  FROM documents)
       |SELECT doc_id, lang, CAST(length(text) AS INT) AS n_chars_rt,

@@ -316,12 +316,15 @@ object PipelineOps {
     carried.unionByName(added)
   }
 
-  /** Attach per-status totals (≤3-row broadcast) and canonical order. */
-  private[graft] def withStatusTotals(delta: DataFrame): DataFrame = {
-    val counts = delta.groupBy(col("status"))
-      .agg(count(lit(1)).as("status_total"))
-    delta.join(broadcast(counts), Seq("status"))
+  /** Attach per-status totals and canonical order. A window count over
+    * the ≤3 statuses, not a groupBy+self-join — the join form executed
+    * the corpus-sized fingerprint join TWICE per action (once under the
+    * counts side, once under the output side; review r6). The delta is
+    * the change set, so the 3-partition window shuffle is delta-sized.
+    */
+  private[graft] def withStatusTotals(delta: DataFrame): DataFrame =
+    delta.withColumn("status_total",
+        count(lit(1)).over(Window.partitionBy(col("status"))))
       .select(col("doc_id"), col("status"), col("status_total"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -152,7 +152,8 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     prepared(embeddings)
       .withColumn("best", bestBucket(centArr))
-      .select(col("vec_id"), col("v"), col("best.bucket").as("bucket"))
+      .select(col("vec_id"), col("v"), col("best.bucket").as("bucket"),
+        col("best.sim").as("centroid_cosine"))
   }
 
   /** (sim, −bucket, bucket) argmax over a driver-local centroid array as a
@@ -185,17 +186,11 @@ object Similarity {
     * sim_cosine_ivf oracle chain replays it bit-exactly.
     */
   def centroidOutliers(embeddings: DataFrame, nBuckets: Int = 16,
-      topN: Int = 50): DataFrame = {
-    val centArr: Seq[(Long, Seq[Double])] =
-      trainCentroids(embeddings, nBuckets).orderBy(col("bucket"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    prepared(embeddings)
-      .withColumn("best", bestBucket(centArr))
-      .select(col("vec_id"), col("best.bucket").as("bucket"),
-        col("best.sim").as("centroid_cosine"))
+      topN: Int = 50): DataFrame =
+    assignBuckets(embeddings, nBuckets)
+      .select(col("vec_id"), col("bucket"), col("centroid_cosine"))
       .orderBy(col("centroid_cosine").asc, col("vec_id").asc)
       .limit(topN)
-  }
 
   /** Exact k-NN neighbor graph WITHIN a blocking key — the SemDeDup /
     * embedding-clustering primitive: block the corpus (here the labeled

@@ -44,14 +44,7 @@ object TableLayout {
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]
   locally {
     val _ = sys.addShutdownHook {
-      tmpDirs.forEach { p =>
-        try {
-          val walk = java.nio.file.Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
-          finally walk.close()
-        } catch { case _: java.io.IOException => () }
-      }
+      tmpDirs.forEach(graft.util.Fs.deleteRecursively(_))
     }
   }
 

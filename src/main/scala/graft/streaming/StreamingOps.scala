@@ -82,7 +82,7 @@ object StreamingOps {
     */
   private def fullParallelism(outer: SparkSession): Int =
     try outer.conf.get("spark.sql.shuffle.partitions").toInt
-    catch { case _: Throwable => 32 }
+    catch { case scala.util.control.NonFatal(_) => 32 }
 
   private def withStreamingPartitions[A](spark: SparkSession, n: Int)(body: SparkSession => A): A = {
     // ONE cached child per (caller session, n): repeated invocations reuse
@@ -154,14 +154,7 @@ object StreamingOps {
     * disk, and Bench alone runs every streaming query three times.
     */
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    try {
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach { f => java.nio.file.Files.deleteIfExists(f); () }
-        finally walk.close()
-      }
-    } catch { case _: java.io.IOException => () }
+    graft.util.Fs.deleteRecursively(p)
 
   /** Staged-corpus caches (r5 VERDICT #4): Bench runs every streaming query
     * three times, and each run re-wrote IDENTICAL staged chunk files — 14
@@ -243,8 +236,9 @@ object StreamingOps {
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"), col("n_chars"))
 
-  /** Parallel-staged micro-batch corpus of [[stagedDocsFrame]]: ~50k docs
-    * per file, self-sized from the footer-only count (see [[stageParts]]).
+  /** Parallel-staged micro-batch corpus of [[stagedDocsFrame]]: ~5k docs
+    * per file until the 96-file cap binds (~52k docs/file at the 1000×
+    * decade), self-sized from the footer-only count (see [[stageParts]]).
     * Files are deliberately SMALLER than a micro-batch: the file-stream
     * source gives one input split per file, so within-batch parallelism
     * comes from reading `filesPerTrigger` files per trigger — one big file
@@ -1528,29 +1522,36 @@ object StreamingOps {
     }
   }
 
-  /** One restartable Count-Min accumulation run over a staged directory:
-    * returns (accumulated matrix, total folded batch count including
-    * restored history). Split from [[streamCountMin]] so the kill-resume
-    * test can drive it in phases against one checkpoint.
+  /** The ONE restartable driver-fold runner (review r6: countMinRun /
+    * ridgeRun / bottomKRun had grown three copies of this scaffold): a
+    * staged directory arrives as a file stream, each micro-batch is
+    * folded to a driver-small summary `S`, and summaries merge into an
+    * accumulator whose final value must be independent of chunking and
+    * arrival order (the caller's algebra guarantees it: additive matrix,
+    * additive integer sums, keyed set-deterministic buffers).
+    *
+    * foreachBatch is AT-LEAST-ONCE: a retried micro-batch arrives with
+    * the SAME batchId, and merging it twice would silently break the
+    * claimed bit-equality with the one-pass batch computation — so
+    * batchIds are recorded (and checkpointed, see [[ckptSave]]) and
+    * replays skipped. Returns (accumulated S, distinct folded batch
+    * count including restored history).
     */
-  private[graft] def countMinRun(
+  private def driverFoldRun[S](
       spark: SparkSession, srcDir: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType,
       checkpoint: Option[java.nio.file.Path],
-      filesPerTrigger: Int = 1): (Array[Long], Int) = {
-    import graft.ops.{CountMin, Sketches}
-    val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
-      val n = in.readInt()
-      Array.fill(n)(in.readLong())
-    })
-    val total = restored.map(_._2)
-      .getOrElse(new Array[Long](CountMin.d * CountMin.w))
-    // foreachBatch is AT-LEAST-ONCE: a retried micro-batch arrives with
-    // the SAME batchId, and adding its matrix twice would silently break
-    // the claimed bit-equality with the batch sketch — so batchIds are
-    // recorded (and checkpointed) and replays skipped.
+      filesPerTrigger: Int,
+      zero: => S,
+      foldBatch: DataFrame => S,
+      merge: (S, S) => S,
+      save: (java.io.DataOutputStream, S) => Unit,
+      load: java.io.DataInputStream => S): (S, Int) = {
+    val restored = checkpoint.flatMap(c => ckptLoad(c)(load))
+    var acc = restored.map(_._2).getOrElse(zero)
     val seen = scala.collection.mutable.Set.empty[Long]
     restored.foreach(r => seen ++= r._1)
+    val lock = new Object
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", filesPerTrigger)
@@ -1558,16 +1559,12 @@ object StreamingOps {
     var w = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!total.synchronized(seen.contains(batchId))) {
-          val part = Sketches.countMinSketch(batch.toDF())
-          total.synchronized {
+        if (!lock.synchronized(seen.contains(batchId))) {
+          val part = foldBatch(batch.toDF())
+          lock.synchronized {
             if (seen.add(batchId)) {
-              var i = 0
-              while (i < total.length) { total(i) += part(i); i += 1 }
-              checkpoint.foreach(c => ckptSave(c, seen) { out =>
-                out.writeInt(total.length)
-                total.foreach(out.writeLong)
-              })
+              acc = merge(acc, part)
+              checkpoint.foreach(c => ckptSave(c, seen)(out => save(out, acc)))
             }
           }
         }
@@ -1579,7 +1576,26 @@ object StreamingOps {
     val q = w.start()
     q.processAllAvailable()
     q.stop()
-    (total, total.synchronized(seen.size))
+    (lock.synchronized(acc), lock.synchronized(seen.size))
+  }
+
+  /** One restartable Count-Min accumulation run over a staged directory
+    * ([[driverFoldRun]] with the purely additive matrix algebra). Split
+    * from [[streamCountMin]] so the kill-resume test can drive it in
+    * phases against one checkpoint.
+    */
+  private[graft] def countMinRun(
+      spark: SparkSession, srcDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpoint: Option[java.nio.file.Path],
+      filesPerTrigger: Int = 1): (Array[Long], Int) = {
+    import graft.ops.{CountMin, Sketches}
+    driverFoldRun[Array[Long]](spark, srcDir, schema, checkpoint, filesPerTrigger,
+      zero = new Array[Long](CountMin.d * CountMin.w),
+      foldBatch = b => Sketches.countMinSketch(b),
+      merge = (a, b) => Array.tabulate(a.length)(i => a(i) + b(i)),
+      save = (out, s) => { out.writeInt(s.length); s.foreach(out.writeLong) },
+      load = in => { val n = in.readInt(); Array.fill(n)(in.readLong()) })
   }
 
   /** STREAMING Count-Min accumulation: the corpus arrives as a file stream
@@ -1626,43 +1642,18 @@ object StreamingOps {
       checkpoint: Option[java.nio.file.Path],
       filesPerTrigger: Int = 1): (graft.ops.QualityModel.Stats, Int) = {
     import graft.ops.QualityModel
-    val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
-      val v = Vector.fill(9)(BigInt(in.readUTF()))
-      QualityModel.Stats(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8))
-    })
-    var acc = restored.map(_._2).getOrElse(QualityModel.Stats.zero)
-    val seen = scala.collection.mutable.Set.empty[Long]
-    restored.foreach(r => seen ++= r._1)
-    val lock = new Object
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(srcDir.toString)
-    var w = stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!lock.synchronized(seen.contains(batchId))) {
-          val part = QualityModel.sufficient(QualityModel.features(batch.toDF()))
-          lock.synchronized {
-            if (seen.add(batchId)) {
-              acc = acc |+| part
-              checkpoint.foreach(c => ckptSave(c, seen) { out =>
-                Seq(acc.n, acc.s1, acc.s2, acc.s11, acc.s12, acc.s22,
-                  acc.t0, acc.t1, acc.t2)
-                  .foreach(x => out.writeUTF(x.toString))
-              })
-            }
-          }
-        }
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-    checkpoint.foreach(c =>
-      w = w.option("checkpointLocation", c.resolve("engine").toString))
-    val q = w.start()
-    q.processAllAvailable()
-    q.stop()
-    (lock.synchronized(acc), lock.synchronized(seen.size))
+    driverFoldRun[QualityModel.Stats](spark, srcDir, schema, checkpoint,
+      filesPerTrigger,
+      zero = QualityModel.Stats.zero,
+      foldBatch = b => QualityModel.sufficient(QualityModel.features(b)),
+      merge = _ |+| _,
+      save = (out, s) =>
+        Seq(s.n, s.s1, s.s2, s.s11, s.s12, s.s22, s.t0, s.t1, s.t2)
+          .foreach(x => out.writeUTF(x.toString)),
+      load = in => {
+        val v = Vector.fill(9)(BigInt(in.readUTF()))
+        QualityModel.Stats(v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8))
+      })
   }
 
   /** STREAMING quality-model refresh: the corpus arrives as a file stream
@@ -1721,7 +1712,9 @@ object StreamingOps {
       val work = java.nio.file.Files.createTempDirectory("graft_diff_stream")
       val deltaDir = work.resolve("delta")
       val seenDir = work.resolve("seen")
-      val nSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+      // distinct batchIds, not invocation count: an at-least-once replay
+      // of one batch must not satisfy the multi-batch guard (review r6)
+      val seenIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
       val stream = spark.readStream.schema(v2.schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", math.max(1, nChunks / 3))
@@ -1740,15 +1733,15 @@ object StreamingOps {
             .parquet(deltaDir.resolve(s"bid=$batchId").toString)
           arr.select(col("doc_id")).write.mode("overwrite")
             .parquet(seenDir.resolve(s"bid=$batchId").toString)
-          nSeen.incrementAndGet()
+          seenIds.add(batchId)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.processAllAvailable()
       q.stop()
-      require(nSeen.get >= 2,
-        s"chunked staging must yield multiple micro-batches, got ${nSeen.get}")
+      require(seenIds.size >= 2,
+        s"chunked staging must yield multiple micro-batches, got ${seenIds.size}")
       val seenAll = spark.read.parquet(seenDir.toString).select(col("doc_id"))
       val removed = v1.join(seenAll, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit("removed").as("status"))
@@ -1785,60 +1778,38 @@ object StreamingOps {
       filesPerTrigger: Int = 1): (Map[String, Array[Long]], Int) = {
     import graft.ops.BottomKSample
     val bk = new BottomKSample(256)
-    val restored = checkpoint.flatMap(c => ckptLoad(c) { in =>
-      val n = in.readInt()
-      (0 until n).map { _ =>
-        val key = in.readUTF()
-        val m = in.readInt()
-        key -> Array.fill(m)(in.readLong())
-      }.toMap
-    })
-    val acc = scala.collection.mutable.Map.empty[String, Array[Long]]
-    restored.foreach(r => acc ++= r._2)
-    val seen = scala.collection.mutable.Set.empty[Long]
-    restored.foreach(r => seen ++= r._1)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .parquet(srcDir.toString)
-    var w = stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!acc.synchronized(seen.contains(batchId))) {
-          val session = batch.sparkSession
-          import session.implicits._
-          val parts = batch
-            .select(col("event_type"), col("event_id"), col("value"))
-            .as[(String, Long, Double)]
-            .groupByKey(_._1)
-            .agg(bk.toColumn.name("bk"))
-            .collect()
-          acc.synchronized {
-            if (seen.add(batchId)) {
-              parts.foreach { case (et, b) =>
-                acc(et) = acc.get(et).map(a => bk.merge(a, b)).getOrElse(b)
-              }
-              checkpoint.foreach(c => ckptSave(c, seen) { out =>
-                val entries = acc.toSeq.sortBy(_._1)
-                out.writeInt(entries.size)
-                entries.foreach { case (key, arr) =>
-                  out.writeUTF(key)
-                  out.writeInt(arr.length)
-                  arr.foreach(out.writeLong)
-                }
-              })
-            }
-          }
+    driverFoldRun[Map[String, Array[Long]]](spark, srcDir, schema, checkpoint,
+      filesPerTrigger,
+      zero = Map.empty,
+      foldBatch = { b =>
+        val session = b.sparkSession
+        import session.implicits._
+        b.select(col("event_type"), col("event_id"), col("value"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .agg(bk.toColumn.name("bk"))
+          .collect().toMap
+      },
+      merge = (a, p) => a ++ p.map { case (et, buf) =>
+        et -> a.get(et).map(x => bk.merge(x, buf)).getOrElse(buf)
+      },
+      save = (out, s) => {
+        val entries = s.toSeq.sortBy(_._1)
+        out.writeInt(entries.size)
+        entries.foreach { case (key, arr) =>
+          out.writeUTF(key)
+          out.writeInt(arr.length)
+          arr.foreach(out.writeLong)
         }
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-    checkpoint.foreach(c =>
-      w = w.option("checkpointLocation", c.resolve("engine").toString))
-    val q = w.start()
-    q.processAllAvailable()
-    q.stop()
-    (acc.synchronized(acc.toMap), acc.synchronized(seen.size))
+      },
+      load = in => {
+        val n = in.readInt()
+        (0 until n).map { _ =>
+          val key = in.readUTF()
+          val m = in.readInt()
+          key -> Array.fill(m)(in.readLong())
+        }.toMap
+      })
   }
 
   def streamQuantileBottomK(outer: SparkSession, dir: String,

@@ -1829,7 +1829,11 @@ class OpsSpec extends AnyFunSuite {
     val gnarly = " \"q,uo|te\"\nüñïçødé \\back\tslash"
     val direct = docs.select(col("doc_id"), col("lang"),
         when(pmod(col("doc_id"), lit(10)) === 0,
-          concat(col("text"), lit(gnarly))).otherwise(col("text")).as("text"))
+          concat(col("text"), lit(gnarly)))
+          .when(pmod(col("doc_id"), lit(10)) === 5,
+            concat(lit(" "), col("text"), lit("  ")))
+          .when(pmod(col("doc_id"), lit(10)) === 3, lit(""))
+          .otherwise(col("text")).as("text"))
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("int").as("n_chars_rt"),
         md5(col("text")).as("fp"))

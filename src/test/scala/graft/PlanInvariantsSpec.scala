@@ -244,12 +244,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrdered"), s"top-N must be TakeOrdered:\n${p.take(800)}")
   }
 
-  test("snapshot diff: fingerprints at scan, one equi-join, counts broadcast back") {
+  test("snapshot diff: fingerprints at scan, ONE corpus join, window totals") {
     val p = plan("pipeline_dataset_diff")
     forbidden.foreach(op =>
       assert(!p.contains(op), s"pipeline_dataset_diff plan contains $op:\n${p.take(1200)}"))
-    assert(p.contains("BroadcastHashJoin"),
-      s"per-status totals must broadcast:\n${p.take(1200)}")
+    // per-status totals come from a delta-sized window, not a groupBy +
+    // self-join that would execute the fingerprint join twice per action
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"the full-outer fingerprint join must appear exactly once:\n${p.take(1500)}")
+    assert(p.contains("Window"), s"totals must be a window count:\n${p.take(800)}")
   }
 
   test("IVF query plan never shuffles the corpus: assignment is a map-side argmax") {
