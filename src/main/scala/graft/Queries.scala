@@ -3866,6 +3866,55 @@ object Queries {
       |  md5(text) AS fp
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** k-anonymity audit (Sweeney 2002) over the customer quasi-identifier
+    * (nation, market segment, negative-balance flag): any group smaller
+    * than k re-identifies its members, and the generalization ladder's
+    * next rung (nation → region via the broadcast dim) shows per group
+    * whether coarsening resolves it — the structured privacy gate a
+    * dataset release runs next to text_pii_scrub. Cost: ONE map-side-
+    * combined aggregation over the fact table, then a window over the
+    * ~250-group frame; at 100 TB nothing but group counts ever shuffles.
+    * 81/201 groups are at risk at sf0.01, 3/250 at sf0.1 — non-vacuous
+    * at every tested dir.
+    */
+  private def diagKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 6
+    val cust = t(s, dir, "customer").select(col("c_nationkey"),
+      col("c_mktsegment"), (col("c_acctbal") < 0).as("neg_bal"))
+    val nation = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val g = cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_nationkey"), col("n_regionkey"),
+        col("c_mktsegment"), col("neg_bal"))
+      .agg(count(lit(1)).as("n_l1"))
+    val w = Window.partitionBy(col("n_regionkey"), col("c_mktsegment"),
+      col("neg_bal"))
+    g.withColumn("n_l2", sum(col("n_l1")).over(w))
+      .select(col("c_nationkey").as("nationkey"),
+        col("n_regionkey").as("regionkey"),
+        col("c_mktsegment").as("segment"), col("neg_bal"),
+        col("n_l1"), (col("n_l1") < k).as("at_risk"),
+        col("n_l2"),
+        (col("n_l2") >= k).as("resolved_by_generalization"))
+      .orderBy(col("nationkey"), col("segment"), col("neg_bal"))
+  }
+
+  private val diagKAnonymitySql =
+    """WITH g AS (
+      |  SELECT c_nationkey AS nationkey, n_regionkey AS regionkey,
+      |    c_mktsegment AS segment, (c_acctbal < 0) AS neg_bal,
+      |    count(*) AS n_l1
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT nationkey, regionkey, segment, neg_bal, n_l1,
+      |  (n_l1 < 6) AS at_risk,
+      |  CAST(sum(n_l1) OVER (PARTITION BY regionkey, segment, neg_bal)
+      |    AS BIGINT) AS n_l2,
+      |  (CAST(sum(n_l1) OVER (PARTITION BY regionkey, segment, neg_bal)
+      |    AS BIGINT) >= 6) AS resolved_by_generalization
+      |FROM g ORDER BY nationkey, segment, neg_bal""".stripMargin
+
   /** Dataset-version snapshot diff (PipelineOps.snapshotDiff): the
     * added/removed/changed audit between two corpus releases, v2 derived
     * deterministically in the query's own derivation (de-vacuizing
@@ -5386,9 +5435,12 @@ object Queries {
     "window_ewma" -> windowEwma _,
     "stream_dataset_diff" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamDatasetDiff(s, dir)),
+    "stream_ewma" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamEwma(s, dir)),
     "source_jsonl_roundtrip" -> sourceJsonlRoundtrip _,
     "source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
+    "diag_k_anonymity" -> diagKAnonymity _,
     "stream_quality_ridge" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamQualityRidge(s, dir)),
     "sim_knn_graph" -> simKnnGraph _,
@@ -5534,9 +5586,13 @@ object Queries {
     // per-row verdicts vs static v1 + an at-close anti-join reproduce the
     // batch diff bit-exactly under any chunking — same oracle verbatim
     "stream_dataset_diff" -> pipelineDatasetDiffSql,
+    // bounded 32-long ring state + the same exact fold/division as the
+    // batch window => bit-identical frame, same oracle verbatim
+    "stream_ewma" -> windowEwmaSql,
     "source_jsonl_roundtrip" -> sourceRoundtripSql,
     "source_csv_roundtrip" -> sourceRoundtripSql,
     "source_orc_roundtrip" -> sourceRoundtripSql,
+    "diag_k_anonymity" -> diagKAnonymitySql,
     // streamed model == batch model bit-exactly (additive integer
     // sufficient statistics), so the streaming run replays the SAME oracle
     "stream_quality_ridge" -> pipelineQualityRidgeSql,

@@ -32,6 +32,13 @@ case class SimhashPairOut(doc_a: Long, doc_b: Long, hamming: Int)
 case class IngestDoc(fp: String, doc_id: Long, lang: String)
 case class IngestOut(doc_id: Long, lang: String, fp: String)
 
+/** stream_ewma: one closed day of a series, exact fixed-point total. */
+case class EwmaDay(event_type: String, day: Long, d4: Long)
+/** stream_ewma state: the last ≤32 daily totals, oldest first. */
+case class EwmaRing(ring: Seq[Long])
+case class EwmaOut(event_type: String, day: Long, daily_value: Double,
+    n_window: Int, ewma: Double)
+
 /** stream_anomaly_zscore: one arriving event (hour-truncated micros). */
 case class AnomalyEvent(event_type: String, hour_us: Long, event_id: Long)
 
@@ -1753,6 +1760,80 @@ object StreamingOps {
       v1.unpersist()
       deleteRecursively(work)
       out
+    }
+
+  /** STREAMING EWMA: the daily-close feed (exact fixed-point totals per
+    * series per day, the shape a downstream consumes from a daily
+    * aggregation job) arrives in day order across micro-batches; per-key
+    * state is the last ≤32 totals — O(32 longs) per series, the truncated
+    * window made explicit as BOUNDED state. Each arriving day emits its
+    * smoothed value via the identical exact-integer fold + single
+    * string-routed division as the batch window_ewma (α=1/2 ⇒ power-of-two
+    * weights, nothing rounds before the one division), so the streamed
+    * frame is BIT-IDENTICAL to the batch window and replays its DuckDB
+    * oracle verbatim. Day totals are exact Longs here (ANSI throws loudly
+    * on overflow, ~10¹⁴ at the 1000× decade vs 2⁶³).
+    */
+  def streamEwma(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
+      import spark.implicits._
+      val daily = events(spark, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast(LongType).as("v4"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v4")).cast(LongType).as("d4"))
+      // three CONTIGUOUS day ranges staged in order (stagedCorpus
+      // normalizes mtimes in creation order; maxFilesPerTrigger=1 replays
+      // them as ordered micro-batches) — day order per key is the stream's
+      // semantic contract, so stageParts' arbitrary chunking is NOT legal here
+      val (minDay, maxDay) = {
+        val r = daily.agg(min(col("day")), max(col("day"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val t1 = minDay + (maxDay - minDay) / 3
+      val t2 = minDay + 2 * (maxDay - minDay) / 3
+      val tmp = stagedCorpus(dir, "ewma") { t =>
+        stageOne(daily.where(col("day") <= t1), t, "chunk0")
+        stageOne(daily.where(col("day") > t1 && col("day") <= t2), t, "chunk1")
+        stageOne(daily.where(col("day") > t2), t, "chunk2")
+      }
+      def fn(key: String, rows: Iterator[EwmaDay],
+          state: GroupState[EwmaRing]): Iterator[EwmaOut] = {
+        var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+        val out = rows.toVector.sortBy(_.day).map { r =>
+          ring = (ring :+ r.d4).takeRight(32)
+          val n = ring.length
+          val num = ring.zipWithIndex
+            .map { case (x, i) => BigInt(x) << i }.sum
+          val denom = (((1L << n) - 1) * 10000L).toDouble
+          EwmaOut(key, r.day,
+            java.lang.Double.parseDouble(r.d4.toString) / 10000.0,
+            n, java.lang.Double.parseDouble(num.toString) / denom)
+        }
+        state.update(EwmaRing(ring))
+        out.iterator
+      }
+      val name = s"stream_ewma_${math.abs(System.identityHashCode(spark)).toString}"
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = spark.readStream.schema(daily.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+        .as[EwmaDay]
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(fn)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).orderBy(col("event_type"), col("day"))
     }
 
   /** STREAMING group-wise quantile estimation: per-micro-batch bottom-k

@@ -1846,6 +1846,15 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed ewma (bounded ring state) is bit-equal to the batch window") {
+    val streamed = graft.streaming.StreamingOps.streamEwma(spark, dir)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("window_ewma")(spark, dir)
+      .collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      "ring-state fold must reproduce the batch window exactly")
+  }
+
   test("ewma: exact BigInt recompute and pandas adjust=True semantics") {
     val out = SparkEntry.queries("window_ewma")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3),
