@@ -3866,6 +3866,61 @@ object Queries {
       |  md5(text) AS fp
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy quote attribution (TextOps.quoteAttribution): a derived feed of
+    * word-dropped 7-word quotes is traced back to source documents —
+    * shingle-blocked candidates (deterministic recall: the mangling
+    * leaves the blocking triple intact), token-containment verification,
+    * best-per-quote window. Eval-contamination tracing / reverse fuzzy
+    * search as one equi-join pipeline, never all-pairs.
+    */
+  private def joinFuzzyQuote(s: SparkSession, dir: String): DataFrame =
+    TextOps.quoteAttribution(t(s, dir, "documents"))
+
+  private val joinFuzzyQuoteSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id AS qid,
+      |    list_concat(list_slice(w, 2, 4), list_slice(w, 6, 9)) AS qw
+      |  FROM (SELECT doc_id, w,
+      |          md5_number_lower('fq|' || CAST(doc_id AS VARCHAR)) AS hh
+      |        FROM toks)
+      |  WHERE len(w) >= 12 AND
+      |    ((CASE WHEN hh >= 9223372036854775808
+      |           THEN hh - 18446744073709551616 ELSE hh END) % 7 + 7) % 7 = 0),
+      |qq AS (SELECT qid, qw,
+      |    array_to_string(list_slice(qw, 1, 3), ' ') AS trip,
+      |    len(list_distinct(qw)) AS nq FROM q),
+      |idx AS (
+      |  SELECT DISTINCT doc_id, unnest(sh) AS trip FROM (
+      |    SELECT doc_id, list_distinct(
+      |      CASE WHEN len(w) >= 3 THEN
+      |        list_transform(range(1, len(w)-1),
+      |          i -> array_to_string(w[i:i+2], ' '))
+      |      ELSE [array_to_string(w, ' ')] END) AS sh
+      |    FROM toks)),
+      |cand AS (
+      |  SELECT qq.qid, qq.qw, qq.nq, idx.doc_id
+      |  FROM qq JOIN idx USING (trip)),
+      |qtok AS (
+      |  SELECT qid, doc_id, nq, unnest(list_distinct(qw)) AS tok FROM cand),
+      |dtok AS (
+      |  SELECT doc_id, unnest(list_distinct(w)) AS tok FROM toks),
+      |scored AS (
+      |  SELECT qid, doc_id, nq, count(*) AS shared,
+      |    CAST(count(*) AS DOUBLE) / CAST(nq AS DOUBLE) AS containment
+      |  FROM qtok JOIN dtok USING (doc_id, tok)
+      |  GROUP BY qid, doc_id, nq),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY containment DESC, doc_id ASC) AS rn
+      |  FROM scored)
+      |SELECT qid, (qid = doc_id) AS is_self, doc_id AS matched_doc_id,
+      |  CAST(shared AS INT) AS shared, CAST(nq AS INT) AS n_query_tokens,
+      |  containment
+      |FROM best WHERE rn = 1 ORDER BY qid""".stripMargin
+
   /** k-anonymity audit (Sweeney 2002) over the customer quasi-identifier
     * (nation, market segment, negative-balance flag): any group smaller
     * than k re-identifies its members, and the generalization ladder's
@@ -5441,6 +5496,7 @@ object Queries {
     "source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "diag_k_anonymity" -> diagKAnonymity _,
+    "join_fuzzy_quote" -> joinFuzzyQuote _,
     "stream_quality_ridge" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamQualityRidge(s, dir)),
     "sim_knn_graph" -> simKnnGraph _,
@@ -5593,6 +5649,7 @@ object Queries {
     "source_csv_roundtrip" -> sourceRoundtripSql,
     "source_orc_roundtrip" -> sourceRoundtripSql,
     "diag_k_anonymity" -> diagKAnonymitySql,
+    "join_fuzzy_quote" -> joinFuzzyQuoteSql,
     // streamed model == batch model bit-exactly (additive integer
     // sufficient statistics), so the streaming run replays the SAME oracle
     "stream_quality_ridge" -> pipelineQualityRidgeSql,

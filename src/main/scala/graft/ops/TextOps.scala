@@ -231,6 +231,65 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy quote attribution — reverse fuzzy search: given a feed of
+    * MANGLED quotes (word-dropped snippets), find each quote's source
+    * document. The shape of eval-contamination tracing and citation
+    * attribution at corpus scale. The query feed is DERIVED
+    * deterministically (de-vacuizing): every md5-7th doc with ≥12 words
+    * yields a 7-word quote = words 2..9 with word 5 dropped, so ground
+    * truth is known and non-vacuous on any corpus drop.
+    *
+    * Scale shape: candidate generation is an EQUI-join of the quote's
+    * FIRST word-triple (guaranteed intact by the mangling: the drop sits
+    * after it — the deterministic-recall discipline of dedup_simhash)
+    * against the corpus 3-shingle inverted index, 8-byte md5 keys through
+    * the shuffle; verification scores only candidates via the exploded
+    * token-containment join; best-per-quote is one window over the
+    * candidate frame. Never all-pairs; Σ cost = Σ shingle document
+    * frequency, which novelty measures as ≈1 on natural corpora. Shingle
+    * KEY CARDINALITY must grow with the corpus like every banded design
+    * here (a 3-word key over a tiny template vocabulary would mega-bucket
+    * — the BucketLoad lesson).
+    */
+  def quoteAttribution(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+    val h = pmod(graft.functions.HashOps.md5Low64(
+      concat(lit("fq|"), col("doc_id").cast(StringType))), lit(7L))
+    val q = base.where(h === 0 && size(col("w")) >= 12)
+      .select(col("doc_id").as("qid"),
+        concat(slice(col("w"), 2, 3), slice(col("w"), 6, 4)).as("qw"))
+    val qq = q.select(col("qid"), col("qw"),
+      graft.functions.HashOps.md5Low64(
+        concat_ws(" ", slice(col("qw"), 1, 3))).as("bh"),
+      size(array_distinct(col("qw"))).cast(LongType).as("nq"))
+    val idx = Dedup.withShingles(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"),
+        graft.functions.HashOps.md5Low64(col("shingle")).as("bh"))
+      .distinct()
+    val cand = qq.join(idx, Seq("bh"))
+      .select(col("qid"), col("qw"), col("nq"), col("doc_id"))
+    val qtok = cand.select(col("qid"), col("doc_id"), col("nq"),
+      explode(array_distinct(col("qw"))).as("tok"))
+    val dtok = base.select(col("doc_id"),
+      explode(array_distinct(col("w"))).as("tok"))
+    val scored = qtok.join(dtok, Seq("doc_id", "tok"))
+      .groupBy(col("qid"), col("doc_id"), col("nq"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast(DoubleType) / col("nq").cast(DoubleType))
+    val wnd = Window.partitionBy(col("qid"))
+      .orderBy(col("containment").desc, col("doc_id").asc)
+    scored.withColumn("rn", row_number().over(wnd)).where(col("rn") === 1)
+      .select(col("qid"), (col("qid") === col("doc_id")).as("is_self"),
+        col("doc_id").as("matched_doc_id"),
+        col("shared").cast(IntegerType).as("shared"),
+        col("nq").cast(IntegerType).as("n_query_tokens"),
+        col("containment"))
+      .orderBy(col("qid"))
+  }
+
   // ------------------------------------------------------- Gopher rule set
 
   /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling

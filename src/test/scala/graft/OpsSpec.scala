@@ -1815,6 +1815,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "unchanged"))
   }
 
+  test("quote attribution: every mangled quote resolves at full containment") {
+    val out = TextOps.quoteAttribution(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5)))
+    assert(out.nonEmpty, "the md5-7th split must yield queries at test scale")
+    // the true source contains all 7 query words, so the winner must too
+    out.foreach { case (qid, isSelf, matched, shared, nq, cont) =>
+      assert(shared == nq && cont == 1.0,
+        s"quote $qid: winner $matched has containment $cont (< 1.0)")
+      assert(isSelf == (qid == matched))
+    }
+    // one row per query, and at least one query resolves to itself
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.exists(_._2), "no quote resolved to its own source")
+  }
+
   test("streamed dataset diff is bit-equal to the batch snapshot diff") {
     val streamed = graft.streaming.StreamingOps.streamDatasetDiff(spark, dir)
       .collect().map(_.toString)
