@@ -3728,13 +3728,9 @@ object Queries {
     */
   private def windowEwma(s: SparkSession, dir: String): DataFrame = {
     val dec38 = DecimalType(38, 0)
-    val daily = graft.streaming.StreamingOps.events(s, dir)
-      .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").as("day"),
-        (col("value").cast(DecimalType(18, 4)) * 10000)
-          .cast(LongType).as("v4"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("v4").cast(dec38)).as("d4"))
+    // the daily frame is ONE shared definition with stream_ewma (same
+    // oracle verbatim ⇒ same derivation, review r6)
+    val daily = graft.streaming.StreamingOps.ewmaDaily(s, dir)
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-31, Window.currentRow)
     // frame-ordered window list (oldest first); the fold carries the
@@ -3890,19 +3886,22 @@ object Queries {
       |    ((CASE WHEN hh >= 9223372036854775808
       |           THEN hh - 18446744073709551616 ELSE hh END) % 7 + 7) % 7 = 0),
       |qq AS (SELECT qid, qw,
-      |    array_to_string(list_slice(qw, 1, 3), ' ') AS trip,
+      |    -- block on the md5 hash like the Spark side, so a 64-bit
+      |    -- collision yields the SAME extra candidate in both engines
+      |    md5_number_lower(array_to_string(list_slice(qw, 1, 3), ' ')) AS bh,
       |    len(list_distinct(qw)) AS nq FROM q),
       |idx AS (
-      |  SELECT DISTINCT doc_id, unnest(sh) AS trip FROM (
-      |    SELECT doc_id, list_distinct(
-      |      CASE WHEN len(w) >= 3 THEN
-      |        list_transform(range(1, len(w)-1),
-      |          i -> array_to_string(w[i:i+2], ' '))
-      |      ELSE [array_to_string(w, ' ')] END) AS sh
-      |    FROM toks)),
+      |  SELECT DISTINCT doc_id, md5_number_lower(trip) AS bh FROM (
+      |    SELECT doc_id, unnest(sh) AS trip FROM (
+      |      SELECT doc_id, list_distinct(
+      |        CASE WHEN len(w) >= 3 THEN
+      |          list_transform(range(1, len(w)-1),
+      |            i -> array_to_string(w[i:i+2], ' '))
+      |        ELSE [array_to_string(w, ' ')] END) AS sh
+      |      FROM toks))),
       |cand AS (
       |  SELECT qq.qid, qq.qw, qq.nq, idx.doc_id
-      |  FROM qq JOIN idx USING (trip)),
+      |  FROM qq JOIN idx USING (bh)),
       |qtok AS (
       |  SELECT qid, doc_id, nq, unnest(list_distinct(qw)) AS tok FROM cand),
       |dtok AS (

@@ -272,8 +272,14 @@ object TextOps {
       .select(col("qid"), col("qw"), col("nq"), col("doc_id"))
     val qtok = cand.select(col("qid"), col("doc_id"), col("nq"),
       explode(array_distinct(col("qw"))).as("tok"))
-    val dtok = base.select(col("doc_id"),
-      explode(array_distinct(col("w"))).as("tok"))
+    // verification tokens come from CANDIDATE docs only — the quote feed
+    // is corpus-fraction-sized and candidate sets are ~shingle-df (≈1),
+    // so the broadcast semi-join keeps the corpus-sized token explode out
+    // of the shuffle entirely (review r6: exploding every doc's tokens
+    // contradicted the "scores only candidates" cost contract)
+    val candDocs = cand.select(col("doc_id")).distinct()
+    val dtok = base.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("tok"))
     val scored = qtok.join(dtok, Seq("doc_id", "tok"))
       .groupBy(col("qid"), col("doc_id"), col("nq"))
       .agg(count(lit(1)).as("shared"))

@@ -277,6 +277,13 @@ object StreamingOps {
       case _ => df
     }
 
+  /** STREAMING tumbling-window event counts: the events table read as a
+    * file stream, a 1-day event-time window aggregation (1-hour
+    * watermark) run to completion — the canonical readStream → windowed
+    * groupBy → complete-mode shape. Exact integer counts plus the
+    * decimal-string-routed value sums, so the batch DuckDB oracle
+    * replays the final frame value-exactly.
+    */
   def windowedEventCounts(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
     // see normalizeTs: nanosAsLong is harmless on micros files and required
     // to read the NANOS encoding at all
@@ -1762,6 +1769,21 @@ object StreamingOps {
       out
     }
 
+  /** The ONE daily fixed-point frame behind window_ewma AND stream_ewma —
+    * they share a DuckDB oracle verbatim, so the derivation (day formula,
+    * DECIMAL(18,4)·10⁴ route, exact decimal total) must be a single
+    * definition that cannot drift (review r6). Returns
+    * (event_type, day, d4 DECIMAL(38,0)).
+    */
+  private[graft] def ewmaDaily(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (col("value").cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType).as("v4"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v4").cast(DecimalType(38, 0))).as("d4"))
+
   /** STREAMING EWMA: the daily-close feed (exact fixed-point totals per
     * series per day, the shape a downstream consumes from a daily
     * aggregation job) arrives in day order across micro-batches; per-key
@@ -1777,20 +1799,22 @@ object StreamingOps {
   def streamEwma(outer: SparkSession, dir: String): DataFrame =
     withStreamingPartitions(outer, 8) { spark =>
       import spark.implicits._
-      val daily = events(spark, dir)
-        .select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
-          (col("value").cast(DecimalType(18, 4)) * 10000)
-            .cast(LongType).as("v4"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(sum(col("v4")).cast(LongType).as("d4"))
+      // ONE derivation shared with the batch window_ewma (they claim the
+      // same oracle verbatim, so the daily frame must be a single
+      // definition); the decimal total narrows to the Long the ring state
+      // holds — exact while a day total fits 2^63 (~10¹⁴ at the 1000×
+      // decade), ANSI-loud beyond
+      val daily = ewmaDaily(spark, dir)
+        .select(col("event_type"), col("day"),
+          col("d4").cast(LongType).as("d4"))
+        .persist() // the min/max action + three staged writes share one scan
       // three CONTIGUOUS day ranges staged in order (stagedCorpus
       // normalizes mtimes in creation order; maxFilesPerTrigger=1 replays
       // them as ordered micro-batches) — day order per key is the stream's
       // semantic contract, so stageParts' arbitrary chunking is NOT legal here
       val (minDay, maxDay) = {
         val r = daily.agg(min(col("day")), max(col("day"))).head()
-        (r.getLong(0), r.getLong(1))
+        if (r.isNullAt(0)) (0L, 2L) else (r.getLong(0), r.getLong(1))
       }
       val t1 = minDay + (maxDay - minDay) / 3
       val t2 = minDay + 2 * (maxDay - minDay) / 3
@@ -1799,6 +1823,7 @@ object StreamingOps {
         stageOne(daily.where(col("day") > t1 && col("day") <= t2), t, "chunk1")
         stageOne(daily.where(col("day") > t2), t, "chunk2")
       }
+      daily.unpersist()
       def fn(key: String, rows: Iterator[EwmaDay],
           state: GroupState[EwmaRing]): Iterator[EwmaOut] = {
         var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
