@@ -263,15 +263,26 @@ object TextOps {
       graft.functions.HashOps.md5Low64(
         concat_ws(" ", slice(col("qw"), 1, 3))).as("bh"),
       size(array_distinct(col("qw"))).cast(LongType).as("nq"))
+    // shuffle width is THE scale knob here (the graph_pagerank
+    // self-sizing discipline): the exploded shingle index is ~50 rows/doc
+    // and the 4th-decade sweep measured e₃=1.12 from spilling 250M-row
+    // shuffles through the session's fixed 32 partitions — size from the
+    // footer-only doc count instead. Explicit repartition on a SUBSET of
+    // every downstream key set (distinct, join, groupBy) means no
+    // operator adds its own session-width exchange after it.
+    val parts = math.max(32L,
+      math.min(512L, docs.count() / 10000L)).toInt
     val idx = Dedup.withShingles(docs, "doc_id", "text", 3)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"),
         graft.functions.HashOps.md5Low64(col("shingle")).as("bh"))
+      .repartition(parts, col("bh"))
       .distinct()
     val cand = qq.join(idx, Seq("bh"))
       .select(col("qid"), col("qw"), col("nq"), col("doc_id"))
     val qtok = cand.select(col("qid"), col("doc_id"), col("nq"),
-      explode(array_distinct(col("qw"))).as("tok"))
+        explode(array_distinct(col("qw"))).as("tok"))
+      .repartition(parts, col("doc_id"))
     // verification tokens come from CANDIDATE docs only — the quote feed
     // is corpus-fraction-sized and candidate sets are ~shingle-df (≈1),
     // so the broadcast semi-join keeps the corpus-sized token explode out
@@ -280,6 +291,7 @@ object TextOps {
     val candDocs = cand.select(col("doc_id")).distinct()
     val dtok = base.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(array_distinct(col("w"))).as("tok"))
+      .repartition(parts, col("doc_id"))
     val scored = qtok.join(dtok, Seq("doc_id", "tok"))
       .groupBy(col("qid"), col("doc_id"), col("nq"))
       .agg(count(lit(1)).as("shared"))
