@@ -131,5 +131,15 @@ for method, agg, name, lf, hf in cases:
         raw_base = f'{out}/raw'
     ours = pd.read_parquet(f'{raw_base}/{name}').sort_values('ts')
     vals = ours.iloc[:, 1].values
+    # the raw dump must come from a Verify run against THE SAME sf dir:
+    # a full Verify at another scale silently overwrites verify_raw and
+    # the diffs degenerate to garbage (caught r6: sf0.1 dumps vs sf0.01
+    # reference inputs printed rel diffs ~10). Length is a reliable
+    # fingerprint — series length differs across sf dirs.
+    if len(vals) != len(ref):
+        print(f'{method:16s} agg={agg:5s} STALE DUMP: {raw_base}/{name} has '
+              f'{len(vals)} rows, reference on {sf} has {len(ref)} — re-run '
+              f'graft.Verify against {sf} first')
+        continue
     rel = np.max(np.abs(ref.values - vals) / np.maximum(np.abs(ref.values), 1e-9))
     print(f'{method:16s} agg={agg:5s} n={len(ref)}  max rel diff vs reference on same data: {rel:.2e}')
