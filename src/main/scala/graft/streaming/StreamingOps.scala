@@ -1724,50 +1724,83 @@ object StreamingOps {
         stageParts(v2, t, "chunk", nChunks, col("doc_id"))
       }
       val work = java.nio.file.Files.createTempDirectory("graft_diff_stream")
-      val deltaDir = work.resolve("delta")
-      val seenDir = work.resolve("seen")
-      // distinct batchIds, not invocation count: an at-least-once replay
-      // of one batch must not satisfy the multi-batch guard (review r6)
-      val seenIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-      val stream = spark.readStream.schema(v2.schema)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", math.max(1, nChunks / 3))
-        .parquet(tmp.toString)
-      val q = stream.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val arr = batch.toDF()
-          val verdicts = arr.join(v1, Seq("doc_id"), "left_outer")
-            .select(col("doc_id"),
-              when(col("fp1").isNull, "added")
-                .when(col("fp1") =!= col("fp2"), "changed")
-                .otherwise("unchanged").as("status"))
-            .where(col("status") =!= "unchanged")
-          verdicts.write.mode("overwrite")
-            .parquet(deltaDir.resolve(s"bid=$batchId").toString)
-          arr.select(col("doc_id")).write.mode("overwrite")
-            .parquet(seenDir.resolve(s"bid=$batchId").toString)
-          seenIds.add(batchId)
-          ()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      val seenIds = diffRun(spark, tmp, v2.schema, v1, work,
+        checkpoint = None, filesPerTrigger = math.max(1, nChunks / 3))
       require(seenIds.size >= 2,
         s"chunked staging must yield multiple micro-batches, got ${seenIds.size}")
-      val seenAll = spark.read.parquet(seenDir.toString).select(col("doc_id"))
-      val removed = v1.join(seenAll, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit("removed").as("status"))
-      val delta = spark.read.parquet(deltaDir.toString)
-        .select(col("doc_id"), col("status"))
-        .unionByName(removed)
-      val out = PipelineOps.withStatusTotals(delta)
+      val out = diffAssemble(spark, v1, work)
         .localCheckpoint() // materialize before the temp tables go away
       v1.unpersist()
       deleteRecursively(work)
       out
     }
+
+  /** One restartable diff-ingest run: per micro-batch, per-row verdicts
+    * vs static v1 and the arriving keys are written IDEMPOTENTLY (one
+    * overwritten partition directory per batchId), so this stream's
+    * restart contract needs NO driver state at all — the engine
+    * checkpoint (`<ckpt>/engine`) skips committed batches on restart and
+    * the work dirs already hold their output (a replayed uncommitted
+    * batch just overwrites its own directory). Returns the batchIds this
+    * run folded; OpsSpec kills a run between batches and resumes it,
+    * pinning the assembled result bit-equal to the batch diff.
+    */
+  private[graft] def diffRun(
+      spark: SparkSession, srcDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType, v1: DataFrame,
+      work: java.nio.file.Path, checkpoint: Option[java.nio.file.Path],
+      filesPerTrigger: Int): Set[Long] = {
+    val deltaDir = work.resolve("delta")
+    val seenDir = work.resolve("seen")
+    // distinct batchIds, not invocation count: an at-least-once replay
+    // of one batch must not satisfy the multi-batch guard (review r6)
+    val seenIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(srcDir.toString)
+    var w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val arr = batch.toDF()
+        val verdicts = arr.join(v1, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            when(col("fp1").isNull, "added")
+              .when(col("fp1") =!= col("fp2"), "changed")
+              .otherwise("unchanged").as("status"))
+          .where(col("status") =!= "unchanged")
+        verdicts.write.mode("overwrite")
+          .parquet(deltaDir.resolve(s"bid=$batchId").toString)
+        arr.select(col("doc_id")).write.mode("overwrite")
+          .parquet(seenDir.resolve(s"bid=$batchId").toString)
+        seenIds.add(batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c =>
+      w = w.option("checkpointLocation", c.resolve("engine").toString))
+    val q = w.start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    seenIds.asScala.toSet
+  }
+
+  /** Assemble the final diff from a (possibly resumed) [[diffRun]] work
+    * dir: `removed` = v1 anti-join the accumulated seen keys, unioned
+    * with the per-batch verdict partitions.
+    */
+  private[graft] def diffAssemble(spark: SparkSession, v1: DataFrame,
+      work: java.nio.file.Path): DataFrame = {
+    val seenAll = spark.read.parquet(work.resolve("seen").toString)
+      .select(col("doc_id"))
+    val removed = v1.join(seenAll, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("status"))
+    val delta = spark.read.parquet(work.resolve("delta").toString)
+      .select(col("doc_id"), col("status"))
+      .unionByName(removed)
+    graft.ops.PipelineOps.withStatusTotals(delta)
+  }
 
   /** The ONE daily fixed-point frame behind window_ewma AND stream_ewma —
     * they share a DuckDB oracle verbatim, so the derivation (day formula,

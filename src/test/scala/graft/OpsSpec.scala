@@ -1840,6 +1840,34 @@ class OpsSpec extends AnyFunSuite {
       "per-arrival verdicts + at-close anti-join must reproduce the batch diff")
   }
 
+  test("dataset diff kill-and-resume: idempotent batch dirs + engine checkpoint") {
+    import graft.ops.PipelineOps
+    import graft.streaming.StreamingOps
+    val v1 = PipelineOps.v1Fingerprints(docs).persist()
+    val v2 = PipelineOps.v2Fingerprints(docs)
+    val src = java.nio.file.Files.createTempDirectory("diff_resume_src")
+    val work = java.nio.file.Files.createTempDirectory("diff_resume_work")
+    val ckpt = java.nio.file.Files.createTempDirectory("diff_resume_ckpt")
+    StreamingOps.stageOne(v2.where(pmod(col("doc_id"), lit(3)) === 0), src, "chunk0")
+    val s1 = StreamingOps.diffRun(spark, src, v2.schema, v1, work, Some(ckpt), 1)
+    assert(s1.size == 1, s"phase 1 should fold one batch, got ${s1.size}")
+    // driver "dies"; the rest of v2 lands; a fresh run over the same
+    // checkpoint + work dir folds ONLY the new batches (engine checkpoint
+    // skips the committed one; its output dirs are already on disk)
+    StreamingOps.stageOne(v2.where(pmod(col("doc_id"), lit(3)) === 1), src, "chunk1")
+    StreamingOps.stageOne(v2.where(pmod(col("doc_id"), lit(3)) === 2), src, "chunk2")
+    val s2 = StreamingOps.diffRun(spark, src, v2.schema, v1, work, Some(ckpt), 1)
+    assert(s2.size == 2 && (s1 & s2).isEmpty,
+      s"resume must fold exactly the two new batches, got $s2")
+    val streamed = StreamingOps.diffAssemble(spark, v1, work)
+      .collect().map(_.toString)
+    val batch = PipelineOps.snapshotDiff(docs).collect().map(_.toString)
+    assert(streamed.toSeq == batch.toSeq,
+      "resumed diff differs from the one-pass batch diff")
+    v1.unpersist()
+    Seq(src, work, ckpt).foreach(rmTree)
+  }
+
   test("source round-trips (jsonl, csv) are lossless on planted hard content") {
     // direct recompute of the planted projection — NO round-trip
     val gnarly = " \"q,uo|te\"\nüñïçødé \\back\tslash"

@@ -142,15 +142,108 @@ def scale_embeddings(table, copies):
     return pa.concat_tables(out)
 
 
+SUFFIX_SUB = re.compile(r"(\S+)")
+
+
+def scale_documents_stream(src, dst, copies):
+    """Streaming variant for very large copy counts (the docs-only decade-5
+    dir): per-copy tables are written through one ParquetWriter in ~250k-row
+    chunks instead of concatenated in memory (50M docs of python strings
+    would be ~15 GB), and the token tag is appended with a single C-level
+    regex substitution per text instead of the piecewise split."""
+    table = read(src, "documents")
+    texts = table.column("text").to_pylist()
+    ids = table.column("doc_id").to_pylist()
+    langs = table.column("lang")
+    sources = table.column("source")
+    doc_stride = max(ids) + 1
+    writer = pq.ParquetWriter(os.path.join(dst, "documents.parquet"), table.schema)
+    pending = [table]
+    pending_rows = table.num_rows
+    total = table.num_rows
+    flush_at = 250000
+    for c in range(1, copies):
+        tag = str(c)
+        rep = r"\g<1>" + tag
+        new_texts = [SUFFIX_SUB.sub(rep, t) for t in texts]
+        pending.append(pa.table({
+            "doc_id": pa.array([i + c * doc_stride for i in ids], pa.int64()),
+            "text": pa.array(new_texts, pa.string()),
+            "lang": langs,
+            "source": sources,
+            "n_chars": pa.array([len(t) for t in new_texts], pa.int64()),
+        }, schema=table.schema))
+        pending_rows += table.num_rows
+        total += table.num_rows
+        if pending_rows >= flush_at:
+            writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
+            pending, pending_rows = [], 0
+    if pending:
+        writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
+    writer.close()
+    print(f"  documents: {total} rows (streamed, row_group_size={flush_at})")
+
+
+def scale_embeddings_stream(src, dst, copies):
+    """Streaming twin of scale_embeddings for very large copy counts."""
+    table = read(src, "embeddings")
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = table.column("label")
+    vecs = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
+    vec_stride = int(ids.max()) + 1
+    writer = pq.ParquetWriter(os.path.join(dst, "embeddings.parquet"), table.schema)
+    pending = [table]
+    pending_rows = table.num_rows
+    total = table.num_rows
+    flush_at = 250000
+    for c in range(1, copies):
+        h = (np.uint64(c) * np.uint64(1315423911)
+             + np.arange(dim, dtype=np.uint64)) * np.uint64(2654435761)
+        h ^= h >> np.uint64(16)
+        signs = np.where(h & np.uint64(1) == 0, np.float32(1.0), np.float32(-1.0))
+        flipped = vecs * signs
+        pending.append(pa.table({
+            "vec_id": pa.array(ids + c * vec_stride),
+            "embedding": pa.array(list(flipped), pa.list_(pa.float32())),
+            "label": labels,
+        }, schema=table.schema))
+        pending_rows += table.num_rows
+        total += table.num_rows
+        if pending_rows >= flush_at:
+            writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
+            pending, pending_rows = [], 0
+    if pending:
+        writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
+    writer.close()
+    print(f"  embeddings: {total} rows (streamed, row_group_size={flush_at})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/root/repo/target/testdata_10x")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--tables", default="",
+                    help="comma-separated subset (e.g. documents,embeddings) "
+                         "for partial decade dirs; empty = all tables")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     n = args.copies
-    print(f"scaling {args.src} x{n} -> {args.dst}")
+    subset = set(t for t in args.tables.split(",") if t)
+    print(f"scaling {args.src} x{n} -> {args.dst}"
+          + (f" (tables: {sorted(subset)})" if subset else ""))
+
+    if subset:
+        # partial dir: copy the fixed dims, stream-scale the asked tables
+        for name in ("region", "nation"):
+            write(args.dst, name, read(args.src, name))
+        if "documents" in subset:
+            scale_documents_stream(args.src, args.dst, n)
+        if "embeddings" in subset:
+            scale_embeddings_stream(args.src, args.dst, n)
+        print("done")
+        return
 
     for name in ("region", "nation"):
         write(args.dst, name, read(args.src, name))
