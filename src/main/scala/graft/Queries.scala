@@ -478,6 +478,47 @@ object Queries {
       |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) <= w.end_us
       |ORDER BY event_id, purchase_id""".stripMargin
 
+  /** Range AGGREGATION (the pair-free member of the temporal-join family):
+    * per-purchase-window event count + value total via
+    * [[graft.ops.RangeJoin.intervalAggSweep]] — distributed prefix sums,
+    * never the point×interval pair set. This is the scale path for the
+    * geometry where `join_range_events_windows` is output-bound (fixed
+    * time span, density growing with volume: pair output grows
+    * ~quadratically for ANY engine, ROUND6_NOTES §9); the sweep's cost is
+    * one shuffle of |events| + 2|windows| rows and a |windows|-sized
+    * result at any density. Empty windows are retained (count 0) — the
+    * oracle's LEFT JOIN replays that.
+    */
+  private def rangeAggSweep(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 30L * 60L * 1000000L
+    val ev = graft.streaming.StreamingOps.events(s, dir)
+    val windows = ev
+      .where(col("event_type") === "purchase" && pmod(col("user_id"), lit(50L)) === 0L)
+      .select(col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("start_us"),
+        (unix_micros(col("ts")) + winUs).as("end_us"))
+    val points = ev.select(unix_micros(col("ts")).as("ts_us"), col("value"))
+    graft.ops.RangeJoin.intervalAggSweep(points, windows,
+        "ts_us", "start_us", "end_us", "value",
+        idCols = Seq("purchase_id"), bucketWidth = winUs)
+      .select(col("purchase_id"), col("n_points").as("n_events"),
+        col("sum_value").cast(StringType).cast(DoubleType).as("sum_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val rangeAggSweepSql =
+    """WITH w AS (
+      |  SELECT event_id AS purchase_id, epoch_us(ts) AS start_us,
+      |    epoch_us(ts) + 1800000000 AS end_us
+      |  FROM events WHERE event_type = 'purchase' AND user_id % 50 = 0)
+      |SELECT w.purchase_id, count(e.ts) AS n_events,
+      |  CAST(CAST(coalesce(sum(CAST(e.value AS DECIMAL(18,4))),
+      |    CAST(0 AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM w LEFT JOIN events e
+      |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) <= w.end_us
+      |GROUP BY w.purchase_id
+      |ORDER BY w.purchase_id""".stripMargin
+
   /** Window-function breadth: per-user running event totals (cumulative sum
     * + row_number over event time).
     */
@@ -5416,6 +5457,7 @@ object Queries {
     "join_asof_nearest" -> asofNearestError _,
     "join_interval_overlap" -> joinIntervalOverlap _,
     "join_range_events_windows" -> rangeJoinEventsWindows _,
+    "join_range_agg" -> rangeAggSweep _,
     "window_running_total" -> windowRunningTotal _,
     "pivot_daily_events" -> pivotDailyEvents _,
     "join_semi_anti" -> semiAntiJoin _,
@@ -5585,6 +5627,7 @@ object Queries {
     "join_asof_nearest" -> asofNearestErrorSql,
     "join_interval_overlap" -> joinIntervalOverlapSql,
     "join_range_events_windows" -> rangeJoinEventsWindowsSql,
+    "join_range_agg" -> rangeAggSweepSql,
     "window_running_total" -> windowRunningTotalSql,
     "pivot_daily_events" -> pivotDailyEventsSql,
     "join_semi_anti" -> semiAntiJoinSql,

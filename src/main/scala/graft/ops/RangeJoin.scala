@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Point-in-interval range join, Spark-first.
   *
@@ -70,5 +72,98 @@ object RangeJoin {
       .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
       .where(expr(s"greatest($aStart, $bStart) div ${binWidth}L") === col("__bin"))
       .drop("__bin")
+  }
+
+  /** Per-interval aggregation WITHOUT materializing the point×interval pair
+    * set — the scale path when interval density makes |matches| explode.
+    * [[pointInInterval]] (and any engine emitting pairs) pays O(|matches|),
+    * which under a fixed time span grows ~quadratically with data volume
+    * (the 1000× dir's measured failure mode, ROUND6_NOTES §9). When the
+    * caller only needs per-interval totals, the classic sweep-line applies,
+    * re-expressed as distributed prefix sums:
+    *
+    *   F(t) = (count, Σ value) over points with ts <= t
+    *   agg([s, e]) = F(e) − F(s⁻)          (inclusive BETWEEN)
+    *
+    * Points (kind 1) and each interval's two boundary probes (start kind 0,
+    * end kind 2) union into one frame bucketed by `ts div bucketWidth`;
+    * running totals within a bucket are a PARALLEL window (partitionBy
+    * bucket, orderBy (ts, kind)); per-bucket totals are read off each
+    * bucket's physically-last windowed row (lead==null over the same sort —
+    * no second scan, no extra sort), prefix-summed on the corpus-small
+    * bucket frame (span/bucketWidth rows — the groups-sized
+    * single-partition-window discipline) and broadcast back. F at a
+    * boundary = bucket prefix + local running. Total cost: ONE shuffle of
+    * |points| + 2|intervals| rows and an |intervals|-sized output — linear
+    * at ANY interval density, and empty intervals are retained (count 0,
+    * sum 0), which a pair join drops.
+    *
+    * Exactness under ties: boundary rows contribute zero to both running
+    * sums, so permuting equal-(ts, kind) rows cannot perturb any kept
+    * value; the kind order start < point < end at equal ts yields exactly
+    * inclusive-BETWEEN. The value column accumulates as DECIMAL(18,4)
+    * (order-independent, no float non-associativity), surfaced as
+    * DECIMAL — callers route to double via the string cast discipline.
+    *
+    * @param idCols interval identity columns, unique per interval row
+    * @return one row per interval: idCols + `n_points` (long) +
+    *         `sum_value` (decimal)
+    */
+  def intervalAggSweep(
+      points: DataFrame,
+      intervals: DataFrame,
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      valueCol: String,
+      idCols: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(idCols.nonEmpty, "need at least one interval identity column")
+    val dec = DecimalType(18, 4)
+    val iSchema = intervals.schema
+    def nullId(n: String) = lit(null).cast(iSchema(n).dataType).as(n)
+    val ids = idCols.map(col)
+
+    val pRows = points.select(Seq(
+      col(tsCol).cast(LongType).as("__t"), lit(1).as("__kind"),
+      lit(1L).as("__c"), col(valueCol).cast(dec).as("__v")) ++
+      idCols.map(nullId): _*)
+    val sRows = intervals.select(Seq(
+      col(startCol).cast(LongType).as("__t"), lit(0).as("__kind"),
+      lit(0L).as("__c"), lit(null).cast(dec).as("__v")) ++ ids: _*)
+    val eRows = intervals.select(Seq(
+      col(endCol).cast(LongType).as("__t"), lit(2).as("__kind"),
+      lit(0L).as("__c"), lit(null).cast(dec).as("__v")) ++ ids: _*)
+    val u = pRows.unionByName(sRows).unionByName(eRows)
+      .withColumn("__bucket", expr(s"__t div ${bucketWidth}L"))
+
+    val wOrd = Window.partitionBy(col("__bucket")).orderBy(col("__t"), col("__kind"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = u.select(Seq(col("__bucket"), col("__kind"),
+      sum(col("__c")).over(wRun).as("__rc"),
+      coalesce(sum(col("__v")).over(wRun), lit(0).cast(dec)).as("__rv"),
+      lead(lit(1), 1).over(wOrd).as("__nx")) ++ ids: _*)
+
+    // Bucket totals = each bucket's physically-last running row; prefix-sum
+    // over the tiny bucket axis, excluding the bucket's own total.
+    val bt = marked.where(col("__nx").isNull)
+      .select(col("__bucket"), col("__rc").as("__bc"), col("__rv").as("__bv"))
+    val wPre = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bt.select(col("__bucket"),
+      (sum(col("__bc")).over(wPre) - col("__bc")).as("__pc"),
+      (sum(col("__bv")).over(wPre) - col("__bv")).as("__pv"))
+
+    val f = marked.where(col("__kind") =!= 1)
+      .join(broadcast(pre), Seq("__bucket"))
+      .select(Seq(col("__kind"),
+        (col("__pc") + col("__rc")).as("__fc"),
+        (col("__pv") + col("__rv")).as("__fv")) ++ ids: _*)
+    f.groupBy(ids: _*).agg(
+      (max(when(col("__kind") === 2, col("__fc"))) -
+        max(when(col("__kind") === 0, col("__fc")))).as("n_points"),
+      (max(when(col("__kind") === 2, col("__fv"))) -
+        max(when(col("__kind") === 0, col("__fv")))).as("sum_value"))
   }
 }

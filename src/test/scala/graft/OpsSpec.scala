@@ -2100,6 +2100,40 @@ class OpsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("interval agg sweep matches brute force incl. boundary ties and empty intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 400).map { i =>
+      // quantize a quarter of the timestamps onto multiples of 100 so many
+      // land EXACTLY on interval boundaries (the inclusive-BETWEEN tie path)
+      val t = if (i % 4 == 0) (rnd.nextInt(50) * 100).toLong else rnd.nextInt(5000).toLong
+      (t, BigDecimal(rnd.nextInt(2001) - 1000) / 100) // negative values too
+    }
+    val ivs = (0 until 80).map { j =>
+      val st = (rnd.nextInt(50) * 100).toLong
+      // zero-width, short, and multi-bucket spans; some fall past the data
+      val span = j % 5 match {
+        case 0 => 0L
+        case 1 => 1L + rnd.nextInt(80)
+        case _ => 1L + rnd.nextInt(1500)
+      }
+      (j.toLong, st, st + span)
+    } :+ ((80L, 9000L, 9500L)) // entirely outside the point span: empty
+    val got = graft.ops.RangeJoin.intervalAggSweep(
+        pts.toDF("ts", "value"), ivs.toDF("wid", "st", "en"),
+        "ts", "st", "en", "value", idCols = Seq("wid"), bucketWidth = 256L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).stripTrailingZeros.doubleValue))).toMap
+    assert(got.size == ivs.length, "every interval emits exactly one row")
+    ivs.foreach { case (wid, st, en) =>
+      val in = pts.filter(p => p._1 >= st && p._1 <= en)
+      val (c, v) = got(wid)
+      assert(c == in.length.toLong, s"wid=$wid count")
+      assert(v == in.map(_._2).sum.doubleValue, s"wid=$wid sum")
+    }
+    assert(got(80L) == ((0L, 0.0)), "out-of-span interval retained as empty")
+  }
+
   test("upsampling mixture: copies bounded by rate, shares approach targets") {
     val out = Queries.all("pipeline_mix_upsample")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -41,6 +41,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("range agg sweep: pair-free — no join on the fact side, bucket prefix broadcast") {
+    val p = plan("join_range_agg")
+    forbidden.foreach(op =>
+      assert(!p.contains(op), s"join_range_agg plan contains $op:\n${p.take(1200)}"))
+    // the only join is the boundary-rows × bucket-prefix equi-join, and the
+    // corpus-small prefix frame must arrive broadcast, never shuffled
+    assert(p.linesIterator.count(_.contains("Join")) == 1,
+      s"expected exactly one (broadcast) join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), s"bucket prefix not broadcast:\n${p.take(1500)}")
+    // no SortMergeJoin means the point×interval pair set is never formed
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("fused single-scan pipeline has no exchange before the final sort") {
     val p = plan("text_pipeline_fused")
     assert(countExchanges(p) == 1, s"expected only the sort exchange:\n$p")
