@@ -2618,6 +2618,23 @@ object Queries {
   private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), bands = 32)
 
+  /** Prefix-filtered exact-Jaccard pairs (Dedup.jaccardPrefixPairs):
+    * the same global J >= 0.7 pair set as dedup_minhash_lsh — so the two
+    * routes share the all-pairs oracle verbatim — but with DETERMINISTIC
+    * recall from the canonical prefix-filter theorem instead of the
+    * 4e-10 banding miss-probability, and no signature computation at all.
+    * Candidate volume is governed by the rarest-first (df asc, shingle)
+    * prefix order: boilerplate shingles never enter prefixes, the exact
+    * inverse of the simhash 16-bit mega-bucket failure mode. Shuffle
+    * widths self-size from the corpus footer count (the graph_pagerank
+    * discipline).
+    */
+  private def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val parts = math.max(32L, math.min(512L, docs.count() / 10000L)).toInt
+    Dedup.jaccardPrefixPairs(docs, tNum = 7, tDen = 10, parts = parts)
+  }
+
   private val dedupMinhashLshSql =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct(
@@ -5523,6 +5540,7 @@ object Queries {
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_lsh" -> dedupMinhashLsh _,
+    "dedup_jaccard_prefix" -> dedupJaccardPrefix _,
     "dedup_clusters" -> dedupClusters _,
     "pipeline_dedup_apply" -> pipelineDedupApply _,
     "dedup_simhash" -> dedupSimhash _,
@@ -5739,6 +5757,7 @@ object Queries {
     // streamed run emits the identical rows and shares the batch oracle
     "stream_stratified_sample" -> pipelineStratifiedSampleSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+    "dedup_jaccard_prefix" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -314,6 +315,80 @@ object Dedup {
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Global exact-Jaccard pairs by PREFIX FILTERING (Chaudhuri et al.
+    * ICDE'06; Bayardo/Ma/Srikant WWW'07 "all-pairs"; Xiao et al. PPJoin) —
+    * DETERMINISTIC recall with no blocking key and no signatures, the
+    * third member of the Jaccard family next to [[ngramJaccardPairs]]
+    * (exact but needs corpus-small blocks) and [[minhashLshPairs]]
+    * (global but probabilistic, miss-prob ≈ 4e-10).
+    *
+    * Theorem (canonical prefix filter): order every doc's shingles by one
+    * global total order — here (document frequency asc, shingle asc), the
+    * rarest-first order that keeps boilerplate shingles OUT of prefixes —
+    * and keep the first p = n − ceil(t·n) + 1 of each doc's n shingles.
+    * If J(A,B) ≥ t then |A∩B| ≥ ceil(t·max(|A|,|B|)), so the globally
+    * FIRST common shingle sits within the first |A|−|A∩B|+1 ≤ p positions
+    * of BOTH docs: every qualifying pair shares a prefix shingle. The
+    * threshold is an exact rational tNum/tDen and p uses integer
+    * arithmetic ((n·tNum + tDen−1) div tDen) — a double ceil could round
+    * UP at exact boundaries and silently shorten a prefix below the
+    * theorem's bound.
+    *
+    * Cost: the df aggregation + one doc_id-partitioned window over the
+    * exploded index (rows = Σ shingles), a candidate equi-join on PREFIX
+    * shingles only (rare-first ordering keeps these buckets small — the
+    * inverse of the simhash mega-bucket failure), a length filter
+    * (t·na ≤ nb ≤ na/t, integer form), then exact-overlap verification
+    * over candidates only. Never all-pairs on the Spark side; the DuckDB
+    * all-pairs oracle replays the full output value-exactly.
+    */
+  def jaccardPrefixPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tNum: Int = 7, tDen: Int = 10,
+      n: Int = 3,
+      parts: Int = 32): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
+    val ex = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("nsh"),
+        explode(col("sh")).as("s"))
+      .repartition(parts, col("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val pref = ex.join(dfreq, Seq("s"))
+      .repartition(parts, col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <=
+        col("nsh") - expr(s"(nsh * $tNum + ${tDen - 1}) div $tDen") + lit(1L))
+      .select(col("s"), col("doc_id"), col("nsh"))
+      .repartition(parts, col("s"))
+    val cand = pref.toDF("s", "doc_a", "na")
+      .join(pref.toDF("s", "doc_b", "nb"), Seq("s"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("nb") * tDen >= col("na") * tNum &&
+        col("na") * tDen >= col("nb") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .dropDuplicates("doc_a", "doc_b")
+    // exact-overlap verification over CANDIDATE docs' shingles only
+    val verified = cand
+      .join(ex.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .repartition(parts, col("doc_b"), col("s"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+    verified
+      // c/(na+nb−c) >= tNum/tDen in exact integers (equivalent to the
+      // oracle's double compare for every feasible (c, union) — the nearest
+      // non-equal rationals to tNum/tDen need ~1e16 denominators)
+      .where(col("c") * (tDen + tNum) >= (col("na") + col("nb")) * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -2100,6 +2100,45 @@ class OpsSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("prefix-filter jaccard matches brute force and the minhash route") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val base = (0 until 90).map { i =>
+      val len = 8 + rnd.nextInt(18)
+      (i.toLong, (0 until len).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // planted: exact dup, one-word edit (high J), and a short-doc pair
+    val docs = base ++ Seq(
+      (200L, base(0)._2), (201L, base(1)._2.replaceFirst("\\w+$", "omega")),
+      (202L, "red blue"), (203L, "red blue"))
+    val got = graft.ops.Dedup.jaccardPrefixPairs(
+        docs.toDF("doc_id", "text"), tNum = 7, tDen = 10, parts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // ground truth: brute-force exact jaccard over the SAME shingle sets
+    val sets = graft.ops.Dedup.withShingles(docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys; if a < b
+      c = (sets(a) & sets(b)).size
+      u = (sets(a) | sets(b)).size
+      if u > 0 && c * 17 >= (sets(a).size + sets(b).size) * 7
+    } yield (a, b) -> (c.toDouble / u)).toMap
+    assert(want.nonEmpty && want.keySet.exists(_._1 == 202L),
+      "planted short-doc pair must qualify")
+    assert(got == want,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    // route equality on the real corpus: deterministic prefix recall ==
+    // the 4e-10-miss-probability minhash banding, pair for pair
+    val real = "/root/testdata/sf0.001"
+    val viaPrefix = Queries.all("dedup_jaccard_prefix")(spark, real)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaMinhash = Queries.all("dedup_minhash_lsh")(spark, real)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaPrefix == viaMinhash && viaPrefix.nonEmpty)
+  }
+
   test("interval agg sweep matches brute force incl. boundary ties and empty intervals") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
