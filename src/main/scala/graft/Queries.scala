@@ -4806,6 +4806,14 @@ object Queries {
     */
   private def pipelineCdcMerge(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
+    cdcApply(o, cdcCompact(cdcLog(o)))
+  }
+
+  /** The derived CDC change feed — ONE definition shared by the batch
+    * merge and its streaming twin (the ewmaDaily single-definition
+    * discipline), so the two queries can share the DuckDB oracle verbatim.
+    */
+  private[graft] def cdcLog(o: DataFrame): DataFrame = {
     val odateType = o.schema("o_orderdate").dataType
     val sentinelTs = lit("1970-01-01 00:00:00").cast(odateType)
     val k = col("o_orderkey")
@@ -4817,7 +4825,7 @@ object Queries {
         status.as("status"), price.cast("double").as("price"),
         odate.as("odate"))
 
-    val log = change(pmod(k, lit(5)).isin(2, 3), 1, "U", lit(-1L), lit("P"),
+    change(pmod(k, lit(5)).isin(2, 3), 1, "U", lit(-1L), lit("P"),
         col("o_totalprice") + lit(100.0), sentinelTs)
       .union(change(pmod(k, lit(10)) === 3, 2, "U", lit(-1L), lit("F"),
         col("o_totalprice") + lit(200.0), sentinelTs))
@@ -4827,14 +4835,33 @@ object Queries {
         lit(1L).as("seq"), lit("I").as("op"), col("o_custkey").as("custkey"),
         lit("N").as("status"), col("o_totalprice").as("price"),
         col("o_orderdate").as("odate")))
+  }
 
-    val compact = log.groupBy(col("k")).agg(
+  /** Per-key latest-op compaction (arg-max by seq). The winning `seq` is
+    * RETAINED so the compaction is ASSOCIATIVE: re-compacting {previous
+    * winner} ∪ {new ops} picks the global arg-max, which is what lets the
+    * streaming twin fold micro-batches into bucketed state in any arrival
+    * order and land bit-equal to the one-pass batch compaction. (k, seq)
+    * is unique in the feed, so max_by never faces a tie on live data; an
+    * at-least-once replay re-presents IDENTICAL rows, where the pick is
+    * value-irrelevant.
+    */
+  private[graft] def cdcCompact(log: DataFrame): DataFrame =
+    log.groupBy(col("k")).agg(
+      max(col("seq")).as("seq"),
       max_by(col("op"), col("seq")).as("op"),
       max_by(col("custkey"), col("seq")).as("custkey"),
       max_by(col("status"), col("seq")).as("status"),
       max_by(col("price"), col("seq")).as("price"),
       max_by(col("odate"), col("seq")).as("odate"))
 
+  /** Apply a compacted changelog to the base snapshot: delete drops,
+    * update overrides, insert adds, untouched rows pass through tagged
+    * src='base'. One key-equi full-outer join; tombstones ('D') filter at
+    * emit, so they can live in incremental state without affecting the
+    * surface.
+    */
+  private[graft] def cdcApply(o: DataFrame, compact: DataFrame): DataFrame =
     o.join(compact, o("o_orderkey") === compact("k"), "full_outer")
       .where(compact("op").isNull || compact("op") =!= "D")
       .select(
@@ -4851,7 +4878,6 @@ object Queries {
           .when(compact("op") === "U", lit("updated"))
           .otherwise(lit("inserted")).as("src"))
       .orderBy(col("o_orderkey"))
-  }
 
   private val pipelineCdcMergeSql =
     """WITH upd1 AS (
@@ -5558,6 +5584,8 @@ object Queries {
       graft.streaming.StreamingOps.streamDatasetDiff(s, dir)),
     "stream_ewma" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamEwma(s, dir)),
+    "stream_cdc_merge" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamCdcMerge(s, dir)),
     "source_jsonl_roundtrip" -> sourceJsonlRoundtrip _,
     "source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
@@ -5709,6 +5737,7 @@ object Queries {
     // per-row verdicts vs static v1 + an at-close anti-join reproduce the
     // batch diff bit-exactly under any chunking — same oracle verbatim
     "stream_dataset_diff" -> pipelineDatasetDiffSql,
+    "stream_cdc_merge" -> pipelineCdcMergeSql,
     // bounded 32-long ring state + the same exact fold/division as the
     // batch window => bit-identical frame, same oracle verbatim
     "stream_ewma" -> windowEwmaSql,

@@ -1802,6 +1802,97 @@ object StreamingOps {
     graft.ops.PipelineOps.withStatusTotals(delta)
   }
 
+  /** STREAMING CDC MERGE — the incremental member of the lakehouse-merge
+    * family (batch twin: pipeline_cdc_merge). The change feed arrives as a
+    * file stream in ARBITRARY chunks (ops for one key may split across
+    * micro-batches in any order), and the maintained state is the COMPACTED
+    * changelog — per key, the arg-max-by-seq op with its winning seq
+    * ([[graft.Queries.cdcCompact]]) — parquet-partitioned by
+    * `bucket = pmod(k, nBuckets)`, so every batch rewrites only the buckets
+    * holding touched keys via dynamic-partition-overwrite (the
+    * stream_disagg_incremental pattern). Because compaction RETAINS the
+    * winning seq, folding a new batch is associative: re-compacting
+    * {previous winner} ∪ {batch ops} picks the global latest op, so the
+    * final state — and the merged snapshot emitted at close — is
+    * BIT-IDENTICAL to the one-pass batch merge under any chunking or
+    * arrival order, which is why this query shares pipeline_cdc_merge's
+    * DuckDB oracle verbatim. Tombstones ('D' rows) live IN state and
+    * filter only at emit, so a delete arriving before a stale lower-seq
+    * update still wins.
+    *
+    * Restart contract: the per-batch rewrite is idempotent (replaying a
+    * batch re-presents identical rows to an arg-max), so an engine
+    * checkpoint alone recovers a killed run — no driver state.
+    *
+    * At scale: state is changelog-sized (≪ snapshot), per-batch work is
+    * O(|batch| + touched buckets), and the close-time apply is the same
+    * single key-equi join as the batch query; with the snapshot bucketed
+    * on the same key the apply is co-located and the rewrite prunes to
+    * touched storage partitions.
+    */
+  def streamCdcMerge(outer: SparkSession, dir: String): DataFrame =
+    // no per-key state store (driver-orchestrated parquet state), so the
+    // per-batch folds and the close-time apply run at full parallelism —
+    // the stream_count_min discipline (ROUND6_NOTES §10)
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+      val log = graft.Queries.cdcLog(o)
+      val nBuckets = 16
+      // chunk count scales with feed size; hash on (k, seq) so one key's
+      // ops split across micro-batches and exercise cross-batch folding
+      val nChunks = math.max(4L, math.min(64L, o.count() / 40000L)).toInt
+      val tmp = stagedCorpus(dir, "cdclog") { t =>
+        stageParts(log, t, "chunk", nChunks, xxhash64(col("k"), col("seq")))
+      }
+      val stateDir = java.nio.file.Files.createTempDirectory("graft_cdc_state")
+      val hasState = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val stream = spark.readStream.schema(log.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", math.max(1, nChunks / 4))
+        .parquet(tmp.toString)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val sp = batch.sparkSession
+          val bl = graft.Queries.cdcCompact(batch.toDF())
+            .withColumn("bucket", pmod(col("k"), lit(nBuckets.toLong)))
+            .localCheckpoint()
+          val touched = bl.select(col("bucket")).distinct()
+            .collect().map(_.getLong(0)).toSeq // ≤ nBuckets rows
+          val merged =
+            if (hasState.get()) {
+              // survivors-of-touched-buckets ∪ batch winners, re-compacted:
+              // associative arg-max-by-seq (cdcCompact retains seq).
+              // localCheckpoint materializes BEFORE the overwrite deletes
+              // the files being read.
+              val state = sp.read.parquet(stateDir.toString)
+                .where(col("bucket").cast("long").isin(touched: _*))
+                .drop("bucket")
+              graft.Queries.cdcCompact(state.unionByName(bl.drop("bucket")))
+            } else bl.drop("bucket")
+          merged
+            .withColumn("bucket", pmod(col("k"), lit(nBuckets.toLong)))
+            .localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(stateDir.toString)
+          hasState.set(true)
+          nBatches.incrementAndGet()
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      require(nBatches.get() >= 2,
+        s"chunked staging must yield multiple micro-batches, got ${nBatches.get()}")
+      val compactState = spark.read.parquet(stateDir.toString).drop("bucket")
+      val out = graft.Queries.cdcApply(o, compactState).localCheckpoint()
+      deleteRecursively(stateDir)
+      out
+    }
+
   /** The ONE daily fixed-point frame behind window_ewma AND stream_ewma —
     * they share a DuckDB oracle verbatim, so the derivation (day formula,
     * DECIMAL(18,4)·10⁴ route, exact decimal total) must be a single

@@ -1840,6 +1840,34 @@ class OpsSpec extends AnyFunSuite {
       "per-arrival verdicts + at-close anti-join must reproduce the batch diff")
   }
 
+  test("streamed cdc merge is bit-equal to the batch merge") {
+    val streamed = graft.streaming.StreamingOps.streamCdcMerge(spark, dir)
+      .collect().map(_.toString)
+    val batch = SparkEntry.queries("pipeline_cdc_merge")(spark, dir)
+      .collect().map(_.toString)
+    assert(batch.nonEmpty && streamed.toSeq == batch.toSeq,
+      "associative per-bucket changelog folding must reproduce the batch merge")
+  }
+
+  test("cdc compaction folds associatively across arbitrary chunkings") {
+    // split the feed into 3 chunks by a hash UNALIGNED with keys (ops for
+    // one key land in different chunks), fold incrementally in two orders,
+    // and require both to equal the one-pass compaction bit-for-bit
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val log = Queries.cdcLog(o).localCheckpoint()
+    val chunk = pmod(xxhash64(col("k"), col("seq")), lit(3L))
+    val chunks = (0 to 2).map(i => log.where(chunk === i))
+    def fold(order: Seq[Int]): Seq[String] =
+      Queries.cdcCompact(order.map(chunks).reduce { (st, nx) =>
+        Queries.cdcCompact(st).unionByName(nx)
+      }).orderBy(col("k")).collect().map(_.toString).toSeq
+    val onePass = Queries.cdcCompact(log)
+      .orderBy(col("k")).collect().map(_.toString).toSeq
+    assert(onePass.nonEmpty && fold(Seq(0, 1, 2)) == onePass &&
+      fold(Seq(2, 0, 1)) == onePass,
+      "arg-max-by-seq with retained seq must be chunking/order-independent")
+  }
+
   test("dataset diff kill-and-resume: idempotent batch dirs + engine checkpoint") {
     import graft.ops.PipelineOps
     import graft.streaming.StreamingOps
