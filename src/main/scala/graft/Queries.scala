@@ -2528,6 +2528,73 @@ object Queries {
       "  CAST(length(text) AS INT) AS n_chars_measured\n" +
       "FROM documents ORDER BY doc_id"
 
+  /** Bigram language-model coverage — the n-gram-LM fluency filter
+    * (CCNet-style perplexity bucketing) reduced to its oracle-exact core.
+    * The "model" is trained over the whole corpus in ONE map-side-
+    * combinable aggregation (bigram -> count, keep count >= 3); every
+    * document is then scored by the fraction of its bigrams the model
+    * knows. Coverage is a single division of two exact integers, so
+    * cross-engine doubles agree bit-for-bit — the exact-sufficient-
+    * statistics discipline applied to LM scoring (a real perplexity adds
+    * only a per-bigram log, which no SQL replay can pin exactly; the
+    * integer surface pins the entire counting pipeline, which is where
+    * every distributed bug lives).
+    *
+    * Scale shape: bigram explosion is a pure map (zip_with over the token
+    * array, evaluated once per row); training is one shuffle with partial
+    * aggregation; scoring joins the exploded feed to the model on the
+    * bigram key — at production vocab sizes the kept-bigram table is
+    * bounded (count >= k cuts the long tail) and broadcastable, making
+    * scoring a map-side pass. Never all-pairs, never a driver loop.
+    */
+  private def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("t"))
+    val bigrams = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => concat(a, lit("\u001f"), b))).as("bg"))
+    val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= 3).select(col("bg"), lit(1L).as("hit"))
+    val scored = bigrams.join(model, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_known"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          coalesce(col("n_known"), lit(0L)).cast("double") / col("n_bigrams"))
+          .as("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textBigramLmSql =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || chr(31) || t[i+1])) AS bg
+      |  FROM tok),
+      |model AS (SELECT bg FROM big GROUP BY bg HAVING count(*) >= 3),
+      |per AS (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         CAST(count(m.bg) AS BIGINT) AS n_known
+      |  FROM big b LEFT JOIN model m ON b.bg = m.bg
+      |  GROUP BY b.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(p.n_known, 0) AS BIGINT) AS n_known,
+      |  CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+      |       THEN CAST(COALESCE(p.n_known, 0) AS DOUBLE) / p.n_bigrams
+      |  END AS coverage
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Quality scoring: structural ratios a pretraining pipeline filters on.
     * All ratios are exact-integer divisions, so cross-engine doubles agree.
     */
@@ -4026,6 +4093,105 @@ object Queries {
       |  (CAST(sum(n_l1) OVER (PARTITION BY regionkey, segment, neg_bal)
       |    AS BIGINT) >= 6) AS resolved_by_generalization
       |FROM g ORDER BY nationkey, segment, neg_bal""".stripMargin
+
+  /** Column-statistics drift between two corpus releases — the lakehouse
+    * data-quality gate next to pipeline_dataset_diff (which diffs ROWS;
+    * this diffs DISTRIBUTIONS): per column, row counts, null counts,
+    * distinct cardinalities and exact character totals/means for v1 vs the
+    * deterministically-derived v2 ([[graft.ops.PipelineOps.v2Corpus]] —
+    * same hash arms as the diff family, plus planted `lang` nulls and a
+    * new lang/source pair, so the null-rate and distinct-count metrics are
+    * GUARANTEED a real drift to flag; row counts may legitimately coincide
+    * since drops ≈ adds by construction).
+    *
+    * Each side is ONE map-side-combinable aggregation collapsing the
+    * corpus to a single stats row (the two countDistincts expand the scan
+    * 2×, never shuffle rows); the rows unpivot to long form and join on
+    * (col_name, metric) — a 6-row broadcast join. Means are one division
+    * of exact integers, so doubles agree bit-for-bit cross-engine. At
+    * 100 TB this is the shape of a release-gate profiler: stats are
+    * per-partition partials merged on the driver-sized surface, nothing
+    * corpus-sized ever moves.
+    */
+  private def diagSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def stats(d: DataFrame, tag: String): DataFrame =
+      d.agg(
+        count(lit(1)).cast("double").as("rows"),
+        sum(length(col("text"))).cast("double").as("total_chars"),
+        (sum(length(col("text"))).cast("double") / count(lit(1)))
+          .as("mean_chars"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).cast("double")
+          .as("lang_nulls"),
+        countDistinct(col("lang")).cast("double").as("lang_distinct"),
+        countDistinct(col("source")).cast("double").as("source_distinct"))
+      .select(expr(
+        "stack(6, 'doc_id','rows',rows, 'text','total_chars',total_chars, " +
+          "'text','mean_chars',mean_chars, 'lang','nulls',lang_nulls, " +
+          "'lang','n_distinct',lang_distinct, " +
+          "'source','n_distinct',source_distinct) " +
+          s"AS (col_name, metric, $tag)"))
+    stats(docs, "v1")
+      .join(stats(graft.ops.PipelineOps.v2Corpus(docs), "v2"),
+        Seq("col_name", "metric"))
+      .select(col("col_name"), col("metric"), col("v1"), col("v2"),
+        (col("v1") =!= col("v2")).as("drift"))
+      .orderBy(col("col_name"), col("metric"))
+  }
+
+  private val diagSchemaDriftSql =
+    """WITH hd AS (
+      |  SELECT doc_id, text, lang, source,
+      |    ((CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+      |           ELSE h END) % 20 + 20) % 20 AS hb
+      |  FROM (SELECT doc_id, text, lang, source,
+      |          md5_number_lower('v2|' || CAST(doc_id AS VARCHAR)) AS h
+      |        FROM documents)),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN hb = 1 THEN text || ' [rev2]' ELSE text END AS text,
+      |    CASE WHEN hb = 3 THEN NULL ELSE lang END AS lang,
+      |    source
+      |  FROM hd WHERE hb <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000000, 'added doc ' || CAST(doc_id AS VARCHAR),
+      |    'xx', 'crawl_v2'
+      |  FROM hd WHERE hb = 2),
+      |s1 AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS rows_,
+      |    CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) AS total_chars,
+      |    CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) / count(*) AS mean_chars,
+      |    CAST(CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS DOUBLE) AS lang_nulls,
+      |    CAST(count(DISTINCT lang) AS DOUBLE) AS lang_distinct,
+      |    CAST(count(DISTINCT source) AS DOUBLE) AS source_distinct
+      |  FROM documents),
+      |s2 AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS rows_,
+      |    CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) AS total_chars,
+      |    CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE) / count(*) AS mean_chars,
+      |    CAST(CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS DOUBLE) AS lang_nulls,
+      |    CAST(count(DISTINCT lang) AS DOUBLE) AS lang_distinct,
+      |    CAST(count(DISTINCT source) AS DOUBLE) AS source_distinct
+      |  FROM v2),
+      |u1 AS (
+      |  SELECT 'doc_id' AS col_name, 'rows' AS metric, rows_ AS v1 FROM s1
+      |  UNION ALL SELECT 'text', 'total_chars', total_chars FROM s1
+      |  UNION ALL SELECT 'text', 'mean_chars', mean_chars FROM s1
+      |  UNION ALL SELECT 'lang', 'nulls', lang_nulls FROM s1
+      |  UNION ALL SELECT 'lang', 'n_distinct', lang_distinct FROM s1
+      |  UNION ALL SELECT 'source', 'n_distinct', source_distinct FROM s1),
+      |u2 AS (
+      |  SELECT 'doc_id' AS col_name, 'rows' AS metric, rows_ AS v2 FROM s2
+      |  UNION ALL SELECT 'text', 'total_chars', total_chars FROM s2
+      |  UNION ALL SELECT 'text', 'mean_chars', mean_chars FROM s2
+      |  UNION ALL SELECT 'lang', 'nulls', lang_nulls FROM s2
+      |  UNION ALL SELECT 'lang', 'n_distinct', lang_distinct FROM s2
+      |  UNION ALL SELECT 'source', 'n_distinct', source_distinct FROM s2)
+      |SELECT u1.col_name, u1.metric, u1.v1, u2.v2, (u1.v1 <> u2.v2) AS drift
+      |FROM u1 JOIN u2 ON u1.col_name = u2.col_name AND u1.metric = u2.metric
+      |ORDER BY u1.col_name, u1.metric""".stripMargin
 
   /** Dataset-version snapshot diff (PipelineOps.snapshotDiff): the
     * added/removed/changed audit between two corpus releases, v2 derived
@@ -5562,6 +5728,7 @@ object Queries {
     "disagg_last_y2q" -> disaggLastY2Q _,
     "disagg_additive_y2q" -> disaggAdditiveY2Q _,
     "text_token_count" -> textTokenCount _,
+    "text_bigram_lm" -> textBigramLm _,
     "text_quality" -> textQuality _,
     "text_fingerprint" -> textFingerprint _,
     "dedup_exact" -> dedupExact _,
@@ -5590,6 +5757,7 @@ object Queries {
     "source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
     "diag_k_anonymity" -> diagKAnonymity _,
+    "diag_schema_drift" -> diagSchemaDrift _,
     "join_fuzzy_quote" -> joinFuzzyQuote _,
     "stream_quality_ridge" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamQualityRidge(s, dir)),
@@ -5723,6 +5891,7 @@ object Queries {
     "text_clean" -> textCleanSql,
     "stream_sliding_counts" -> graft.streaming.StreamingOps.streamSlidingCountsSql,
     "text_token_count" -> textTokenCountSql,
+    "text_bigram_lm" -> textBigramLmSql,
     "text_quality" -> textQualitySql,
     "text_fingerprint" -> textFingerprintSql,
     "dedup_exact" -> dedupExactSql,
@@ -5745,6 +5914,7 @@ object Queries {
     "source_csv_roundtrip" -> sourceRoundtripSql,
     "source_orc_roundtrip" -> sourceRoundtripSql,
     "diag_k_anonymity" -> diagKAnonymitySql,
+    "diag_schema_drift" -> diagSchemaDriftSql,
     "join_fuzzy_quote" -> joinFuzzyQuoteSql,
     // streamed model == batch model bit-exactly (additive integer
     // sufficient statistics), so the streaming run replays the SAME oracle

@@ -316,6 +316,33 @@ object PipelineOps {
     carried.unionByName(added)
   }
 
+  /** The derived v2 release as a full corpus frame (doc_id, text, lang,
+    * source) — the materialized sibling of [[v2Fingerprints]] (same hash,
+    * same drop/mutate/add arms) plus two drift plants the fingerprint view
+    * cannot carry: bucket 3 nulls out `lang` (null-rate drift) and added
+    * docs land with a NEW lang/source pair (distinct-count drift). Used by
+    * diag_schema_drift; deterministic, so both engines rebuild it
+    * identically (de-vacuizing pattern — every drift metric is guaranteed
+    * a real signal to detect).
+    */
+  private[graft] def v2Corpus(docs: DataFrame): DataFrame = {
+    val h = pmod(graft.functions.HashOps.md5Low64(
+      concat(lit("v2|"), col("doc_id").cast(StringType))), lit(20L))
+    val hd = docs.withColumn("h", h)
+    val carried = hd.where(col("h") =!= 0)
+      .select(col("doc_id"),
+        when(col("h") === 1, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"),
+        when(col("h") === 3, lit(null).cast(StringType))
+          .otherwise(col("lang")).as("lang"),
+        col("source"))
+    val added = hd.where(col("h") === 2)
+      .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+        concat(lit("added doc "), col("doc_id").cast(StringType)).as("text"),
+        lit("xx").as("lang"), lit("crawl_v2").as("source"))
+    carried.unionByName(added)
+  }
+
   /** Attach per-status totals and canonical order. A window count over
     * the ≤3 statuses, not a groupBy+self-join — the join form executed
     * the corpus-sized fingerprint join TWICE per action (once under the

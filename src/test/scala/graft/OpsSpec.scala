@@ -1868,6 +1868,19 @@ class OpsSpec extends AnyFunSuite {
       "arg-max-by-seq with retained seq must be chunking/order-independent")
   }
 
+  test("schema drift profiler flags the planted null-rate and distinct drifts") {
+    val rows = SparkEntry.queries("diag_schema_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(rows.size == 6, s"expected 6 metric rows, got ${rows.size}")
+    val (n1, n2, nd) = rows(("lang", "nulls"))
+    assert(n1 == 0.0 && n2 > 0 && nd, s"planted lang nulls must drift: $n1 -> $n2")
+    val (l1, l2, ld) = rows(("lang", "n_distinct"))
+    assert(l2 == l1 + 1 && ld, s"'xx' must add one lang: $l1 -> $l2")
+    val (s1, s2, sd) = rows(("source", "n_distinct"))
+    assert(s2 == s1 + 1 && sd, s"'crawl_v2' must add one source: $s1 -> $s2")
+  }
+
   test("dataset diff kill-and-resume: idempotent batch dirs + engine checkpoint") {
     import graft.ops.PipelineOps
     import graft.streaming.StreamingOps

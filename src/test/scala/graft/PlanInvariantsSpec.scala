@@ -54,6 +54,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("bigram LM: map-combined training, key-equi scoring join, never all-pairs") {
+    val p = plan("text_bigram_lm")
+    forbidden.foreach(op =>
+      assert(!p.contains(op), s"text_bigram_lm plan contains $op:\n${p.take(1200)}"))
+    assert(p.contains("partial_"),
+      s"bigram training must map-side combine:\n${p.take(1200)}")
+  }
+
   test("fused single-scan pipeline has no exchange before the final sort") {
     val p = plan("text_pipeline_fused")
     assert(countExchanges(p) == 1, s"expected only the sort exchange:\n$p")
