@@ -1790,14 +1790,17 @@ object Queries {
     * three vertices) plus the global sampled count and the DOULION
     * estimate on every row (broadcast scalars).
     */
-  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+  /** The DOULION-sampled co-purchase edge set (parts sharing an order),
+    * shared by graph_triangles AND graph_label_propagation so the two
+    * queries' oracles can share the edge CTE verbatim (the ewmaDaily
+    * single-definition discipline). Sampling filter commutes with distinct
+    * (pure function of the edge), so it runs BEFORE the dedup shuffle;
+    * localCheckpointed because every consumer reads it several times.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
-    // sampling filter commutes with distinct (pure function of the edge),
-    // so it runs BEFORE the dedup shuffle.
-    // localCheckpoint: e feeds degrees, orientation, and the closure join;
-    // tri feeds the total and three participation unions — materialize each once
-    val e = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
+    li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
       .where(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .where(pmod(graft.functions.HashOps.md5Low64(
@@ -1805,6 +1808,26 @@ object Queries {
         lit(4L)) === 0)
       .distinct()
       .localCheckpoint()
+  }
+
+  /** The matching DuckDB CTE chain (li, e0, e) for [[coPurchaseEdges]]. */
+  private val coPurchaseEdgesCte =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+      |       FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk),
+      |e AS (SELECT u, v FROM (
+      |    SELECT u, v,
+      |      (CASE WHEN h >= 9223372036854775808 THEN CAST(h - 18446744073709551616 AS BIGINT)
+      |            ELSE CAST(h AS BIGINT) END) AS hs
+      |    FROM (SELECT u, v,
+      |            md5_number_lower(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)) AS h
+      |          FROM e0))
+      |  WHERE ((hs % 4) + 4) % 4 = 0)""".stripMargin
+
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: e feeds degrees, orientation, and the closure join;
+    // tri feeds the total and three participation unions — materialize each once
+    val e = coPurchaseEdges(s, dir)
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
     val oriented = e
@@ -1833,17 +1856,7 @@ object Queries {
   }
 
   private val graphTrianglesSql =
-    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      |e0 AS (SELECT DISTINCT a.pk AS u, b.pk AS v
-      |       FROM li a JOIN li b ON a.ok = b.ok WHERE a.pk < b.pk),
-      |e AS (SELECT u, v FROM (
-      |    SELECT u, v,
-      |      (CASE WHEN h >= 9223372036854775808 THEN CAST(h - 18446744073709551616 AS BIGINT)
-      |            ELSE CAST(h AS BIGINT) END) AS hs
-      |    FROM (SELECT u, v,
-      |            md5_number_lower(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)) AS h
-      |          FROM e0))
-      |  WHERE ((hs % 4) + 4) % 4 = 0),
+    s"""WITH $coPurchaseEdgesCte,
       |deg AS (SELECT x, count(*) AS d FROM (
       |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
       |o AS (SELECT
@@ -1864,6 +1877,49 @@ object Queries {
       |FROM pc, tot
       |ORDER BY tri_count DESC, part_key
       |LIMIT 100""".stripMargin
+
+  /** Community seeding by deterministic min-label propagation
+    * (graft.ops.Graph.labelPropagation) over the SAME sampled co-purchase
+    * graph as graph_triangles — the third graph-family member: pagerank
+    * ranks, triangles count, this one CLUSTERS. Three synchronous rounds
+    * (labels = 3-hop min-id basins) hash-replay in unrolled SQL; community
+    * sizes attach via one window over the node-sized label frame. The
+    * bounded-round contract is the point at scale: one pass per round over
+    * the edge list, never a fixpoint loop (dedup_clusters is the fixpoint
+    * member when true components are required).
+    */
+  private def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(s, dir)
+    val liRows = t(s, dir, "lineitem").count()
+    val parts = math.max(32L, math.min(512L, liRows / 250000L)).toInt
+    val labels = graft.ops.Graph.labelPropagation(e, rounds = 3, parts = parts)
+    labels
+      .select(col("node"), col("lab").as("community"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("community"))))
+      .orderBy(col("node"))
+  }
+
+  private val graphLabelPropSql = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (SELECT node, min(lab) AS lab FROM (
+         |    SELECT node, lab FROM $prev
+         |    UNION ALL SELECT e.u AS node, l.lab FROM e JOIN $prev l ON e.v = l.node
+         |    UNION ALL SELECT e.v AS node, l.lab FROM e JOIN $prev l ON e.u = l.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH $coPurchaseEdgesCte,
+      |n AS (SELECT DISTINCT x AS node FROM (
+      |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+      |l0 AS (SELECT node, node AS lab FROM n),
+      |${round("l0", "l1")},
+      |${round("l1", "l2")},
+      |${round("l2", "l3")}
+      |SELECT l3.node, l3.lab AS community,
+      |  CAST(c.sz AS BIGINT) AS community_size
+      |FROM l3 JOIN (SELECT lab, count(*) AS sz FROM l3 GROUP BY lab) c
+      |  ON l3.lab = c.lab
+      |ORDER BY l3.node""".stripMargin
+  }
 
   /** Salted skew join — the technique diag_skew_profile's salt_factor
     * column recommends, demonstrated end-to-end: the probe side (lineitem)
@@ -5696,6 +5752,7 @@ object Queries {
     "text_bpe_vocab" -> textBpeVocab _,
     "pipeline_incremental_agg" -> pipelineIncrementalAgg _,
     "graph_triangles" -> graphTriangles _,
+    "graph_label_propagation" -> graphLabelProp _,
     "embed_pq" -> embedPq _,
     "text_bpe_apply" -> textBpeApply _,
     "sim_ivfpq" -> simIvfPq _,
@@ -5873,6 +5930,7 @@ object Queries {
     "text_bpe_vocab" -> textBpeVocabSql,
     "pipeline_incremental_agg" -> pipelineIncrementalAggSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_label_propagation" -> graphLabelPropSql,
     "embed_pq" -> embedPqSql,
     "text_bpe_apply" -> textBpeApplySql,
     "sim_ivfpq" -> simIvfPqSql,

@@ -116,4 +116,47 @@ object Graph {
     }
     ranks.withColumn("iters", lit(it.toLong))
   }
+
+  /** Synchronous min-label propagation over an undirected graph — the
+    * community-seeding pass of large-scale graph clustering (Raghavan et
+    * al., Phys. Rev. E 76, 2007, reduced to the deterministic min-rule so
+    * a FIXED number of rounds hash-replays in unrolled SQL; the random
+    * tie-breaking of the original is exactly what an oracle cannot pin).
+    * After k rounds every node holds the minimum node id within k hops —
+    * so rounds bound the propagation radius, and communities are
+    * "k-hop min-id basins", a deterministic, replayable community notion.
+    * Differs from connectedComponents (ops/Dedup.scala): CC iterates to a
+    * FIXPOINT with star contractions (O(log²n) rounds, labels = true
+    * components); this is the bounded-round, bounded-radius member the
+    * label-prop family uses when one pass over a trillion-edge graph per
+    * round is the budget.
+    *
+    * Scale shape: edges hash-partitioned once and localCheckpointed; per
+    * round two edge⋈label equi-joins (messages along both directions) and
+    * one map-combined min by node — 2 edge-sized shuffles per round, the
+    * CC-loop discipline, with the explicit `repartition(parts, node)`
+    * satisfying the next round's ClusteredDistribution.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      parts: Int = 32): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val e = edges
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .repartition(parts, col("u")).localCheckpoint()
+    var labels = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("lab"))
+      .repartition(parts, col("node")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val lu = labels.select(col("node").as("u"), col("lab"))
+      val lv = labels.select(col("node").as("v"), col("lab"))
+      val msgs = e.join(lv, Seq("v")).select(col("u").as("node"), col("lab"))
+        .unionAll(e.join(lu, Seq("u")).select(col("v").as("node"), col("lab")))
+      labels = labels.unionAll(msgs)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .repartition(parts, col("node")).localCheckpoint()
+    }
+    labels
+  }
 }

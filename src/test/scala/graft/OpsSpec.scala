@@ -1868,6 +1868,21 @@ class OpsSpec extends AnyFunSuite {
       "arg-max-by-seq with retained seq must be chunking/order-independent")
   }
 
+  test("label propagation: labels are exact k-hop min-id basins") {
+    val sp = spark
+    import sp.implicits._
+    // path 1-…-9 plus a triangle {20,21,22}: radius semantics are visible
+    // on the path (min reaches exactly 3 hops), totality on the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 9L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("u", "v")
+    val got = graft.ops.Graph.labelPropagation(edges, rounds = 3, parts = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (1L to 9L).map(k => k -> math.max(1L, k - 3)).toMap ++
+      Map(20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == expected, s"3-hop min basins wrong: $got")
+  }
+
   test("schema drift profiler flags the planted null-rate and distinct drifts") {
     val rows = SparkEntry.queries("diag_schema_drift")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
