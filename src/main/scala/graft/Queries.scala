@@ -1152,8 +1152,14 @@ object Queries {
     * hash Exchange, and the island frame is |changes|-sized, not
     * |orders|-sized, before the final lead.
     */
-  private def windowScd2(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
+  private def windowScd2(s: SparkSession, dir: String): DataFrame =
+    scd2History(t(s, dir, "orders")).orderBy(col("o_custkey"), col("version"))
+
+  /** The SCD2 history frame (pre-ORDER BY) — ONE definition shared by the
+    * window_scd2 build and the join_scd2_pointintime consumer (the
+    * ewmaDaily single-definition discipline).
+    */
+  private def scd2History(o: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val prev = lag(col("o_orderpriority"), 1).over(wOrd)
@@ -1171,11 +1177,13 @@ object Queries {
       .select(col("o_custkey"), col("version"), col("priority"),
         col("effective_from"), col("effective_to"), col("n_orders"),
         col("effective_to").isNull.as("is_current"))
-      .orderBy(col("o_custkey"), col("version"))
   }
 
-  private val windowScd2Sql =
-    """WITH seq AS (
+  /** The SCD2 history CTE chain (seq, ver, isl) shared by window_scd2 and
+    * join_scd2_pointintime — the SQL twin of [[scd2History]].
+    */
+  private val scd2Cte =
+    """seq AS (
       |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
       |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
       |           OR lag(o_orderpriority) OVER w <> o_orderpriority
@@ -1190,7 +1198,10 @@ object Queries {
       |isl AS (
       |  SELECT o_custkey, version, min(o_orderpriority) AS priority,
       |    min(o_orderdate) AS effective_from, count(*) AS n_orders
-      |  FROM ver GROUP BY o_custkey, version),
+      |  FROM ver GROUP BY o_custkey, version)""".stripMargin
+
+  private val windowScd2Sql =
+    s"""WITH $scd2Cte,
       |fin AS (
       |  SELECT *, lead(effective_from) OVER (PARTITION BY o_custkey
       |    ORDER BY version) AS effective_to
@@ -1198,6 +1209,57 @@ object Queries {
       |SELECT o_custkey, version, priority, effective_from, effective_to,
       |  n_orders, effective_to IS NULL AS is_current
       |FROM fin ORDER BY o_custkey, version""".stripMargin
+
+  /** Point-in-time SCD2 dimension join — THE standard consumer of the
+    * window_scd2 history build, and the fourth member of the temporal-join
+    * family (as-of, interval overlap, range agg, this): every shipment
+    * fact is attributed the dimension version that was effective at SHIP
+    * time, not order time. The key insight this query demonstrates: when
+    * SCD2 intervals are CONTIGUOUS per key (effective_to = next
+    * effective_from, by construction of the build), point-in-time lookup
+    * needs no interval predicate at all — it is exactly a keyed backward
+    * as-of join on effective_from ([[graft.ops.AsOfJoin.asOf]]: one
+    * key-shuffle + one window pass, no range explosion). Versions are
+    * pre-reduced to one row per (custkey, effective_from) (arg-max by
+    * version — "effective at end of day") so equal-date version ties are
+    * deterministic in BOTH engines, the r5-ADVICE as-of tie discipline.
+    */
+  private def joinScd2PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val versions = scd2History(o)
+      .select(col("o_custkey").as("custkey"), col("effective_from").as("ts"),
+        col("priority"), col("version"))
+      .groupBy(col("custkey"), col("ts"))
+      .agg(max_by(col("priority"), col("version")).as("priority"),
+        max(col("version")).as("version"))
+    val facts = t(s, dir, "lineitem").where(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("orderkey"), col("l_shipdate").as("ts"))
+      .join(o.select(col("o_orderkey"), col("o_custkey").as("custkey")),
+        col("orderkey") === col("o_orderkey"))
+      .select(col("orderkey"), col("custkey"), col("ts"))
+    graft.ops.AsOfJoin.asOf(facts, versions, "custkey", "ts",
+        payloadCols = Seq("priority", "version"))
+      .select(col("orderkey"), col("custkey"), col("ts"),
+        col("asof_priority").as("priority_at_ship"),
+        col("asof_version").as("version_at_ship"))
+      .orderBy(col("orderkey"))
+  }
+
+  private val joinScd2PointInTimeSql =
+    s"""WITH $scd2Cte,
+      |v AS (
+      |  SELECT o_custkey AS custkey, effective_from AS ts,
+      |    arg_max(priority, version) AS priority,
+      |    CAST(max(version) AS BIGINT) AS version
+      |  FROM isl GROUP BY 1, 2),
+      |f AS (
+      |  SELECT l_orderkey AS orderkey, o_custkey AS custkey, l_shipdate AS ts
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_linenumber = 1)
+      |SELECT f.orderkey, f.custkey, f.ts,
+      |  v.priority AS priority_at_ship, v.version AS version_at_ship
+      |FROM f ASOF LEFT JOIN v ON f.custkey = v.custkey AND f.ts >= v.ts
+      |ORDER BY orderkey""".stripMargin
 
   /** Z-ORDER data layout + data-skipping audit: the lakehouse clustering
     * decision that dominates scan cost at 100 TB. Each lineitem row's
@@ -5725,6 +5787,7 @@ object Queries {
     "join_range_agg" -> rangeAggSweep _,
     "window_running_total" -> windowRunningTotal _,
     "pivot_daily_events" -> pivotDailyEvents _,
+    "join_scd2_pointintime" -> joinScd2PointInTime _,
     "join_semi_anti" -> semiAntiJoin _,
     "join_star_pricing" -> joinStarPricing _,
     "set_ops_months" -> setOps _,
@@ -5901,6 +5964,7 @@ object Queries {
     "join_range_agg" -> rangeAggSweepSql,
     "window_running_total" -> windowRunningTotalSql,
     "pivot_daily_events" -> pivotDailyEventsSql,
+    "join_scd2_pointintime" -> joinScd2PointInTimeSql,
     "join_semi_anti" -> semiAntiJoinSql,
     "join_star_pricing" -> joinStarPricingSql,
     "set_ops_months" -> setOpsSql,
