@@ -1862,14 +1862,17 @@ object Queries {
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
-    li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
+    val edges = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
       .where(col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .where(pmod(graft.functions.HashOps.md5Low64(
         concat(col("u").cast(StringType), lit("_"), col("v").cast(StringType))),
         lit(4L)) === 0)
       .distinct()
-      .localCheckpoint()
+    // footer-count hint: past ~10⁸ lineitems the edge set goes to scratch
+    // parquet instead of memory-backed checkpoint blocks (Fs.materialize —
+    // the graph-at-1000× OOM lesson)
+    graft.util.Fs.materialize(edges, t(s, dir, "lineitem").count())
   }
 
   /** The matching DuckDB CTE chain (li, e0, e) for [[coPurchaseEdges]]. */
@@ -1954,7 +1957,8 @@ object Queries {
     val e = coPurchaseEdges(s, dir)
     val liRows = t(s, dir, "lineitem").count()
     val parts = math.max(32L, math.min(512L, liRows / 250000L)).toInt
-    val labels = graft.ops.Graph.labelPropagation(e, rounds = 3, parts = parts)
+    val labels = graft.ops.Graph.labelPropagation(e, rounds = 3, parts = parts,
+      rowsHint = liRows)
     labels
       .select(col("node"), col("lab").as("community"))
       .withColumn("community_size",

@@ -137,25 +137,33 @@ object Graph {
     * CC-loop discipline, with the explicit `repartition(parts, node)`
     * satisfying the next round's ClusteredDistribution.
     */
+  /** @param rowsHint approximate edge count (a parquet footer count the
+    *                  caller already has): past Fs.materialize's threshold,
+    *                  loop intermediates go to scratch parquet instead of
+    *                  localCheckpoint — memory-backed checkpoint blocks of
+    *                  a 10⁸-edge graph pin storage against execution and
+    *                  OOM (the 1000×-decade lesson)
+    */
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 32, rowsHint: Long = 0L): DataFrame = {
     require(rounds >= 1, "at least one round")
-    val e = edges
+    import graft.util.Fs.materialize
+    val e = materialize(edges
       .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-      .repartition(parts, col("u")).localCheckpoint()
-    var labels = e.select(col("u").as("node"))
+      .repartition(parts, col("u")), rowsHint)
+    var labels = materialize(e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .distinct()
       .select(col("node"), col("node").as("lab"))
-      .repartition(parts, col("node")).localCheckpoint()
+      .repartition(parts, col("node")), rowsHint)
     for (_ <- 1 to rounds) {
       val lu = labels.select(col("node").as("u"), col("lab"))
       val lv = labels.select(col("node").as("v"), col("lab"))
       val msgs = e.join(lv, Seq("v")).select(col("u").as("node"), col("lab"))
         .unionAll(e.join(lu, Seq("u")).select(col("v").as("node"), col("lab")))
-      labels = labels.unionAll(msgs)
+      labels = materialize(labels.unionAll(msgs)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-        .repartition(parts, col("node")).localCheckpoint()
+        .repartition(parts, col("node")), rowsHint)
     }
     labels
   }

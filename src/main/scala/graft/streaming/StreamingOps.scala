@@ -1805,92 +1805,74 @@ object StreamingOps {
   /** STREAMING CDC MERGE — the incremental member of the lakehouse-merge
     * family (batch twin: pipeline_cdc_merge). The change feed arrives as a
     * file stream in ARBITRARY chunks (ops for one key may split across
-    * micro-batches in any order), and the maintained state is the COMPACTED
-    * changelog — per key, the arg-max-by-seq op with its winning seq
-    * ([[graft.Queries.cdcCompact]]) — parquet-partitioned by
-    * `bucket = pmod(k, nBuckets)`, so every batch rewrites only the buckets
-    * holding touched keys via dynamic-partition-overwrite (the
-    * stream_disagg_incremental pattern). Because compaction RETAINS the
-    * winning seq, folding a new batch is associative: re-compacting
-    * {previous winner} ∪ {batch ops} picks the global latest op, so the
-    * final state — and the merged snapshot emitted at close — is
-    * BIT-IDENTICAL to the one-pass batch merge under any chunking or
-    * arrival order, which is why this query shares pipeline_cdc_merge's
-    * DuckDB oracle verbatim. Tombstones ('D' rows) live IN state and
-    * filter only at emit, so a delete arriving before a stale lower-seq
-    * update still wins.
+    * micro-batches in any order). Each micro-batch is compacted per key
+    * (arg-max-by-seq with the winning seq RETAINED —
+    * [[graft.Queries.cdcCompact]]) and written as ONE sorted delta run in
+    * its own `bid=<batchId>` directory: the WRITE-OPTIMIZED half of
+    * merge-on-read CDC (the Hudi-MOR / LSM shape), so per-batch cost is
+    * O(|batch|) and NEVER touches accumulated state. At close, one
+    * compaction shuffle folds all runs (associative: re-compacting
+    * {per-run winners} picks the global latest op per key) and one
+    * key-equi join applies the result to the base snapshot — bit-identical
+    * to the one-pass batch merge under any chunking or arrival order,
+    * which is why this query shares pipeline_cdc_merge's DuckDB oracle
+    * verbatim. Tombstones ('D' rows) live in the runs and filter only at
+    * emit, so a delete arriving before a stale lower-seq update still wins.
     *
-    * Restart contract: the per-batch rewrite is idempotent (replaying a
-    * batch re-presents identical rows to an arg-max), so an engine
-    * checkpoint alone recovers a killed run — no driver state.
+    * Design note: a compact-on-write variant (dynamic-partition-overwrite
+    * of touched state buckets per batch, the stream_disagg_incremental
+    * pattern) pays O(touched state) per batch — right when deltas are
+    * localized, catastrophically wrong for a uniform-key churn feed where
+    * every batch touches every bucket (measured: the bucketed variant
+    * rewrote — and cached — the FULL changelog per batch and OOMed at the
+    * 1000× decade; this run-per-batch form replaced it).
     *
-    * At scale: state is changelog-sized (≪ snapshot), per-batch work is
-    * O(|batch| + touched buckets), and the close-time apply is the same
-    * single key-equi join as the batch query; with the snapshot bucketed
-    * on the same key the apply is co-located and the rewrite prunes to
-    * touched storage partitions.
+    * Restart contract: run directories are idempotent (a replayed batch
+    * overwrites its own `bid=` dir with identical content — the diffRun
+    * contract), so an engine checkpoint alone recovers a killed run; no
+    * driver state.
     */
   def streamCdcMerge(outer: SparkSession, dir: String): DataFrame =
-    // no per-key state store (driver-orchestrated parquet state), so the
-    // per-batch folds and the close-time apply run at full parallelism —
-    // the stream_count_min discipline (ROUND6_NOTES §10)
+    // no per-key state store (parquet delta runs), so the per-batch folds
+    // and the close-time compaction/apply run at full parallelism — the
+    // stream_count_min discipline (ROUND6_NOTES §10)
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       val o = spark.read.parquet(s"$dir/orders.parquet")
       val log = graft.Queries.cdcLog(o)
-      val nBuckets = 16
       // chunk count scales with feed size; hash on (k, seq) so one key's
       // ops split across micro-batches and exercise cross-batch folding
       val nChunks = math.max(4L, math.min(64L, o.count() / 40000L)).toInt
       val tmp = stagedCorpus(dir, "cdclog") { t =>
         stageParts(log, t, "chunk", nChunks, xxhash64(col("k"), col("seq")))
       }
-      val stateDir = java.nio.file.Files.createTempDirectory("graft_cdc_state")
-      val hasState = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val runsDir = java.nio.file.Files.createTempDirectory("graft_cdc_runs")
       val stream = spark.readStream.schema(log.schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", math.max(1, nChunks / 4))
         .parquet(tmp.toString)
-      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val seenIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
       val q = stream.writeStream
         .outputMode("append")
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val sp = batch.sparkSession
-          val bl = graft.Queries.cdcCompact(batch.toDF())
-            .withColumn("bucket", pmod(col("k"), lit(nBuckets.toLong)))
-            .localCheckpoint()
-          val touched = bl.select(col("bucket")).distinct()
-            .collect().map(_.getLong(0)).toSeq // ≤ nBuckets rows
-          val merged =
-            if (hasState.get()) {
-              // survivors-of-touched-buckets ∪ batch winners, re-compacted:
-              // associative arg-max-by-seq (cdcCompact retains seq).
-              // localCheckpoint materializes BEFORE the overwrite deletes
-              // the files being read.
-              val state = sp.read.parquet(stateDir.toString)
-                .where(col("bucket").cast("long").isin(touched: _*))
-                .drop("bucket")
-              graft.Queries.cdcCompact(state.unionByName(bl.drop("bucket")))
-            } else bl.drop("bucket")
-          merged
-            .withColumn("bucket", pmod(col("k"), lit(nBuckets.toLong)))
-            .localCheckpoint()
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.Queries.cdcCompact(batch.toDF())
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket").parquet(stateDir.toString)
-          hasState.set(true)
-          nBatches.incrementAndGet()
+            .parquet(runsDir.resolve(s"bid=$batchId").toString)
+          seenIds.add(batchId)
           ()
         }
         .trigger(Trigger.AvailableNow())
         .start()
       q.processAllAvailable()
       q.stop()
-      require(nBatches.get() >= 2,
-        s"chunked staging must yield multiple micro-batches, got ${nBatches.get()}")
-      val compactState = spark.read.parquet(stateDir.toString).drop("bucket")
-      val out = graft.Queries.cdcApply(o, compactState).localCheckpoint()
-      deleteRecursively(stateDir)
-      out
+      require(seenIds.size >= 2,
+        s"chunked staging must yield multiple micro-batches, got ${seenIds.size}")
+      // the merged snapshot is CORPUS-sized: no localCheckpoint (evicted
+      // checkpoint blocks are unrecoverable — this is what OOMed the
+      // bucketed variant at 1000×); return the lazy merge-on-read frame
+      // and keep the runs dir alive until JVM exit
+      graft.util.Fs.deferDelete(runsDir)
+      val runs = spark.read.parquet(runsDir.toString)
+      graft.Queries.cdcApply(o, graft.Queries.cdcCompact(runs))
     }
 
   /** The ONE daily fixed-point frame behind window_ewma AND stream_ewma —

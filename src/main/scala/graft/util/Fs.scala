@@ -15,4 +15,36 @@ object Fs {
         finally walk.close()
       }
     } catch { case _: java.io.IOException => () }
+
+  /** Scratch parquet dirs backing LAZY frames still in flight — deleted at
+    * JVM exit only. The durable sibling of [[deleteRecursively]] for
+    * [[materialize]]'s big branch.
+    */
+  private val deferred =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    val _ = sys.addShutdownHook { deferred.forEach(deleteRecursively(_)) }
+  }
+  def deferDelete(p: java.nio.file.Path): Unit = { deferred.add(p); () }
+
+  /** Materialize an intermediate frame that multiple downstream consumers
+    * re-read. `localCheckpoint` is the cheap default, but its blocks live
+    * in the CACHING layer: under memory pressure an evicted checkpoint
+    * block is UNRECOVERABLE (the lineage is severed) and big intermediates
+    * pin gigabytes of storage memory against execution — the
+    * graph-at-1000× OOM class. Past `bigRows`, spill the frame to a
+    * scratch PARQUET dir instead (columnar, compressed, read back lazily;
+    * the cluster-filesystem shape of a checkpoint) and keep the dir until
+    * JVM exit. The threshold is a row-count hint the caller already has
+    * (typically a parquet footer count — no extra scan).
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame, rowsHint: Long,
+      bigRows: Long = 20000000L): org.apache.spark.sql.DataFrame =
+    if (rowsHint < bigRows) df.localCheckpoint()
+    else {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mat")
+      deferDelete(tmp)
+      df.write.parquet(tmp.resolve("d").toString)
+      df.sparkSession.read.parquet(tmp.resolve("d").toString)
+    }
 }
