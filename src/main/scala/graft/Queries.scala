@@ -4109,6 +4109,255 @@ object Queries {
       |  md5(text) AS fp
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Mojibake detection + repair (TextOps.mojibakePairs): the classic
+    * UTF-8-decoded-as-Latin-1 digraphs counted and fixed as one chained
+    * literal-replace projection — the ftfy fix-encoding shape reduced to
+    * its deterministic core, linear and zero-shuffle (scan speed at
+    * 100 TB). The corpus is ASCII, so corruptions are PLANTED in-query on
+    * two doc classes (de-vacuizing pattern: an insertion mid-text plus a
+    * trailing digraph, and a wrapping pair), built identically in the
+    * oracle; a repair regression can therefore never pass vacuously.
+    */
+  private def textMojibake(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(expr("substring(text, 1, 20)"), lit(MojiEacute),
+          expr("substring(text, 21)"), lit(MojiRsquo)))
+        .when(pmod(col("doc_id"), lit(13)) === 5,
+          concat(lit(MojiLdquo), col("text"), lit(MojiNtilde)))
+        .otherwise(col("text")).as("text"))
+    planted.select(col("doc_id"),
+      TextOps.mojibakeCount(col("text")).as("n_bad"),
+      md5(TextOps.mojibakeRepair(col("text"))).as("repaired_fp"),
+      length(TextOps.mojibakeRepair(col("text")))
+        .cast(IntegerType).as("n_chars_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val MojiEacute = "Ã©"
+  private val MojiRsquo = "â€™"
+  private val MojiLdquo = "â€œ"
+  private val MojiNtilde = "Ã±"
+
+  // detection + repair expressions generated from the SAME pair list the
+  // Spark side uses (TextOps.mojibakePairs) — the contract cannot drift
+  private val textMojibakeSql: String = {
+    val detect = graft.ops.TextOps.mojibakePairs.map { case (bad, _) =>
+      s"(length(text) - length(replace(text, '$bad', ''))) / ${bad.length}"
+    }.mkString(" + ")
+    val repair = graft.ops.TextOps.mojibakePairs
+      .foldLeft("text") { case (acc, (bad, good)) =>
+        s"replace($acc, '$bad', '$good')"
+      }
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0
+       |         THEN substr(text, 1, 20) || '$MojiEacute' || substr(text, 21)
+       |              || '$MojiRsquo'
+       |         WHEN doc_id % 13 = 5 THEN '$MojiLdquo' || text || '$MojiNtilde'
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id, CAST($detect AS BIGINT) AS n_bad,
+       |  md5($repair) AS repaired_fp,
+       |  CAST(length($repair) AS INT) AS n_chars_rep
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** Differentially-private-release PLUMBING over grouped counts: per
+    * (lang, source) doc counts get integer noise drawn from a seeded
+    * md5-derived uniform in [-10, 10] (the geometric-mechanism shape for a
+    * sensitivity-1 count query), post-processing clamp at 0, and small
+    * groups suppressed. The noise is DETERMINISTIC by design — that is
+    * what makes the release oracle-replayable; production swaps the seed
+    * derivation for real randomness and calibrates the distribution to ε
+    * (documented, not claimed here). One map-side-combined aggregation +
+    * a zero-shuffle projection: flat at any corpus size.
+    */
+  private def pipelineDpRelease(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 10)
+      .select(col("lang"), col("source"),
+        greatest(lit(0L), col("c") +
+          (pmod(graft.functions.HashOps.md5Low64(
+            concat_ws("|", lit("dp"), col("lang"), col("source"))),
+            lit(21L)) - lit(10L))).as("released"))
+      .orderBy(col("lang"), col("source"))
+
+  private val pipelineDpReleaseSql =
+    """WITH g AS (
+      |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      |n AS (
+      |  SELECT lang, source, c,
+      |    ((CASE WHEN h >= 9223372036854775808
+      |           THEN CAST(h - 18446744073709551616 AS BIGINT)
+      |           ELSE CAST(h AS BIGINT) END % 21) + 21) % 21 - 10 AS noise
+      |  FROM (SELECT lang, source, c,
+      |          md5_number_lower('dp|' || lang || '|' || source) AS h
+      |        FROM g))
+      |SELECT lang, source, greatest(CAST(0 AS BIGINT), c + noise) AS released
+      |FROM n WHERE c >= 10 ORDER BY lang, source""".stripMargin
+
+  /** Schema-evolution read (the lakehouse reader capability next to the
+    * layout_* planners): two snapshot generations are written as parquet
+    * under partition dirs v=1 (doc_id, lang, text) and v=2 (+quality,
+    * +source), then read back through ONE mergeSchema scan that unions the
+    * footers and null-fills the v1 rows — plus partition-column discovery
+    * (v comes from the directory name, pruning-eligible at scale). The
+    * oracle recomputes the merged frame straight from the source parquet,
+    * so a dropped column, wrong null-fill, or partition misparse
+    * hash-diverges.
+    */
+  private def sourceSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("graft_src_evo")
+    val base = out.resolve("docs").toString
+    docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").parquet(s"$base/v=1")
+    docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("lang"), col("text"),
+        (col("n_chars").cast(DoubleType) / lit(1000.0)).as("quality"),
+        col("source"))
+      .write.mode("overwrite").parquet(s"$base/v=2")
+    val back = s.read.option("mergeSchema", "true").parquet(base)
+    val res = back.select(col("doc_id"), col("lang"),
+        col("v").cast(IntegerType).as("v"), col("quality"), col("source"),
+        md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint() // materialize before deleting the staged files
+    rmTreeQuiet(out)
+    res
+  }
+
+  private val sourceSchemaEvolutionSql =
+    """SELECT doc_id, lang,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS v,
+      |  CASE WHEN doc_id % 2 = 0 THEN NULL
+      |       ELSE CAST(n_chars AS DOUBLE) / 1000.0 END AS quality,
+      |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END AS source,
+      |  md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Entity resolution over the customer dimension — see
+    * graft.ops.EntityResolution for the full design (pigeonhole-blocked
+    * candidates, levenshtein verification over candidates only,
+    * evidence-ranked best match, planted dirty feed).
+    */
+  private def joinEntityResolution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EntityResolution.resolve(t(s, dir, "customer"))
+
+  private val joinEntityResolutionSql: String = {
+    def blk(src: String, i: Int) = s"substr($src, ${10 + 3 * i}, 3)"
+    def keys(src: String) = (0 until 4).map { kid =>
+      (kid, (0 until 4).filter(_ != kid).map(blk(src, _)).mkString(" || "))
+    }
+    val dKeys = keys("dirty_name").map { case (kid, key) =>
+      s"SELECT dirty_id, dirty_bal, dirty_name, $kid AS kid, $key AS bkey FROM dirty"
+    }.mkString("\n  UNION ALL ")
+    val cKeys = keys("canon").map { case (kid, key) =>
+      s"SELECT ck, bal, canon, $kid AS kid, $key AS bkey FROM base"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS ck, c_acctbal AS bal,
+       |    'Customer#' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS canon
+       |  FROM customer),
+       |hh AS (
+       |  SELECT ck, bal, canon,
+       |    md5_number_lower('er-sel|' || canon) AS h1,
+       |    md5_number_lower('er-pos|' || canon) AS h2
+       |  FROM base),
+       |sel AS (
+       |  SELECT ck, bal, canon,
+       |    ((CASE WHEN h1 >= 9223372036854775808
+       |           THEN CAST(h1 - 18446744073709551616 AS BIGINT)
+       |           ELSE CAST(h1 AS BIGINT) END % 4) + 4) % 4 AS s,
+       |    CAST(((CASE WHEN h2 >= 9223372036854775808
+       |           THEN CAST(h2 - 18446744073709551616 AS BIGINT)
+       |           ELSE CAST(h2 AS BIGINT) END % 12) + 12) % 12 AS INT) AS p
+       |  FROM hh),
+       |dirty AS (
+       |  SELECT ck AS dirty_id, bal AS dirty_bal,
+       |    substr(canon, 1, 9 + p)
+       |      || CAST((CAST(substr(canon, 10 + p, 1) AS INT) + 5) % 10 AS VARCHAR)
+       |      || substr(canon, 11 + p, 12) AS dirty_name
+       |  FROM sel WHERE s = 0),
+       |dk AS (
+       |  $dKeys),
+       |ckx AS (
+       |  $cKeys),
+       |cand AS (
+       |  SELECT DISTINCT d.dirty_id, d.dirty_bal, d.dirty_name,
+       |    c.ck, c.bal, c.canon
+       |  FROM dk d JOIN ckx c ON d.kid = c.kid AND d.bkey = c.bkey),
+       |v AS (
+       |  SELECT *, levenshtein(dirty_name, canon) AS dist FROM cand),
+       |r AS (
+       |  SELECT *, count(*) OVER (PARTITION BY dirty_id) AS n_cand,
+       |    row_number() OVER (PARTITION BY dirty_id ORDER BY dist,
+       |      CASE WHEN bal = dirty_bal THEN 0 ELSE 1 END, ck) AS rk
+       |  FROM v WHERE dist <= 1)
+       |SELECT dirty_id, ck AS matched_custkey, CAST(dist AS INT) AS dist,
+       |  n_cand, ck = dirty_id AS correct
+       |FROM r WHERE rk = 1 ORDER BY dirty_id""".stripMargin
+  }
+
+  /** MMR diversity re-rank — see Similarity.mmrRerank (distributed
+    * top-pool scan + pairwise sims, sanctioned driver-side greedy loop).
+    */
+  private def simMmrRerank(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(t(s, dir, "embeddings"), queryId = 0L)
+
+  // unrolled greedy selection: pick1 then 7 chained (cand -> pick -> sel)
+  // steps, every float the same left-fold double op the Spark side runs
+  private val simMmrRerankSql: String = {
+    def cos(a: String, b: String): String =
+      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    // AS MATERIALIZED on every chain CTE: the sel/pick chain references
+    // its predecessor several times, and inlining re-expands the whole
+    // prefix each step (exponential replay cost without the hint)
+    val steps = (2 to 8).map { i =>
+      s"""cand$i AS MATERIALIZED (
+         |  SELECT p.vec_id, p.rel, max(pr.cs) AS ms
+         |  FROM pool p
+         |  JOIN pairs pr ON pr.ia = p.vec_id
+         |  JOIN sel${i - 1} s ON pr.ib = s.vec_id
+         |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY p.vec_id, p.rel),
+         |pick$i AS MATERIALIZED (
+         |  SELECT vec_id, rel, ms, 0.5 * rel - 0.5 * ms AS score
+         |  FROM cand$i ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1}
+         |  UNION ALL SELECT vec_id FROM pick$i)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to 8).map { i =>
+      s"SELECT $i AS rank, vec_id, rel AS relevance, ms AS max_sim, score FROM pick$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, ${cos("e.v", "q.qv")} AS rel
+       |  FROM e, q WHERE e.vec_id != 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT 32),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, ${cos("a.v", "b.v")} AS cs
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+       |pick1 AS MATERIALIZED (
+       |  SELECT vec_id, rel, 0.0 AS ms, rel AS score
+       |  FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT vec_id FROM pick1),
+       |$steps
+       |SELECT CAST(rank AS INT) AS rank, vec_id, relevance, max_sim, score
+       |FROM (
+       |  $finalSel) ORDER BY rank""".stripMargin
+  }
+
   /** Fuzzy quote attribution (TextOps.quoteAttribution): a derived feed of
     * word-dropped 7-word quotes is traced back to source documents —
     * shingle-blocked candidates (deterministic recall: the mangling
@@ -5880,6 +6129,11 @@ object Queries {
     "source_jsonl_roundtrip" -> sourceJsonlRoundtrip _,
     "source_csv_roundtrip" -> sourceCsvRoundtrip _,
     "source_orc_roundtrip" -> sourceOrcRoundtrip _,
+    "source_schema_evolution" -> sourceSchemaEvolution _,
+    "text_mojibake" -> textMojibake _,
+    "pipeline_dp_release" -> pipelineDpRelease _,
+    "join_entity_resolution" -> joinEntityResolution _,
+    "sim_mmr_rerank" -> simMmrRerank _,
     "diag_k_anonymity" -> diagKAnonymity _,
     "diag_schema_drift" -> diagSchemaDrift _,
     "join_fuzzy_quote" -> joinFuzzyQuote _,
@@ -6039,6 +6293,11 @@ object Queries {
     "source_jsonl_roundtrip" -> sourceRoundtripSql,
     "source_csv_roundtrip" -> sourceRoundtripSql,
     "source_orc_roundtrip" -> sourceRoundtripSql,
+    "source_schema_evolution" -> sourceSchemaEvolutionSql,
+    "text_mojibake" -> textMojibakeSql,
+    "pipeline_dp_release" -> pipelineDpReleaseSql,
+    "join_entity_resolution" -> joinEntityResolutionSql,
+    "sim_mmr_rerank" -> simMmrRerankSql,
     "diag_k_anonymity" -> diagKAnonymitySql,
     "diag_schema_drift" -> diagSchemaDriftSql,
     "join_fuzzy_quote" -> joinFuzzyQuoteSql,

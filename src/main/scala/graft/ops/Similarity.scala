@@ -864,4 +864,70 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)` — the diversity-aware
+    * selection every retrieval-augmented pipeline runs after ANN.
+    *
+    * Scale split: the DISTRIBUTED part is the exact top-`poolSize`
+    * relevance scan (broadcast query vector + TakeOrderedAndProject — the
+    * sim_cosine_brute shape, linear, zero shuffle) plus one broadcast
+    * self-join computing the poolSize² pairwise similarities; the greedy
+    * loop then runs on the driver over the collected pool — O(k·poolSize)
+    * on ~32 rows, the sanctioned codebook/IVF-centroid pattern (MMR is
+    * sequential by definition; at 100 TB the pool stays this size while
+    * the scan shrinks to an ANN probe).
+    *
+    * Every float is cross-engine deterministic: relevance and pairwise
+    * sims come from the left-fold [[cosine]] (bit-equal to DuckDB
+    * list_sum), max over the selected set is exact, and the driver applies
+    * the same `0.5·rel − 0.5·ms` ops the unrolled SQL oracle does. Rank 1
+    * reports score = raw relevance (no penalty term yet).
+    */
+  def mmrRerank(embeddings: DataFrame, queryId: Long = 0L,
+      poolSize: Int = 32, k: Int = 8, lambda: Double = 0.5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = prepared(embeddings)
+    val q = e.where(col("vec_id") === queryId).select(col("v").as("qv"))
+    val pool = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(poolSize)
+      .localCheckpoint() // one scan feeds both the collect and the self-join
+    val pairsDf = pool.select(col("vec_id").as("ia"), col("v").as("va"))
+      .crossJoin(broadcast(pool.select(col("vec_id").as("ib"), col("v").as("vb"))))
+      .where(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("cs"))
+    val poolRows = pool.select(col("vec_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val sims = pairsDf.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    var selected = Vector.empty[(Int, Long, Double, Double, Double)]
+    var chosen = Set.empty[Long]
+    for (step <- 1 to k) {
+      val scored = poolRows.iterator
+        .filter { case (id, _) => !chosen.contains(id) }
+        .map { case (id, rel) =>
+          if (step == 1) (id, rel, 0.0, rel)
+          else {
+            val ms = chosen.iterator.map(s => sims((id, s))).max
+            (id, rel, ms, lambda * rel - (1.0 - lambda) * ms)
+          }
+        }.toVector
+      // explicit fold instead of minBy(-score): score DESC, vec_id ASC,
+      // with exact double comparison (the SQL ORDER BY semantics)
+      val best = scored.reduceLeft { (a, b) =>
+        if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a
+      }
+      selected :+= ((step, best._1, best._2, best._3, best._4))
+      chosen += best._1
+    }
+    import spark.implicits._
+    selected.toDF("rank", "vec_id", "relevance", "max_sim", "score")
+      .select(col("rank").cast(IntegerType).as("rank"), col("vec_id"),
+        col("relevance"), col("max_sim"), col("score"))
+      .orderBy(col("rank"))
+  }
 }

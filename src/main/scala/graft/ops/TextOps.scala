@@ -408,4 +408,30 @@ object TextOps {
     "n_emails" -> regexp_count(text, lit(EmailRe)),
     "n_ips" -> regexp_count(text, lit(Ipv4Re)),
     "n_phones" -> regexp_count(text, lit(PhoneRe)))
+
+  /** The classic UTF-8-decoded-as-Latin-1 mojibake digraphs and their
+    * repairs (the ftfy fix-encoding shape, reduced to the deterministic
+    * literal-replacement core: each pattern is what one common non-ASCII
+    * codepoint's UTF-8 bytes look like after a Latin-1 mis-decode).
+    * Ordered longest-first so no repair output re-matches a later pattern.
+    */
+  val mojibakePairs: Seq[(String, String)] = Seq(
+    "\u00E2\u20AC\u2122" -> "\u2019", // a-circ,euro,tm -> right single quote
+    "\u00E2\u20AC\u0153" -> "\u201C", // a-circ,euro,oe -> left double quote
+    "\u00C3\u00A9" -> "\u00E9", // A-tilde,copyright -> e-acute
+    "\u00C3\u00A8" -> "\u00E8", // A-tilde,diaeresis -> e-grave
+    "\u00C3\u00B1" -> "\u00F1") // A-tilde,plus-minus -> n-tilde
+
+  /** Total mojibake-digraph occurrences in `text` (detection score). */
+  def mojibakeCount(text: Column): Column =
+    mojibakePairs.map { case (bad, _) => occurrences(text, bad) }
+      .reduce(_ + _).cast(LongType)
+
+  /** Apply all repairs as one chained literal-replace projection — linear,
+    * zero shuffle, scan-speed at 100 TB (the piiScrub shape).
+    */
+  def mojibakeRepair(text: Column): Column =
+    mojibakePairs.foldLeft(text) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
 }

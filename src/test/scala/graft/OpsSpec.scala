@@ -2440,4 +2440,117 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     out.keys.filter(_ < 1000L).foreach(id => assert(again(id) == out(id)._2))
   }
+
+  test("entity resolution: pigeonhole recall, verified distances, honest ambiguity") {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val res = graft.ops.EntityResolution.resolve(customer)
+    val rows = res.collect()
+    // deterministic recall: every planted dirty record resolves (the true
+    // source is always reachable through at least one clean block triple)
+    val expectedDirty = customer
+      .select(concat(lit("Customer#"),
+        lpad(col("c_custkey").cast("string"), 12, "0")).as("canon"))
+      .where(pmod(graft.functions.HashOps.md5Low64(
+        concat(lit("er-sel|"), col("canon"))), lit(4L)) === 0L)
+      .count()
+    assert(rows.length == expectedDirty && rows.nonEmpty)
+    rows.foreach { r =>
+      val dist = r.getAs[Int]("dist")
+      val correct = r.getAs[Boolean]("correct")
+      assert(dist == 0 || dist == 1)
+      assert(r.getAs[Long]("n_cand") >= 1L)
+      // a dist-0 hit is by construction a DIFFERENT entity whose id the
+      // corruption happened to recreate — never the true source
+      if (dist == 0) assert(!correct)
+      if (correct) assert(dist == 1)
+    }
+    // the corruption is recoverable for the vast majority: acctbal
+    // corroboration breaks dist-1 ties toward the true source
+    val nCorrect = rows.count(_.getAs[Boolean]("correct"))
+    assert(nCorrect.toDouble / rows.length > 0.8,
+      s"only $nCorrect/${rows.length} resolved correctly")
+  }
+
+  test("MMR rerank: rank-1 is the relevance argmax; selections distinct and penalty-consistent") {
+    val res = Similarity.mmrRerank(embeddings, queryId = 0L).collect()
+    assert(res.length == 8)
+    val ids = res.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 8)
+    // rank 1 == exact brute-force top-1 (same fold, same tie-break)
+    val top1 = Similarity.bruteForceTopK(embeddings, 0L, 1).collect()(0)
+    val r1 = res.find(_.getAs[Int]("rank") == 1).get
+    assert(r1.getAs[Long]("vec_id") == top1.getLong(0))
+    assert(r1.getAs[Double]("relevance") == top1.getDouble(1))
+    assert(r1.getAs[Double]("max_sim") == 0.0)
+    // every later pick: score = 0.5*rel - 0.5*max_sim exactly, and the
+    // penalty is a real cosine in [-1, 1]
+    res.filter(_.getAs[Int]("rank") > 1).foreach { r =>
+      val (rel, ms, sc) = (r.getAs[Double]("relevance"),
+        r.getAs[Double]("max_sim"), r.getAs[Double]("score"))
+      assert(sc == 0.5 * rel - 0.5 * ms)
+      assert(ms >= -1.0 && ms <= 1.0 + 1e-12)
+    }
+  }
+
+  test("mojibake: planted corruptions detected and repaired to clean text") {
+    val out = SparkEntry.queries("text_mojibake")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bad"), r.getAs[String]("repaired_fp"))).toMap
+    val orig = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    orig.foreach { case (id, text) =>
+      val (nBad, fp) = out(id)
+      if (id % 13 == 0) {
+        assert(nBad == 2L)
+        // repair of the planted insertion: digraphs collapse to the
+        // intended codepoints, everything else untouched
+        val expected = text.substring(0, math.min(20, text.length)) +
+          "é" + (if (text.length > 20) text.substring(20) else "") +
+          "’"
+        assert(fp == md5hex(expected), s"doc $id repair mismatch")
+      } else if (id % 13 == 5) {
+        assert(nBad == 2L)
+        assert(fp == md5hex("“" + text + "ñ"))
+      } else {
+        assert(nBad == 0L)
+        assert(fp == md5hex(text))
+      }
+    }
+  }
+
+  test("dp release: clamped, bounded noise, suppressed small groups") {
+    val truth = docs.groupBy(col("lang"), col("source")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rel = SparkEntry.queries("pipeline_dp_release")(spark, dir).collect()
+    assert(rel.nonEmpty)
+    rel.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      val released = r.getAs[Long]("released")
+      assert(released >= 0L)
+      assert(truth(key) >= 10L, "suppression must keep only groups >= 10")
+      assert(math.abs(released - truth(key)) <= 10L, s"noise out of range at $key")
+    }
+    // suppressed groups never leak into the release
+    val released = rel.map(r => (r.getAs[String]("lang"), r.getAs[String]("source"))).toSet
+    truth.filter(_._2 < 10L).keys.foreach(k => assert(!released.contains(k)))
+  }
+
+  test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
+    val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
+    assert(res.length == docs.count())
+    res.foreach { r =>
+      val v = r.getAs[Int]("v")
+      assert(v == (if (r.getAs[Long]("doc_id") % 2 == 0) 1 else 2))
+      if (v == 1) {
+        assert(r.isNullAt(r.fieldIndex("quality")))
+        assert(r.isNullAt(r.fieldIndex("source")))
+      } else {
+        assert(!r.isNullAt(r.fieldIndex("quality")))
+        assert(r.getAs[String]("source") != null)
+      }
+    }
+  }
 }

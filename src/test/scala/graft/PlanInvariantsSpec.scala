@@ -35,7 +35,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
         "dedup_embedding_cosine", "dedup_ngram_jaccard", "sim_knn_graph",
         "join_range_events_windows", "join_asof_click_error",
         "join_fuzzy_quote", "dedup_jaccard_prefix",
-        "join_scd2_pointintime")) {
+        "join_scd2_pointintime", "join_entity_resolution")) {
       val p = plan(name)
       forbidden.foreach(op =>
         assert(!p.contains(op), s"$name plan contains $op:\n${p.take(1200)}"))
