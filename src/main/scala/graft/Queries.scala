@@ -4019,6 +4019,67 @@ object Queries {
       |    / CAST(((1::BIGINT << len(a)) - 1) * 10000 AS DOUBLE) AS ewma
       |FROM wagg ORDER BY event_type, day""".stripMargin
 
+  /** Holt's linear-trend smoothing (level + trend, α=β=1/2) of the daily
+    * event-value series per event type, oracle-EXACT — see
+    * graft.ops.HoltTrend: linearity turns the recurrence into integer
+    * coefficient dot products over the ≤16-row window, and both engines
+    * run the same integer fold → string→double parse → ONE division by
+    * the exact 4ⁿ·10⁴. Shares window_ewma's daily frame (one
+    * map-combined shuffle; the window runs on the groups-sized frame).
+    */
+  private def windowHoltTrend(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.HoltTrend
+    val dec19 = DecimalType(19, 0)
+    val dec38 = DecimalType(38, 0)
+    val daily = graft.streaming.StreamingOps.ewmaDaily(s, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(HoltTrend.W - 1), Window.currentRow)
+    val withArr = daily.withColumn("a", collect_list(col("d4")).over(w))
+      .withColumn("n_window", size(col("a")))
+    val lTbl = typedLit(HoltTrend.coefs.map(_._1))
+    val bTbl = typedLit(HoltTrend.coefs.map(_._2))
+    // exact integer dot product with the length-n coefficient row; the
+    // row lookup sits OUTSIDE the lambda (evaluated once per row)
+    def dot(tbl: Column): Column =
+      aggregate(
+        zip_with(col("a"), element_at(tbl, col("n_window")),
+          (x, c) => (x.cast(dec19) * c.cast(dec19)).cast(dec38)),
+        lit(0).cast(dec38), (acc, v) => (acc + v).cast(dec38))
+    val den = expr("cast(shiftleft(1L, 2 * n_window) * 10000 as double)")
+    withArr.select(col("event_type"), col("day"),
+        (col("d4").cast(StringType).cast(DoubleType) / 10000.0)
+          .as("daily_value"),
+        col("n_window"),
+        (dot(lTbl).cast(StringType).cast(DoubleType) / den).as("level"),
+        (dot(bTbl).cast(StringType).cast(DoubleType) / den).as("trend"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val windowHoltTrendSql: String = {
+    val lT = graft.ops.HoltTrend.sqlTable(_._1)
+    val bT = graft.ops.HoltTrend.sqlTable(_._2)
+    def dot(tbl: String): String =
+      s"CAST(CAST(list_sum(list_transform(range(1, len(a)+1), " +
+        s"i -> CAST(a[i] AS HUGEINT) * ($tbl)[len(a)][i])) AS VARCHAR) AS DOUBLE)" +
+        s" / CAST((1::BIGINT << (2 * len(a))) * 10000 AS DOUBLE)"
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+       |  FROM events),
+       |d AS (SELECT event_type, day, CAST(sum(v4) AS HUGEINT) AS d4
+       |      FROM e GROUP BY 1, 2),
+       |wagg AS (
+       |  SELECT event_type, day, d4,
+       |    array_agg(d4) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS a
+       |  FROM d)
+       |SELECT event_type, day,
+       |  CAST(CAST(d4 AS VARCHAR) AS DOUBLE) / 10000.0 AS daily_value,
+       |  CAST(len(a) AS INT) AS n_window,
+       |  ${dot(lT)} AS level,
+       |  ${dot(bT)} AS trend
+       |FROM wagg ORDER BY event_type, day""".stripMargin
+  }
+
   /** Source/sink round-trip audit: the corpus is written to a line-based
     * interchange format (JSONL — the raw-corpus format every pretraining
     * ingest speaks — or quoted CSV) and read back with an explicit
@@ -4250,9 +4311,11 @@ object Queries {
     graft.ops.EntityResolution.resolve(t(s, dir, "customer"))
 
   private val joinEntityResolutionSql: String = {
-    def blk(src: String, i: Int) = s"substr($src, ${10 + 3 * i}, 3)"
-    def keys(src: String) = (0 until 4).map { kid =>
-      (kid, (0 until 4).filter(_ != kid).map(blk(src, _)).mkString(" || "))
+    // 12 single-digit-exclusion keys (EntityResolution.blockKeys): the
+    // 11 digits around hole position kid
+    def keys(src: String) = (0 until 12).map { kid =>
+      (kid, s"substr(substr($src, 10, 12), 1, $kid) || " +
+        s"substr(substr($src, 10, 12), ${kid + 2}, 12)")
     }
     val dKeys = keys("dirty_name").map { case (kid, key) =>
       s"SELECT dirty_id, dirty_bal, dirty_name, $kid AS kid, $key AS bkey FROM dirty"
@@ -4356,6 +4419,49 @@ object Queries {
        |SELECT CAST(rank AS INT) AS rank, vec_id, relevance, max_sim, score
        |FROM (
        |  $finalSel) ORDER BY rank""".stripMargin
+  }
+
+  /** Embedding-truncation recall audit — see Similarity.truncationRecall
+    * (exact full-dim vs prefix-16-dim top-10, recall@k curve).
+    */
+  private def simTruncationRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.truncationRecall(t(s, dir, "embeddings"), queryId = 0L)
+
+  private val simTruncationRecallSql: String = {
+    def cos(a: String, b: String): String =
+      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
+        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
+        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |fullr AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS INT) AS rnk
+       |  FROM (SELECT e.vec_id, ${cos("e.v", "q.qv")} AS c
+       |        FROM e, q WHERE e.vec_id != 0
+       |        ORDER BY c DESC, e.vec_id LIMIT 10)),
+       |truncr AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS INT) AS rnk
+       |  FROM (SELECT e.vec_id,
+       |          ${cos("list_slice(e.v, 1, 16)", "list_slice(q.qv, 1, 16)")} AS c
+       |        FROM e, q WHERE e.vec_id != 0
+       |        ORDER BY c DESC, e.vec_id LIMIT 10)),
+       |ks AS (SELECT CAST(t.k AS INT) AS k FROM range(1, 11) t(k)),
+       |ov AS (
+       |  SELECT k.k, count(*) AS overlap
+       |  FROM ks k
+       |  JOIN fullr f ON f.rnk <= k.k
+       |  JOIN truncr tr ON tr.vec_id = f.vec_id AND tr.rnk <= k.k
+       |  GROUP BY k.k)
+       |SELECT k.k AS k, f.vec_id AS full_vec_id, tr.vec_id AS trunc_vec_id,
+       |  COALESCE(ov.overlap, 0) AS overlap,
+       |  CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / k.k AS recall
+       |FROM ks k
+       |JOIN fullr f ON f.rnk = k.k
+       |JOIN truncr tr ON tr.rnk = k.k
+       |LEFT JOIN ov ON ov.k = k.k
+       |ORDER BY k.k""".stripMargin
   }
 
   /** Fuzzy quote attribution (TextOps.quoteAttribution): a derived feed of
@@ -6120,6 +6226,7 @@ object Queries {
     "pipeline_dataset_diff" -> pipelineDatasetDiff _,
     "pipeline_quality_ridge" -> pipelineQualityRidge _,
     "window_ewma" -> windowEwma _,
+    "window_holt_trend" -> windowHoltTrend _,
     "stream_dataset_diff" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamDatasetDiff(s, dir)),
     "stream_ewma" -> ((s: SparkSession, dir: String) =>
@@ -6133,7 +6240,13 @@ object Queries {
     "text_mojibake" -> textMojibake _,
     "pipeline_dp_release" -> pipelineDpRelease _,
     "join_entity_resolution" -> joinEntityResolution _,
+    // streaming record linkage; shares the batch oracle (per-record
+    // verdicts depend only on the static clean side, so the result set is
+    // chunking/arrival-order invariant — see StreamingOps)
+    "stream_entity_resolution" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamEntityResolution(s, dir)),
     "sim_mmr_rerank" -> simMmrRerank _,
+    "sim_truncation_recall" -> simTruncationRecall _,
     "diag_k_anonymity" -> diagKAnonymity _,
     "diag_schema_drift" -> diagSchemaDrift _,
     "join_fuzzy_quote" -> joinFuzzyQuote _,
@@ -6283,6 +6396,7 @@ object Queries {
     "pipeline_dataset_diff" -> pipelineDatasetDiffSql,
     "pipeline_quality_ridge" -> pipelineQualityRidgeSql,
     "window_ewma" -> windowEwmaSql,
+    "window_holt_trend" -> windowHoltTrendSql,
     // per-row verdicts vs static v1 + an at-close anti-join reproduce the
     // batch diff bit-exactly under any chunking — same oracle verbatim
     "stream_dataset_diff" -> pipelineDatasetDiffSql,
@@ -6297,7 +6411,9 @@ object Queries {
     "text_mojibake" -> textMojibakeSql,
     "pipeline_dp_release" -> pipelineDpReleaseSql,
     "join_entity_resolution" -> joinEntityResolutionSql,
+    "stream_entity_resolution" -> joinEntityResolutionSql,
     "sim_mmr_rerank" -> simMmrRerankSql,
+    "sim_truncation_recall" -> simTruncationRecallSql,
     "diag_k_anonymity" -> diagKAnonymitySql,
     "diag_schema_drift" -> diagSchemaDriftSql,
     "join_fuzzy_quote" -> joinFuzzyQuoteSql,

@@ -865,6 +865,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-truncation recall audit (the Matryoshka / MRL question:
+    * "how much ANN quality do the first `dims` dimensions keep?"): exact
+    * top-`k` by full-vector cosine vs top-`k` by prefix-`dims` cosine for
+    * one query, joined into a recall@k curve (k = 1..topK). Both scans are
+    * the brute-force baseline shape (broadcast query + TakeOrdered, zero
+    * shuffle); the curve assembly is a ≤topK²-row broadcast join on
+    * driver-small frames. Every cosine is the left-fold expression, and
+    * recall = exact-int / k in one double division — bit-identical
+    * cross-engine.
+    */
+  def truncationRecall(embeddings: DataFrame, queryId: Long = 0L,
+      dims: Int = 16, topK: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = prepared(embeddings)
+    val q = e.where(col("vec_id") === queryId).select(col("v").as("qv"))
+    def ranked(proj: Column => Column): DataFrame =
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= queryId)
+        .select(col("vec_id"), cosine(proj(col("v")), proj(col("qv"))).as("c"))
+        .orderBy(col("c").desc, col("vec_id").asc)
+        .limit(topK)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("vec_id").asc)))
+    val full = ranked(identity).select(
+      col("vec_id").as("full_vec_id"), col("rnk").as("frank"))
+      .localCheckpoint()
+    val trunc = ranked(v => slice(v, 1, dims)).select(
+      col("vec_id").as("trunc_vec_id"), col("rnk").as("trank"))
+      .localCheckpoint()
+    val pairs = full.join(trunc,
+      col("full_vec_id") === col("trunc_vec_id"))
+    val ks = spark.range(1, topK + 1).select(col("id").cast(IntegerType).as("k"))
+    val overlap = ks.crossJoin(broadcast(pairs))
+      .where(col("frank") <= col("k") && col("trank") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("overlap"))
+    ks.join(broadcast(full), col("frank") === col("k"))
+      .join(broadcast(trunc), col("trank") === col("k"))
+      .join(broadcast(overlap), Seq("k"), "left")
+      .select(col("k"), col("full_vec_id"), col("trunc_vec_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        (coalesce(col("overlap"), lit(0L)).cast(DoubleType) / col("k"))
+          .as("recall"))
+      .orderBy(col("k"))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
     * greedily pick `k` results maximizing
     * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)` — the diversity-aware

@@ -2051,4 +2051,60 @@ object StreamingOps {
       ev.unpersist()
       audit
     }
+
+  /** STREAMING entity resolution: the dirty feed arrives as a file stream
+    * and every micro-batch is resolved against the STATIC clean base with
+    * the batch operator (EntityResolution.resolveFeed) — the
+    * continuously-arriving record-linkage shape (CRM ingest, log-to-master
+    * matching). Each record's verdict depends only on its own row plus the
+    * static clean side, so the assembled result is chunking/arrival-order
+    * invariant and EQUALS batch join_entity_resolution; the query shares
+    * its DuckDB oracle verbatim. No keyed or driver state at all: per-batch
+    * writes are idempotent (one overwritten bid= dir per batchId), so
+    * at-least-once replays are no-ops and restart needs only the engine
+    * checkpoint. At scale the clean blocking index is the static side of a
+    * stream-static equi-join with constant-bounded (≤10³) key groups.
+    */
+  def streamEntityResolution(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
+      import graft.ops.EntityResolution
+      val customer = spark.read.parquet(s"$dir/customer.parquet")
+      val base = EntityResolution.cleanBase(customer).persist()
+      val dirty = EntityResolution.dirtyFeed(base)
+      // verdicts are chunking-independent, so staging parallelism is free
+      // (the stageParts discipline): ~250k dirty rows per file
+      val nDirty = dirty.count()
+      val nChunks = math.max(3L, math.min(96L, nDirty / 250000L)).toInt
+      val tmp = stagedCorpus(dir, "erdirty") { t =>
+        stageParts(dirty, t, "chunk", nChunks, col("dirty_id"))
+      }
+      val work = java.nio.file.Files.createTempDirectory("graft_er_stream")
+      val seenIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val stream = spark.readStream.schema(dirty.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", math.max(1, nChunks / 3))
+        .parquet(tmp.toString)
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          EntityResolution.resolveFeed(batch.toDF(), base)
+            .write.mode("overwrite")
+            .parquet(work.resolve(s"bid=$batchId").toString)
+          seenIds.add(batchId)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      require(seenIds.size >= 2,
+        s"chunked staging must yield multiple micro-batches, got ${seenIds.size}")
+      val out = spark.read.parquet(work.toString)
+        .drop("bid")
+        .orderBy(col("dirty_id"))
+        .localCheckpoint() // materialize before the work dir goes away
+      base.unpersist()
+      deleteRecursively(work)
+      out
+    }
 }
