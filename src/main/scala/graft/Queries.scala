@@ -3242,12 +3242,20 @@ object Queries {
     * Spark's aggregate()/native DotProduct fold; md5_number_lower is
     * reinterpreted signed to match graft_md5_low64.
     */
+  /** THE cross-engine cosine: a left-to-right double fold identical to the
+    * Spark-side native expression (graft.functions.VectorOps.cosine). One
+    * definition — five oracle families interpolate it, and bit-equality
+    * with the Spark fold is the load-bearing contract (a drifted copy in
+    * one oracle was the failure class this dedup removes).
+    */
+  private def sqlCos(a: String, b: String): String =
+    s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
+      s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+
   private val (simCosineIvfSql: String, simSemDedupBucketedSql: String,
       simOutlierCentroidSql: String) = {
-    def cos(a: String, b: String): String =
-      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
-        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
-        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    def cos(a: String, b: String): String = sqlCos(a, b)
     val iters = 3
     val head =
       """WITH e AS (
@@ -3375,10 +3383,7 @@ object Queries {
     Similarity.productQuantize(t(s, dir, "embeddings"))
 
   private val (embedPqSql: String, simPqAdcSql: String) = {
-    def cos(a: String, b: String): String =
-      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
-        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
-        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    def cos(a: String, b: String): String = sqlCos(a, b)
     val iters = 3
     val nSub = 4
     val subDim = 16
@@ -3489,10 +3494,7 @@ object Queries {
     * ivfPqEncode, ivfPqSearch}.
     */
   private def ivfPqSqlChain(trainWhere: String): String = {
-    def cos(a: String, b: String): String =
-      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
-        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
-        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    def cos(a: String, b: String): String = sqlCos(a, b)
     val iters = 3
     val nSub = 4
     val subDim = 16
@@ -4000,12 +4002,20 @@ object Queries {
       .orderBy(col("event_type"), col("day"))
   }
 
-  private val windowEwmaSql =
-    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+  /** ONE SQL definition of the exact fixed-point daily frame — the oracle
+    * twin of StreamingOps.ewmaDaily, shared by window_ewma and
+    * window_holt_trend exactly as the Spark side shares the derivation
+    * (the single-definition-cannot-drift discipline).
+    */
+  private val dailyFixedPointCtes =
+    """e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
       |  FROM events),
       |d AS (SELECT event_type, day, CAST(sum(v4) AS HUGEINT) AS d4
-      |      FROM e GROUP BY 1, 2),
+      |      FROM e GROUP BY 1, 2)""".stripMargin
+
+  private val windowEwmaSql =
+    s"""WITH $dailyFixedPointCtes,
       |wagg AS (
       |  SELECT event_type, day, d4,
       |    array_agg(d4) OVER (PARTITION BY event_type ORDER BY day
@@ -4062,11 +4072,7 @@ object Queries {
       s"CAST(CAST(list_sum(list_transform(range(1, len(a)+1), " +
         s"i -> CAST(a[i] AS HUGEINT) * ($tbl)[len(a)][i])) AS VARCHAR) AS DOUBLE)" +
         s" / CAST((1::BIGINT << (2 * len(a))) * 10000 AS DOUBLE)"
-    s"""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
-       |  FROM events),
-       |d AS (SELECT event_type, day, CAST(sum(v4) AS HUGEINT) AS d4
-       |      FROM e GROUP BY 1, 2),
+    s"""WITH $dailyFixedPointCtes,
        |wagg AS (
        |  SELECT event_type, day, d4,
        |    array_agg(d4) OVER (PARTITION BY event_type ORDER BY day
@@ -4241,9 +4247,12 @@ object Queries {
       .agg(count(lit(1)).as("c"))
       .where(col("c") >= 10)
       .select(col("lang"), col("source"),
+        // null-PROPAGATING concat (not concat_ws, which skips nulls): the
+        // oracle's 'dp|' || lang || '|' || source is null-propagating, so
+        // a corpus drop with a null-lang group must behave identically
         greatest(lit(0L), col("c") +
           (pmod(graft.functions.HashOps.md5Low64(
-            concat_ws("|", lit("dp"), col("lang"), col("source"))),
+            concat(lit("dp|"), col("lang"), lit("|"), col("source"))),
             lit(21L)) - lit(10L))).as("released"))
       .orderBy(col("lang"), col("source"))
 
@@ -4284,11 +4293,15 @@ object Queries {
         col("source"))
       .write.mode("overwrite").parquet(s"$base/v=2")
     val back = s.read.option("mergeSchema", "true").parquet(base)
-    val res = back.select(col("doc_id"), col("lang"),
-        col("v").cast(IntegerType).as("v"), col("quality"), col("source"),
-        md5(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
-      .localCheckpoint() // materialize before deleting the staged files
+    // corpus-sized frame whose lineage points at files deleted below:
+    // route through Fs.materialize (scratch parquet past the threshold,
+    // localCheckpoint below it) per the checkpoint discipline
+    val res = graft.util.Fs.materialize(
+      back.select(col("doc_id"), col("lang"),
+          col("v").cast(IntegerType).as("v"), col("quality"), col("source"),
+          md5(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      rowsHint = docs.count())
     rmTreeQuiet(out)
     res
   }
@@ -4376,10 +4389,7 @@ object Queries {
   // unrolled greedy selection: pick1 then 7 chained (cand -> pick -> sel)
   // steps, every float the same left-fold double op the Spark side runs
   private val simMmrRerankSql: String = {
-    def cos(a: String, b: String): String =
-      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
-        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
-        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    def cos(a: String, b: String): String = sqlCos(a, b)
     // AS MATERIALIZED on every chain CTE: the sel/pick chain references
     // its predecessor several times, and inlining re-expands the whole
     // prefix each step (exponential replay cost without the hint)
@@ -4428,10 +4438,7 @@ object Queries {
     Similarity.truncationRecall(t(s, dir, "embeddings"), queryId = 0L)
 
   private val simTruncationRecallSql: String = {
-    def cos(a: String, b: String): String =
-      s"(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i]))" +
-        s" / (sqrt(list_sum(list_transform($a, x -> x * x)))" +
-        s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
+    def cos(a: String, b: String): String = sqlCos(a, b)
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),

@@ -948,6 +948,8 @@ object Similarity {
       .select(col("ia"), col("ib"), cosine(col("va"), col("vb")).as("cs"))
     val poolRows = pool.select(col("vec_id"), col("rel")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
+    require(poolRows.length >= k,
+      s"MMR needs a pool of at least k=$k candidates, got ${poolRows.length}")
     val sims = pairsDf.collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     var selected = Vector.empty[(Int, Long, Double, Double, Double)]
