@@ -5012,6 +5012,51 @@ object Queries {
       |SELECT token, cnt, est, est - cnt AS overcount, est >= cnt AS sketch_ok
       |FROM est ORDER BY cnt DESC, token ASC""".stripMargin
 
+  /** Sketch-based join-size estimation — see Sketches.joinSizeEstimate
+    * (CM inner product over the error×click user_id join; deterministic
+    * overestimate surface, value-exact replay).
+    */
+  private def diagJoinSizeCm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.joinSizeEstimate(
+      graft.streaming.StreamingOps.events(s, dir))
+
+  private val diagJoinSizeCmSql = {
+    val (d, w) = (4, 8192)
+    def side(name: String, et: String) =
+      s"""$name AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+         |  WHERE event_type = '$et'),
+         |${name}cell AS (
+         |  SELECT j, cell, count(*) AS c FROM (
+         |    SELECT j,
+         |      CAST(((CASE WHEN hm >= 9223372036854775808
+         |            THEN CAST(hm - 18446744073709551616 AS BIGINT)
+         |            ELSE CAST(hm AS BIGINT) END) % $w + $w) % $w AS INT) AS cell
+         |    FROM (SELECT k, j,
+         |            md5_number_lower(k || chr(1) || CAST(j AS VARCHAR)) AS hm
+         |          FROM $name, range($d) r(j)))
+         |  GROUP BY j, cell)""".stripMargin
+    s"""WITH ${side("ka", "error")},
+       |${side("kb", "click")},
+       |prod AS (
+       |  SELECT a.j, CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS ip
+       |  FROM kacell a JOIN kbcell b ON a.j = b.j AND a.cell = b.cell
+       |  GROUP BY a.j),
+       |est AS (SELECT min(ip) AS est FROM prod),
+       |ex AS (
+       |  SELECT CAST(COALESCE(sum(CAST(ca AS HUGEINT) * cb), 0) AS HUGEINT)
+       |    AS exact_size
+       |  FROM (SELECT k, count(*) AS ca FROM ka GROUP BY k) a
+       |  JOIN (SELECT k, count(*) AS cb FROM kb GROUP BY k) b USING (k)),
+       |tot AS (SELECT (SELECT count(*) FROM ka) AS n_a,
+       |               (SELECT count(*) FROM kb) AS n_b)
+       |SELECT n_a, n_b, CAST(exact_size AS BIGINT) AS exact_size,
+       |  CAST(est AS BIGINT) AS cm_estimate,
+       |  est >= exact_size AS overestimate,
+       |  CAST(CAST(est AS VARCHAR) AS DOUBLE)
+       |    / CAST(CAST(exact_size AS VARCHAR) AS DOUBLE) AS ratio
+       |FROM tot, ex, est""".stripMargin
+  }
+
   /** KMV distinct-count sketch per lang (see Sketches.kmvDistinct): the
     * k smallest distinct hashes are a deterministic function of the
     * shingle SET, so the DuckDB oracle recomputes the k-th smallest hash
@@ -6234,6 +6279,11 @@ object Queries {
     "pipeline_quality_ridge" -> pipelineQualityRidge _,
     "window_ewma" -> windowEwma _,
     "window_holt_trend" -> windowHoltTrend _,
+    // streaming Holt trend: bounded ring state, exact coefficient dots —
+    // bit-identical to the batch window (shares its oracle verbatim)
+    "stream_holt_trend" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamHoltTrend(s, dir)),
+    "diag_join_size_cm" -> diagJoinSizeCm _,
     "stream_dataset_diff" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamDatasetDiff(s, dir)),
     "stream_ewma" -> ((s: SparkSession, dir: String) =>
@@ -6404,6 +6454,8 @@ object Queries {
     "pipeline_quality_ridge" -> pipelineQualityRidgeSql,
     "window_ewma" -> windowEwmaSql,
     "window_holt_trend" -> windowHoltTrendSql,
+    "stream_holt_trend" -> windowHoltTrendSql,
+    "diag_join_size_cm" -> diagJoinSizeCmSql,
     // per-row verdicts vs static v1 + an at-close anti-join reproduce the
     // batch diff bit-exactly under any chunking — same oracle verbatim
     "stream_dataset_diff" -> pipelineDatasetDiffSql,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Corpus-level sketch aggregation: a typed [[Aggregator]] that UNIONs
   * per-document MinHash signatures (elementwise min) into one signature per
@@ -384,6 +385,63 @@ object Sketches {
         (col("est") - col("cnt")).as("overcount"),
         (col("est") >= col("cnt")).as("sketch_ok"))
       .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  /** Sketch-based JOIN-SIZE estimation (the AMS/Count-Min inner-product
+    * estimator, Alon–Matias–Szegedy '96 / Cormode–Muthukrishnan '05):
+    * |R ⋈ S| on a key equals the frequency-vector inner product
+    * Σ_k cntR(k)·cntS(k), and the CM estimate min_j Σ_w A[j][w]·B[j][w]
+    * bounds it from ABOVE deterministically (hash collisions only add
+    * cross terms) — the cardinality signal a planner wants at 100 TB
+    * without scanning either side's join.
+    *
+    * Spark-first shape: each side's counter matrix is a plain
+    * groupBy(j, cell).count() over md5-derived cells — map-side
+    * combinable, bounded d·w-row output, NO typed-aggregator state — and
+    * the d inner products fold on the driver from two ≤d·w-row collects.
+    * The exact side (one count-count equi-join) exists to grade the
+    * estimate at test scale. Every cell count replays in SQL via
+    * md5_number_lower, so est, exact, and their ratio are all
+    * VALUE-exact; `overestimate` (est ≥ exact) is the theorem surface and
+    * holds deterministically, not probabilistically.
+    */
+  def joinSizeEstimate(events: DataFrame, typeA: String = "error",
+      typeB: String = "click", d: Int = 4, w: Int = 8192): DataFrame = {
+    val spark = events.sparkSession
+    val sep = "\u0001"
+    def keys(t: String) = events.where(col("event_type") === t)
+      .select(col("user_id").cast(StringType).as("k"))
+    def cells(t: String): Map[(Int, Int), Long] =
+      keys(t)
+        .select(col("k"), explode(typedLit((0 until d).toList)).as("j"))
+        .select(col("j"),
+          pmod(graft.functions.HashOps.md5Low64(
+            concat(col("k"), lit(sep), col("j").cast(StringType))),
+            lit(w.toLong)).cast(IntegerType).as("cell"))
+        .groupBy(col("j"), col("cell")).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val (ca, cb) = (cells(typeA), cells(typeB))
+    val est = (0 until d).map { j =>
+      var ip = BigInt(0)
+      ca.foreach { case ((jj, cell), c) =>
+        if (jj == j) ip += BigInt(c) * BigInt(cb.getOrElse((jj, cell), 0L))
+      }
+      ip
+    }.min
+    val cntA = keys(typeA).groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val cntB = keys(typeB).groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    val row = cntA.join(cntB, "k")
+      .agg(sum((col("ca") * col("cb")).cast(DecimalType(38, 0))).as("x"))
+      .select(coalesce(col("x"), lit(0)).cast(DecimalType(38, 0)).as("x"))
+      .head()
+    val exact = BigInt(row.getDecimal(0).toBigInteger)
+    val nA = keys(typeA).count()
+    val nB = keys(typeB).count()
+    import spark.implicits._
+    Seq((nA, nB, exact.toLong, est.toLong, est >= exact,
+      java.lang.Double.parseDouble(est.toString) /
+        java.lang.Double.parseDouble(exact.toString)))
+      .toDF("n_a", "n_b", "exact_size", "cm_estimate", "overestimate", "ratio")
   }
 
   /** Per-group unified MinHash signatures + estimated pairwise Jaccard

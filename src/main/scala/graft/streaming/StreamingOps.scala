@@ -38,6 +38,9 @@ case class EwmaDay(event_type: String, day: Long, d4: Long)
 case class EwmaRing(ring: Seq[Long])
 case class EwmaOut(event_type: String, day: Long, daily_value: Double,
     n_window: Int, ewma: Double)
+/** stream_holt_trend output (the window_holt_trend row shape). */
+case class HoltOut(event_type: String, day: Long, daily_value: Double,
+    n_window: Int, level: Double, trend: Double)
 
 /** stream_anomaly_zscore: one arriving event (hour-truncated micros). */
 case class AnomalyEvent(event_type: String, hour_us: Long, event_id: Long)
@@ -1947,6 +1950,73 @@ object StreamingOps {
         out.iterator
       }
       val name = s"stream_ewma_${math.abs(System.identityHashCode(spark)).toString}"
+      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      val q = spark.readStream.schema(daily.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp.toString)
+        .as[EwmaDay]
+        .groupByKey(_.event_type)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(fn)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).orderBy(col("event_type"), col("day"))
+    }
+
+  /** STREAMING Holt linear-trend smoothing: the day-ordered daily-close
+    * feed (the stream_ewma choreography — three contiguous day ranges as
+    * ordered micro-batches), per-series state a bounded ≤16-long ring,
+    * each arrival emitting (level, trend) through graft.ops.HoltTrend's
+    * exact integer coefficient dot products and the same single
+    * string-routed division as the batch window — bit-identical frame,
+    * same oracle verbatim.
+    */
+  def streamHoltTrend(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, 8) { spark =>
+      import spark.implicits._
+      import graft.ops.HoltTrend
+      val daily = ewmaDaily(spark, dir)
+        .select(col("event_type"), col("day"),
+          col("d4").cast(LongType).as("d4"))
+        .persist()
+      val (minDay, maxDay) = {
+        val r = daily.agg(min(col("day")), max(col("day"))).head()
+        if (r.isNullAt(0)) (0L, 2L) else (r.getLong(0), r.getLong(1))
+      }
+      val t1 = minDay + (maxDay - minDay) / 3
+      val t2 = minDay + 2 * (maxDay - minDay) / 3
+      val tmp = stagedCorpus(dir, "holt") { t =>
+        stageOne(daily.where(col("day") <= t1), t, "chunk0")
+        stageOne(daily.where(col("day") > t1 && col("day") <= t2), t, "chunk1")
+        stageOne(daily.where(col("day") > t2), t, "chunk2")
+      }
+      daily.unpersist()
+      def fn(key: String, rows: Iterator[EwmaDay],
+          state: GroupState[EwmaRing]): Iterator[HoltOut] = {
+        var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+        val out = rows.toVector.sortBy(_.day).map { r =>
+          ring = (ring :+ r.d4).takeRight(HoltTrend.W)
+          val n = ring.length
+          val (lc, bc) = HoltTrend.coefs(n - 1)
+          def dot(cs: Vector[Long]): BigInt =
+            ring.lazyZip(cs).map((x, c) => BigInt(x) * c).sum
+          val den = ((1L << (2 * n)) * 10000L).toDouble
+          HoltOut(key, r.day,
+            java.lang.Double.parseDouble(r.d4.toString) / 10000.0, n,
+            java.lang.Double.parseDouble(dot(lc).toString) / den,
+            java.lang.Double.parseDouble(dot(bc).toString) / den)
+        }
+        state.update(EwmaRing(ring))
+        out.iterator
+      }
+      val name = s"stream_holt_${math.abs(System.identityHashCode(spark)).toString}"
       spark.streams.active.filter(_.name == name).foreach(_.stop())
       val q = spark.readStream.schema(daily.schema)
         .option("pathGlobFilter", "*.parquet")

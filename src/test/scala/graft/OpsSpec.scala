@@ -2581,6 +2581,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming holt trend == batch window (exact coefficient fold in ring state)") {
+    val batch = SparkEntry.queries("window_holt_trend")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = SparkEntry.queries("stream_holt_trend")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("join-size estimate: deterministic CM overestimate, exact side verified") {
+    val events = graft.streaming.StreamingOps.events(spark, dir)
+    val res = SparkEntry.queries("diag_join_size_cm")(spark, dir).collect()
+    assert(res.length == 1)
+    val r = res(0)
+    // exact side against an independent driver recompute
+    val byUser = events.select(col("event_type"), col("user_id")).collect()
+      .groupBy(_.getLong(1))
+      .map { case (u, rows) =>
+        u -> (rows.count(_.getString(0) == "error").toLong,
+          rows.count(_.getString(0) == "click").toLong)
+      }
+    val exact = byUser.values.map { case (a, b) => a * b }.sum
+    assert(r.getAs[Long]("exact_size") == exact)
+    assert(r.getAs[Long]("n_a") == byUser.values.map(_._1).sum)
+    assert(r.getAs[Long]("n_b") == byUser.values.map(_._2).sum)
+    // the CM inner product bounds the join size from above DETERMINISTICALLY
+    assert(r.getAs[Boolean]("overestimate"))
+    assert(r.getAs[Long]("cm_estimate") >= exact)
+    assert(r.getAs[Double]("ratio") >= 1.0)
+  }
+
   test("dp release: clamped, bounded noise, suppressed small groups") {
     val truth = docs.groupBy(col("lang"), col("source")).count().collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
