@@ -1920,6 +1920,47 @@ object Queries {
       .limit(100)
   }
 
+  /** Co-occurrence node similarity for link prediction (the
+    * market-basket / collaborative-filtering shape): for each pair of
+    * parts sharing ≥1 order, common = #orders containing both, degrees =
+    * #orders containing each, jaccard = common/(dᵤ+dᵥ−common) — one exact
+    * integer division. Unlike common-neighbor counting on a general graph
+    * (Σd² wedges at hubs), the BIPARTITE form is linear: candidate pairs
+    * fan out per ORDER and TPC-H baskets are ≤7 lineitems (≤21 pairs/
+    * order), so pair generation is O(|lineitem|) at every scale and the
+    * pair groupBy is map-side combinable. Degree joins shuffle only
+    * parts-sized frames. Top-20 under a TOTAL order (jaccard, co, u, v).
+    */
+  private def graphNodeJaccard(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val co = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("co"))
+    val deg = li.groupBy(col("pk")).agg(count(lit(1)).as("d"))
+    co.join(deg.select(col("pk").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("pk").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("co"), col("du"), col("dv"),
+        (col("co").cast(DoubleType) /
+          (col("du") + col("dv") - col("co")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("co").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  private val graphNodeJaccardSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem),
+      |co AS (SELECT a.pk AS u, b.pk AS v, count(*) AS co
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |       GROUP BY a.pk, b.pk),
+      |deg AS (SELECT pk, count(*) AS d FROM li GROUP BY pk)
+      |SELECT co.u, co.v, co.co, du.d AS du, dv.d AS dv,
+      |  CAST(co.co AS DOUBLE) / CAST(du.d + dv.d - co.co AS DOUBLE) AS jaccard
+      |FROM co JOIN deg du ON du.pk = co.u JOIN deg dv ON dv.pk = co.v
+      |ORDER BY jaccard DESC, co.co DESC, co.u, co.v
+      |LIMIT 20""".stripMargin
+
   private val graphTrianglesSql =
     s"""WITH $coPurchaseEdgesCte,
       |deg AS (SELECT x, count(*) AS d FROM (
@@ -4086,6 +4127,73 @@ object Queries {
        |FROM wagg ORDER BY event_type, day""".stripMargin
   }
 
+  /** CUSUM mean-shift changepoint detection (Page 1954; the
+    * ruptures/CPD-at-scale shape) on the per-event-type daily series,
+    * oracle-EXACT: with the series as exact fixed-point longs (the shared
+    * ewmaDaily frame), the centered cusum S_t = n·P_t − t·T (P = prefix
+    * sum, T = total) is pure integer arithmetic in DECIMAL(38,0) /
+    * HUGEINT — the changepoint is argmax_{t<n} |S_t| (tie → earliest
+    * day), and the before/after means round ONCE each via the
+    * string-routed single-division discipline. One map-combined shuffle to
+    * the groups-sized daily frame; windows never touch event-scale data.
+    */
+  private def tsChangepointCusum(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val daily = graft.streaming.StreamingOps.ewmaDaily(s, dir)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val st = daily
+      .withColumn("t", row_number().over(wOrd).cast(LongType))
+      .withColumn("pre", sum(col("d4")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("d4")).over(wAll))
+      .where(col("t") < col("n"))
+      .withColumn("sabs", abs(
+        col("n").cast(dec38) * col("pre") - col("t").cast(dec38) * col("tot")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("sabs").desc, col("day"))))
+      .where(col("rk") === 1)
+    st.select(col("event_type"), col("n").as("n_days"),
+        col("day").as("cp_day"), col("t").as("cp_t"),
+        // decimal → STRING → DOUBLE (correctly-rounded parse on both
+        // engines; a direct decimal→double cast is 1 ulp off in DuckDB)
+        col("sabs").cast(StringType).cast(DoubleType).as("cusum_abs_max"),
+        (col("pre").cast(StringType).cast(DoubleType) /
+          (col("t").cast(dec38) * 10000).cast(StringType).cast(DoubleType))
+          .as("mean_before"),
+        ((col("tot") - col("pre")).cast(StringType).cast(DoubleType) /
+          ((col("n").cast(dec38) - col("t").cast(dec38)) * 10000)
+            .cast(StringType).cast(DoubleType)).as("mean_after"))
+      .withColumn("shift", col("mean_after") - col("mean_before"))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsChangepointCusumSql =
+    s"""WITH $dailyFixedPointCtes,
+      |st AS (SELECT event_type, day, d4,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |    sum(d4) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(d4) OVER (PARTITION BY event_type) AS tot
+      |  FROM d),
+      |sc AS (SELECT *, abs(n * pre - t * tot) AS sabs FROM st WHERE t < n),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+      |         ORDER BY sabs DESC, day) AS rk FROM sc),
+      |top AS (SELECT event_type, n AS n_days, day AS cp_day,
+      |    CAST(t AS BIGINT) AS cp_t,
+      |    CAST(CAST(sabs AS VARCHAR) AS DOUBLE) AS cusum_abs_max,
+      |    CAST(CAST(pre AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(t * 10000 AS VARCHAR) AS DOUBLE) AS mean_before,
+      |    CAST(CAST(tot - pre AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST((n - t) * 10000 AS VARCHAR) AS DOUBLE) AS mean_after
+      |  FROM rk WHERE rk = 1)
+      |SELECT event_type, n_days, cp_day, cp_t, cusum_abs_max,
+      |  mean_before, mean_after, mean_after - mean_before AS shift
+      |FROM top ORDER BY event_type""".stripMargin
+
   /** Source/sink round-trip audit: the corpus is written to a line-based
     * interchange format (JSONL — the raw-corpus format every pretraining
     * ingest speaks — or quoted CSV) and read back with an explicit
@@ -5146,6 +5254,106 @@ object Queries {
       |  abs(est / n_distinct - 1.0::DOUBLE) AS rel_err,
       |  abs(est / n_distinct - 1.0::DOUBLE) <= 0.4::DOUBLE AS hll_ok
       |FROM est ORDER BY lang""".stripMargin
+
+  /** θ-sketch SET ALGEBRA over the per-event-type visitor-day sets (the
+    * Apache DataSketches theta shape — see Sketches.setIntersectionWith):
+    * |A|, |A∩B|, |A∪B| and Jaccard for each pair of (view, click,
+    * purchase), estimated from three independently-built KMV sketches and
+    * audited against the exact answer. Every estimate is a deterministic
+    * function of the element SETS (k smallest hashes + strict-threshold
+    * counts + correctly-rounded double arithmetic), so the DOUBLES
+    * themselves hash-replay — the audience-overlap question at 100 TB,
+    * answered by three O(k) buffers that never co-scan.
+    */
+  private def sketchSetIntersection(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.setIntersection(
+      graft.streaming.StreamingOps.events(s, dir))
+
+  private val sketchSetIntersectionSql =
+    """WITH el AS (
+      |  SELECT DISTINCT event_type AS t,
+      |    CAST(user_id AS VARCHAR) || '|' ||
+      |      CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS e
+      |  FROM events WHERE event_type IN ('view','click','purchase')),
+      |h AS (SELECT t,
+      |    (CASE WHEN hm >= 9223372036854775808
+      |          THEN CAST(hm - 18446744073709551616 AS BIGINT)
+      |          ELSE CAST(hm AS BIGINT) END) AS hv
+      |  FROM (SELECT t, md5_number_lower(e) AS hm FROM el)),
+      |hd AS (SELECT DISTINCT t, hv FROM h),
+      |r AS (SELECT t, hv,
+      |        row_number() OVER (PARTITION BY t ORDER BY hv) AS rn FROM hd),
+      |sk AS (SELECT t, hv, rn FROM r WHERE rn <= 1024),
+      |kth AS (SELECT t, max(CASE WHEN rn = 1024 THEN hv END) AS kth
+      |        FROM sk GROUP BY t),
+      |th AS (SELECT kth.t, kth.kth,
+      |    CASE WHEN kth.kth IS NULL THEN 1.0
+      |         ELSE (CAST(kth.kth AS DOUBLE) + 9223372036854775808.0)
+      |                / 18446744073709551616.0 END AS theta FROM kth),
+      |ea AS (SELECT s.t, count(*) AS cb FROM sk s JOIN th ON th.t = s.t
+      |       WHERE th.kth IS NULL OR s.hv < th.kth GROUP BY s.t),
+      |est1 AS (SELECT th.t, CAST(ea.cb AS DOUBLE) / th.theta AS est
+      |         FROM th JOIN ea ON ea.t = th.t),
+      |p(pair, a, b) AS (VALUES ('click_purchase','click','purchase'),
+      |                         ('view_click','view','click'),
+      |                         ('view_purchase','view','purchase')),
+      |thr AS (SELECT p.pair, p.a, p.b,
+      |    CASE WHEN ka.kth IS NULL AND kb.kth IS NULL THEN NULL
+      |         WHEN ka.kth IS NULL THEN kb.kth
+      |         WHEN kb.kth IS NULL THEN ka.kth
+      |         ELSE least(ka.kth, kb.kth) END AS thrmin,
+      |    least(ta.theta, tb.theta) AS thetamin
+      |  FROM p JOIN th ta ON ta.t = p.a JOIN th tb ON tb.t = p.b
+      |         JOIN kth ka ON ka.t = p.a JOIN kth kb ON kb.t = p.b),
+      |ic AS (SELECT thr.pair, count(*) AS icnt
+      |  FROM thr JOIN sk sa ON sa.t = thr.a
+      |           JOIN sk sb ON sb.t = thr.b AND sb.hv = sa.hv
+      |  WHERE thr.thrmin IS NULL OR sa.hv < thr.thrmin GROUP BY thr.pair),
+      |uc AS (SELECT pair, count(DISTINCT hv) AS ucnt FROM (
+      |    SELECT thr.pair, sa.hv FROM thr JOIN sk sa ON sa.t = thr.a
+      |      WHERE thr.thrmin IS NULL OR sa.hv < thr.thrmin
+      |    UNION ALL
+      |    SELECT thr.pair, sb.hv FROM thr JOIN sk sb ON sb.t = thr.b
+      |      WHERE thr.thrmin IS NULL OR sb.hv < thr.thrmin) GROUP BY pair),
+      |fl AS (SELECT e,
+      |    max(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS fv,
+      |    max(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS fc,
+      |    max(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS fp
+      |  FROM el GROUP BY e),
+      |exact AS (SELECT p.pair,
+      |    count(*) FILTER (WHERE (CASE p.a WHEN 'view' THEN fv
+      |      WHEN 'click' THEN fc ELSE fp END) = 1) AS exact_a,
+      |    count(*) FILTER (WHERE (CASE p.b WHEN 'view' THEN fv
+      |      WHEN 'click' THEN fc ELSE fp END) = 1) AS exact_b,
+      |    count(*) FILTER (WHERE (CASE p.a WHEN 'view' THEN fv
+      |        WHEN 'click' THEN fc ELSE fp END) = 1
+      |      AND (CASE p.b WHEN 'view' THEN fv
+      |        WHEN 'click' THEN fc ELSE fp END) = 1) AS exact_inter,
+      |    count(*) FILTER (WHERE (CASE p.a WHEN 'view' THEN fv
+      |        WHEN 'click' THEN fc ELSE fp END) = 1
+      |      OR (CASE p.b WHEN 'view' THEN fv
+      |        WHEN 'click' THEN fc ELSE fp END) = 1) AS exact_union
+      |  FROM p CROSS JOIN fl GROUP BY p.pair)
+      |SELECT x.pair, x.exact_a, x.exact_b, x.exact_inter, x.exact_union,
+      |  e1.est AS est_a, e2.est AS est_b,
+      |  CAST(ic.icnt AS DOUBLE) / thr.thetamin AS est_inter,
+      |  CAST(uc.ucnt AS DOUBLE) / thr.thetamin AS est_union,
+      |  CASE WHEN uc.ucnt = 0 THEN 0.0
+      |       ELSE (CAST(ic.icnt AS DOUBLE) / thr.thetamin)
+      |            / (CAST(uc.ucnt AS DOUBLE) / thr.thetamin)
+      |  END AS jaccard_est,
+      |  CASE WHEN x.exact_inter = 0 THEN ic.icnt = 0
+      |       ELSE abs(CAST(ic.icnt AS DOUBLE) / thr.thetamin
+      |                 / x.exact_inter - 1.0) <= 0.5 END AS ok_inter,
+      |  abs(CAST(uc.ucnt AS DOUBLE) / thr.thetamin
+      |      / x.exact_union - 1.0) <= 0.35 AS ok_union
+      |FROM exact x
+      |JOIN thr ON thr.pair = x.pair
+      |JOIN ic ON ic.pair = x.pair
+      |JOIN uc ON uc.pair = x.pair
+      |JOIN est1 e1 ON e1.t = thr.a
+      |JOIN est1 e2 ON e2.t = thr.b
+      |ORDER BY x.pair""".stripMargin
 
   /** Per-event-type quantile estimation from the mergeable bottom-k sample
     * sketch (Sketches.quantileBottomK), audited against exact quantiles and
@@ -6325,6 +6533,11 @@ object Queries {
     "sketch_kmv_distinct" -> sketchKmvDistinct _,
     "sketch_quantile_bottomk" -> sketchQuantileBottomK _,
     "sketch_hll_distinct" -> sketchHllDistinct _,
+    "sketch_set_intersection" -> sketchSetIntersection _,
+    "stream_set_intersection" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamSetIntersection(s, dir)),
+    "ts_changepoint_cusum" -> tsChangepointCusum _,
+    "graph_node_jaccard" -> graphNodeJaccard _,
     "stream_quantile_bottomk" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamQuantileBottomK(s, dir)),
     "stream_count_min" -> ((s: SparkSession, dir: String) =>
@@ -6499,6 +6712,12 @@ object Queries {
     "sketch_kmv_distinct" -> sketchKmvDistinctSql,
     "sketch_quantile_bottomk" -> sketchQuantileBottomKSql,
     "sketch_hll_distinct" -> sketchHllDistinctSql,
+    "sketch_set_intersection" -> sketchSetIntersectionSql,
+    // streamed KMV accumulation lands on bit-identical per-set arrays
+    // (set determinism), so the streaming query replays the SAME oracle
+    "stream_set_intersection" -> sketchSetIntersectionSql,
+    "ts_changepoint_cusum" -> tsChangepointCusumSql,
+    "graph_node_jaccard" -> graphNodeJaccardSql,
     // the streamed bottom-k accumulation equals the batch sketch under any
     // chunking (merge-order independence), so it replays the SAME oracle
     "stream_quantile_bottomk" -> sketchQuantileBottomKSql,

@@ -165,6 +165,16 @@ class KMinValues(k: Int)
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoderHelper.arrayLong
 }
 
+/** One output row of [[Sketches.setIntersectionWith]] — top-level public
+  * case class per the Dataset-encoder rule.
+  */
+case class SetAlgebraRow(
+    pair: String,
+    exact_a: Long, exact_b: Long, exact_inter: Long, exact_union: Long,
+    est_a: Double, est_b: Double, est_inter: Double, est_union: Double,
+    jaccard_est: Double,
+    ok_inter: Boolean, ok_union: Boolean)
+
 /** MERGEABLE Bloom filter (m bits as m/64 longs, k salted md5-low-64
   * hashes): OR-additive state, so like [[CountMin]] the final bit set is
   * merge-order independent (OR is commutative, associative, idempotent) and
@@ -689,4 +699,122 @@ object Sketches {
       .withColumn("hll_ok", col("rel_err") <= lit(0.4))
       .orderBy(col(groupCol))
   }
+
+  // ---------------------------------------------------------------------
+  // θ-sketch SET ALGEBRA (the Apache DataSketches theta-sketch shape):
+  // per-set KMV sketches answer |A|, |A∩B|, |A∪B| and Jaccard WITHOUT ever
+  // materializing the sets together — the audience-overlap / cross-dataset
+  // contamination estimate at 100 TB, where each set is sketched in its
+  // own scan (even on different clusters/days) and only O(k) longs meet.
+  // ---------------------------------------------------------------------
+
+  /** k = 1024 by the σ-margin discipline: the intersection estimate's RSE
+    * is ≈ √((2−J)/(J·k)) ≈ 9.4% at this corpus's J ≈ 0.2, so the claimed
+    * 50% bound sits at 5.3σ (k = 256 put it at 2.7σ — a per-corpus coin
+    * flip); the union estimate's RSE is 1/√(k−2) ≈ 3.1% vs a 35% claim
+    * (11σ). 8 KB per set.
+    */
+  private[graft] val setAlgebraK = 1024
+
+  /** The compared sets: per-event-type visitor-day sets — element =
+    * "user|epochDay". Element strings exclude the type, so one element
+    * hashes identically in every set and sketch entries intersect by raw
+    * hash value.
+    */
+  private[graft] def setElements(events: DataFrame): DataFrame =
+    events.where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_type").as("t"),
+        concat(col("user_id").cast(StringType), lit("|"),
+          expr("unix_micros(ts) div 86400000000").cast(StringType)).as("e"))
+
+  /** One distributed pass building the per-set KMV sketches: map-side
+    * combinable ([[KMinValues]]), ≤ k longs per partition per set through
+    * the shuffle; the collect is the sanctioned O(sets·k) sketch buffer.
+    */
+  def setAlgebraSketches(events: DataFrame): Map[String, Array[Long]] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    setElements(events).as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new KMinValues(setAlgebraK).toColumn.name("kmv"))
+      .collect().toMap
+  }
+
+  /** θ-sketch set-algebra estimates from already-built sketches, audited
+    * against the exact answer (the [[quantileAuditWith]] sharing pattern —
+    * the streaming accumulation lands on bit-identical arrays by
+    * merge-order independence and reuses this assembly verbatim).
+    *
+    * Estimator (Dasu et al. / DataSketches): θ_X = normalized k-th
+    * smallest hash of X (1.0 when |X| < k, i.e. the sketch is exact);
+    * θ = min(θ_A, θ_B); candidates = sketch entries strictly below the
+    * raw threshold; est = |candidates| / θ. Every step — long→double
+    * casts, two divisions on exactly-representable powers of two, min,
+    * count/θ — is correctly rounded, so the DOUBLE estimates themselves
+    * hash-replay in SQL (the KMV discipline, not just an accuracy bit).
+    *
+    * Scale: the exact audit side (one distinct + one map-combined flags
+    * agg) exists to GRADE the sketch at test scale; at 100 TB only the
+    * sketch passes run and the answer is the 3-row frame.
+    */
+  def setIntersectionWith(
+      events: DataFrame, sk: Map[String, Array[Long]]): DataFrame = {
+    val spark = events.sparkSession
+    val k = setAlgebraK
+    val flags = setElements(events).distinct()
+      .groupBy(col("e")).agg(
+        max(when(col("t") === "view", 1).otherwise(0)).as("fv"),
+        max(when(col("t") === "click", 1).otherwise(0)).as("fc"),
+        max(when(col("t") === "purchase", 1).otherwise(0)).as("fp"))
+    val pairs = Seq(
+      ("click_purchase", "fc", "fp"),
+      ("view_click", "fv", "fc"),
+      ("view_purchase", "fv", "fp"))
+    val aggCols = pairs.flatMap { case (p, fa, fb) => Seq(
+      count(when(col(fa) === 1, 1)).as(s"a_$p"),
+      count(when(col(fb) === 1, 1)).as(s"b_$p"),
+      count(when(col(fa) === 1 && col(fb) === 1, 1)).as(s"i_$p"),
+      count(when(col(fa) === 1 || col(fb) === 1, 1)).as(s"u_$p")) }
+    val ex = flags.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+
+    def theta(arr: Array[Long]): Double =
+      if (arr.length < k) 1.0
+      else (arr(k - 1).toDouble + 9.223372036854775808e18) /
+        1.8446744073709552e19
+    def kth(arr: Array[Long]): Option[Long] =
+      if (arr.length < k) None else Some(arr(k - 1))
+    def below(arr: Array[Long], thr: Option[Long]): Array[Long] =
+      thr match { case Some(x) => arr.filter(_ < x); case None => arr }
+    val typeOf = Map("fv" -> "view", "fc" -> "click", "fp" -> "purchase")
+
+    val rows = pairs.map { case (p, fa, fb) =>
+      val sa = sk.getOrElse(typeOf(fa), Array.empty[Long])
+      val sb = sk.getOrElse(typeOf(fb), Array.empty[Long])
+      val thrMin = (kth(sa), kth(sb)) match {
+        case (Some(x), Some(y)) => Some(math.min(x, y))
+        case (x, y) => x.orElse(y)
+      }
+      val thetaMin = math.min(theta(sa), theta(sb))
+      val ba = below(sa, thrMin).toSet
+      val bb = below(sb, thrMin).toSet
+      val icnt = ba.intersect(bb).size
+      val ucnt = ba.union(bb).size
+      val estA = below(sa, kth(sa)).length.toDouble / theta(sa)
+      val estB = below(sb, kth(sb)).length.toDouble / theta(sb)
+      val estI = icnt.toDouble / thetaMin
+      val estU = ucnt.toDouble / thetaMin
+      val jac = if (ucnt == 0) 0.0 else estI / estU
+      def g(c: String): Long = ex.getLong(ex.fieldIndex(c))
+      val (exa, exb, exi, exu) =
+        (g(s"a_$p"), g(s"b_$p"), g(s"i_$p"), g(s"u_$p"))
+      SetAlgebraRow(p, exa, exb, exi, exu, estA, estB, estI, estU, jac,
+        if (exi == 0L) icnt == 0 else math.abs(estI / exi - 1.0) <= 0.5,
+        math.abs(estU / exu - 1.0) <= 0.35)
+    }
+    spark.createDataFrame(rows).orderBy("pair")
+  }
+
+  /** The batch query: sketches + audit in one call. */
+  def setIntersection(events: DataFrame): DataFrame =
+    setIntersectionWith(events, setAlgebraSketches(events))
 }

@@ -2122,6 +2122,66 @@ object StreamingOps {
       audit
     }
 
+  /** STREAMING θ-sketch set algebra: the per-event-type visitor-day
+    * element feed arrives as a file stream and each micro-batch folds its
+    * own KMV k-minimums into the per-set driver sketches — "k smallest of
+    * the union" is a deterministic function of the element SET, so the
+    * merged arrays are BIT-IDENTICAL to the batch sketches under ANY
+    * chunking/arrival order and the final frame reuses the batch assembly
+    * (Sketches.setIntersectionWith) and its DuckDB oracle verbatim. O(k)
+    * longs per set on the driver, nothing else; chunking is free to follow
+    * staging parallelism (the stageParts discipline).
+    */
+  def streamSetIntersection(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
+      import graft.ops.{KMinValues, Sketches}
+      val ev = events(spark, dir)
+      val el = Sketches.setElements(ev).persist()
+      val nEl = el.count()
+      val nChunks = math.max(3L, math.min(96L, nEl / 250000L)).toInt
+      val tmp = stagedCorpus(dir, "setalg") { t =>
+        stageParts(el, t, "chunk", nChunks, col("e"))
+      }
+      val kmv = new KMinValues(Sketches.setAlgebraK)
+      val (acc, nSeen) = driverFoldRun[Map[String, Array[Long]]](
+        spark, tmp, el.schema, None, math.max(1, nChunks / 3),
+        zero = Map.empty,
+        foldBatch = { b =>
+          val session = b.sparkSession
+          import session.implicits._
+          b.select(col("t"), col("e")).as[(String, String)]
+            .groupByKey(_._1)
+            .agg(kmv.toColumn.name("kmv"))
+            .collect().toMap
+        },
+        merge = (a, p) => a ++ p.map { case (t, arr) =>
+          t -> a.get(t).map(x => kmv.merge(x, arr)).getOrElse(arr)
+        },
+        save = (out, s) => {
+          val entries = s.toSeq.sortBy(_._1)
+          out.writeInt(entries.size)
+          entries.foreach { case (key, arr) =>
+            out.writeUTF(key)
+            out.writeInt(arr.length)
+            arr.foreach(out.writeLong)
+          }
+        },
+        load = in => {
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val key = in.readUTF()
+            val m = in.readInt()
+            key -> Array.fill(m)(in.readLong())
+          }.toMap
+        })
+      require(nSeen >= 2,
+        s"chunked staging must yield multiple micro-batches, got $nSeen")
+      val out = Sketches.setIntersectionWith(ev, acc)
+        .localCheckpoint() // materialize before releasing the cached input
+      el.unpersist()
+      out
+    }
+
   /** STREAMING entity resolution: the dirty feed arrives as a file stream
     * and every micro-batch is resolved against the STATIC clean base with
     * the batch operator (EntityResolution.resolveFeed) — the

@@ -2628,6 +2628,106 @@ class OpsSpec extends AnyFunSuite {
     truth.filter(_._2 < 10L).keys.foreach(k => assert(!released.contains(k)))
   }
 
+  test("streaming set-algebra sketches == batch (set-deterministic KMV fold)") {
+    val batch = SparkEntry.queries("sketch_set_intersection")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = SparkEntry.queries("stream_set_intersection")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("theta-sketch set algebra matches an independent driver replay") {
+    val events = graft.streaming.StreamingOps.events(spark, dir)
+    val elems = ops.Sketches.setElements(events).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets: Map[String, Set[Long]] = elems.groupBy(_._1)
+      .map { case (t, rows) =>
+        t -> rows.map(r => ops.Sketches.md5Low64String(r._2)).toSet
+      }
+    val k = 1024
+    def sketch(t: String): Array[Long] =
+      sets.getOrElse(t, Set.empty).toArray.sorted.take(k)
+    def theta(a: Array[Long]): Double =
+      if (a.length < k) 1.0
+      else (a(k - 1).toDouble + math.pow(2, 63)) / math.pow(2, 64)
+    val out = SparkEntry.queries("sketch_set_intersection")(spark, dir).collect()
+    assert(out.length == 3)
+    val types = Map("view_click" -> ("view", "click"),
+      "view_purchase" -> ("view", "purchase"),
+      "click_purchase" -> ("click", "purchase"))
+    out.foreach { r =>
+      val (ta, tb) = types(r.getAs[String]("pair"))
+      val (sa, sb) = (sets.getOrElse(ta, Set.empty), sets.getOrElse(tb, Set.empty))
+      assert(r.getAs[Long]("exact_a") == sa.size.toLong)
+      assert(r.getAs[Long]("exact_b") == sb.size.toLong)
+      assert(r.getAs[Long]("exact_inter") == sa.intersect(sb).size.toLong)
+      assert(r.getAs[Long]("exact_union") == sa.union(sb).size.toLong)
+      val (ka, kb) = (sketch(ta), sketch(tb))
+      val thr = (ka.length == k, kb.length == k) match {
+        case (true, true) => Some(math.min(ka(k - 1), kb(k - 1)))
+        case (true, false) => Some(ka(k - 1))
+        case (false, true) => Some(kb(k - 1))
+        case _ => None
+      }
+      val tm = math.min(theta(ka), theta(kb))
+      val ba = thr.map(x => ka.filter(_ < x)).getOrElse(ka).toSet
+      val bb = thr.map(x => kb.filter(_ < x)).getOrElse(kb).toSet
+      assert(r.getAs[Double]("est_inter") == ba.intersect(bb).size.toDouble / tm)
+      assert(r.getAs[Double]("est_union") == ba.union(bb).size.toDouble / tm)
+      assert(r.getAs[Boolean]("ok_inter") && r.getAs[Boolean]("ok_union"))
+    }
+  }
+
+  test("cusum changepoint matches a BigInt driver replay of the daily series") {
+    val daily = graft.streaming.StreamingOps.ewmaDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val out = SparkEntry.queries("ts_changepoint_cusum")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val series = daily.filter(_._1 == et).sortBy(_._2)
+      val n = series.length
+      val tot = series.map(_._3).sum
+      var pre = BigInt(0)
+      val cands = series.zipWithIndex.take(n - 1).map { case ((_, day, v), i) =>
+        pre += v
+        (day, (i + 1).toLong, pre, (BigInt(n) * pre - BigInt(i + 1) * tot).abs)
+      }
+      val best = cands.minBy { case (day, _, _, s) => (-s, day) }
+      assert(r.getAs[Long]("cp_day") == best._1)
+      assert(r.getAs[Long]("cp_t") == best._2)
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      assert(r.getAs[Double]("cusum_abs_max") ==
+        best._4.toString.toDouble)
+      assert(r.getAs[Double]("mean_before") ==
+        best._3.toString.toDouble / (best._2 * 10000L).toString.toDouble)
+      assert(r.getAs[Double]("mean_after") ==
+        (tot - best._3).toString.toDouble /
+          ((n - best._2) * 10000L).toString.toDouble)
+    }
+  }
+
+  test("node jaccard matches a brute-force co-occurrence recompute") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val co = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.foreach { parts =>
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        co((parts(i), parts(j))) = co.getOrElse((parts(i), parts(j)), 0L) + 1L
+    }
+    val deg = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = co.toSeq.map { case ((u, v), c) =>
+      (u, v, c, deg(u), deg(v), c.toDouble / (deg(u) + deg(v) - c).toDouble)
+    }.sortBy { case (u, v, c, _, _, j) => (-j, -c, u, v) }.take(20)
+    val got = SparkEntry.queries("graph_node_jaccard")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "no co-occurring part pairs at sf0.001 — vacuous")
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
