@@ -1932,14 +1932,26 @@ object Queries {
     * parts-sized frames. Top-20 under a TOTAL order (jaccard, co, u, v).
     */
   private def graphNodeJaccard(s: SparkSession, dir: String): DataFrame = {
+    // pair-frame shuffles self-size from the footer count (the
+    // join_fuzzy_quote / graph_pagerank discipline): ~1.5 pair rows per
+    // lineitem would otherwise squeeze through the fixed session width
+    // (GC-pressure at the 100x decade under 32 partitions)
+    val nLi = t(s, dir, "lineitem").count()
+    val parts = math.max(32L, nLi / 500000L).toInt
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
+      .repartition(parts, col("ok"))
     val co = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      // HashPartitioning on u (a subset of the grouping keys) satisfies the
+      // groupBy's ClusteredDistribution: the agg runs at `parts` width and
+      // its output STAYS partitioned by u for the first degree join
+      .repartition(parts, col("a.pk"))
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("co"))
     val deg = li.groupBy(col("pk")).agg(count(lit(1)).as("d"))
     co.join(deg.select(col("pk").as("u"), col("d").as("du")), "u")
+      .repartition(parts, col("v"))
       .join(deg.select(col("pk").as("v"), col("d").as("dv")), "v")
       .select(col("u"), col("v"), col("co"), col("du"), col("dv"),
         (col("co").cast(DoubleType) /
@@ -3093,6 +3105,79 @@ object Queries {
       |FROM sgn GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY win_hash""".stripMargin
 
+  /** Cross-document boilerplate REMOVAL — the apply half of
+    * dedup_substring_windows (C4's duplicated-line rule / Lee et al. 2022's
+    * span removal): documents are segmented into fixed 4-token pseudo-lines
+    * (the synthetic corpus has no newlines — segment boundaries stand in
+    * for line breaks), segment document-frequency is counted corpus-wide,
+    * segments appearing in ≥3 documents are dropped, and each document is
+    * reassembled in order. A deterministic 8-token banner PREPENDED to
+    * every 10th document (prepending keeps the planted segments aligned
+    * regardless of each doc's token count) de-vacuizes the rule: the green
+    * row dies if stripping regresses to a no-op. Shapes: one explode + one
+    * map-combined df count + one segment-keyed join + one per-doc regroup —
+    * all linear, no pair joins.
+    */
+  private def textBoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(lit("graft common boilerplate banner shared across many documents "),
+          col("text"))).otherwise(col("text")).as("text2"))
+    val toksed = planted
+      .select(col("doc_id"), Dedup.tokens(col("text2")).as("toks"))
+      .withColumn("nseg", expr("(size(toks) + 3) div 4"))
+    val seg = toksed.select(col("doc_id"), col("nseg"),
+      posexplode(expr(
+        "transform(sequence(0L, nseg - 1), " +
+          "i -> array_join(slice(toks, cast(i*4+1 as int), 4), ' '))"))
+        .as(Seq("pos", "seg")))
+    val dfc = seg.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val kept = seg.join(dfc, "seg").where(col("n_docs") < 3)
+    val re = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos").as("p"), col("seg").as("s")))),
+        x => x.getField("s")), " ").as("clean_text"))
+    toksed.select(col("doc_id"), col("nseg"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nseg").as("n_segments"),
+        (col("nseg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        length(coalesce(col("clean_text"), lit("")))
+          .cast(LongType).as("clean_len"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textBoilerplateStripSql =
+    """WITH planted AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+      |    THEN 'graft common boilerplate banner shared across many documents '
+      |         || text ELSE text END AS text2
+      |  FROM documents),
+      |tk AS (SELECT doc_id,
+      |         regexp_split_to_array(trim(lower(text2)), '\s+') AS toks
+      |       FROM planted),
+      |tn AS (SELECT doc_id, toks, (len(toks) + 3) // 4 AS nseg FROM tk),
+      |seg AS (SELECT doc_id, nseg, i AS pos,
+      |    array_to_string(toks[CAST(i*4+1 AS INT):CAST(i*4+4 AS INT)], ' ')
+      |      AS seg
+      |  FROM (SELECT doc_id, toks, nseg, unnest(range(0, nseg)) AS i
+      |        FROM tn)),
+      |dfc AS (SELECT seg, count(DISTINCT doc_id) AS n_docs
+      |        FROM seg GROUP BY seg),
+      |kept AS (SELECT s.doc_id, s.pos, s.seg FROM seg s
+      |         JOIN dfc ON dfc.seg = s.seg WHERE dfc.n_docs < 3),
+      |re AS (SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      |       FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, t.nseg AS n_segments,
+      |  t.nseg - COALESCE(re.n_kept, 0) AS n_dropped,
+      |  CAST(length(COALESCE(re.clean_text, '')) AS BIGINT) AS clean_len,
+      |  md5(COALESCE(re.clean_text, '')) AS clean_md5
+      |FROM tn t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"))
 
@@ -3264,6 +3349,83 @@ object Queries {
       |     * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cosine
       |FROM e, q WHERE e.vec_id != 0
       |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** HYBRID retrieval with reciprocal-rank fusion (the RAG-stack shape:
+    * lexical + vector lists fused by RRF, Cormack et al. 2009): the text
+    * side scores each doc by query-term occurrence mass (exact ints; query
+    * = doc 0's distinct tokens, a driver-small literal), the vector side
+    * is the exact cosine top-100 vs embedding 0, and each side's TRUNCATED
+    * top-100 (TakeOrdered — distributed, no global sort) is ranked and
+    * fused: rrf = Σ 1/(60+rank) over the lists that contain the doc.
+    * Both ranks, both raw scores and the fused score replay value-exactly
+    * (integer ranks; 1/(60+r) divisions and one add are correctly-rounded
+    * same-op on both engines). Scale: per-shard TakeOrdered keeps both
+    * list builds one-pass; the fusion join touches ≤200 rows.
+    */
+  private def simHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toksed = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+    val qTerms = toksed.where(col("doc_id") === 0L)
+      .select(explode(col("toks")).as("tk")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val textTop = toksed.where(col("doc_id") =!= 0L)
+      .select(col("doc_id"),
+        size(filter(col("toks"), x => x.isin(qTerms: _*)))
+          .cast(LongType).as("text_score"))
+      .orderBy(col("text_score").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("text_rank", row_number().over(
+        Window.orderBy(col("text_score").desc, col("doc_id"))).cast(LongType))
+    val vecTop = Similarity.bruteForceTopK(t(s, dir, "embeddings"), 0L, 100)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))).cast(LongType))
+      .withColumnRenamed("vec_id", "v_id")
+    textTop.join(vecTop, col("doc_id") === col("v_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("v_id")).as("doc_id"),
+        col("text_score"), col("text_rank"), col("cosine"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(60L) + col("text_rank")).cast(DoubleType),
+          lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("vec_rank")).cast(DoubleType),
+            lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val simHybridRrfSql =
+    """WITH toksed AS (SELECT doc_id,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |q AS (SELECT DISTINCT unnest(toks) AS tk FROM toksed WHERE doc_id = 0),
+      |qt AS (SELECT list(tk ORDER BY tk) AS ql FROM q),
+      |ts AS (SELECT doc_id,
+      |    CAST(len(list_filter(toks, x -> list_contains(qt.ql, x))) AS BIGINT)
+      |      AS text_score
+      |  FROM toksed, qt WHERE doc_id != 0),
+      |tr AS (SELECT doc_id, text_score,
+      |    row_number() OVER (ORDER BY text_score DESC, doc_id) AS text_rank
+      |  FROM ts),
+      |tt AS (SELECT * FROM tr WHERE text_rank <= 100),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |cs AS (SELECT e.vec_id,
+      |    list_sum(list_transform(range(1, len(e.v)+1), i -> e.v[i] * qv.qv[i]))
+      |      / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+      |       * sqrt(list_sum(list_transform(qv.qv, x -> x * x)))) AS cosine
+      |  FROM e, qv WHERE e.vec_id != 0),
+      |vr AS (SELECT vec_id, cosine,
+      |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
+      |  FROM cs),
+      |vt AS (SELECT * FROM vr WHERE vec_rank <= 100),
+      |fused AS (SELECT COALESCE(tt.doc_id, vt.vec_id) AS doc_id,
+      |    tt.text_score, CAST(tt.text_rank AS BIGINT) AS text_rank,
+      |    vt.cosine, CAST(vt.vec_rank AS BIGINT) AS vec_rank,
+      |    COALESCE(1.0 / CAST(60 + tt.text_rank AS DOUBLE), 0.0)
+      |      + COALESCE(1.0 / CAST(60 + vt.vec_rank AS DOUBLE), 0.0) AS rrf
+      |  FROM tt FULL OUTER JOIN vt ON vt.vec_id = tt.doc_id)
+      |SELECT doc_id, text_score, text_rank, cosine, vec_rank, rrf
+      |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   /** IVF approximate top-10 (Similarity.ivfTopK): probe the 4 nearest of
     * 16 k-means buckets and scan only those partitions — the
@@ -4193,6 +4355,65 @@ object Queries {
       |SELECT event_type, n_days, cp_day, cp_t, cusum_abs_max,
       |  mean_before, mean_after, mean_after - mean_before AS shift
       |FROM top ORDER BY event_type""".stripMargin
+
+  /** Seasonal-naive forecast BACKTEST (the forecast-evaluation loop every
+    * production series pipeline runs): forecast(t) = value 7 observed days
+    * back, benchmarked against the naive lag-1 forecast on the same
+    * evaluation rows, oracle-EXACT — residuals are exact fixed-point
+    * integer differences on the shared ewmaDaily frame, each MAE/ME is ONE
+    * division of string-parsed exact operands, and the skill ratio
+    * (MASE-style) is the same-op division of two correctly-rounded
+    * doubles. Window lag runs on the groups-sized daily frame only.
+    */
+  private def tsBacktestSnaive(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val daily = graft.streaming.StreamingOps.ewmaDaily(s, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("l7", lag(col("d4"), 7).over(w))
+      .withColumn("l1", lag(col("d4"), 1).over(w))
+      .where(col("l7").isNotNull)
+    val agg = lagged.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_eval"),
+      sum(abs(col("d4") - col("l7"))).as("sae7"),
+      sum(abs(col("d4") - col("l1"))).as("sae1"),
+      sum(col("d4") - col("l7")).as("se7"))
+    def over(num: Column): Column =
+      num.cast(StringType).cast(DoubleType) /
+        (col("n_eval").cast(dec38) * 10000).cast(StringType).cast(DoubleType)
+    agg.select(col("event_type"), col("n_eval"),
+        over(col("sae7")).as("mae_snaive"),
+        over(col("sae1")).as("mae_naive"),
+        over(col("se7")).as("me_snaive"))
+      .withColumn("skill", when(col("mae_naive") === 0.0,
+        lit(null).cast(DoubleType))
+        .otherwise(col("mae_snaive") / col("mae_naive")))
+      .orderBy(col("event_type"))
+  }
+
+  private val tsBacktestSnaiveSql =
+    s"""WITH $dailyFixedPointCtes,
+      |lg AS (SELECT event_type, day, d4,
+      |    lag(d4, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+      |    lag(d4, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1
+      |  FROM d),
+      |ev AS (SELECT * FROM lg WHERE l7 IS NOT NULL),
+      |ag AS (SELECT event_type, count(*) AS n_eval,
+      |    sum(abs(d4 - l7)) AS sae7, sum(abs(d4 - l1)) AS sae1,
+      |    sum(d4 - l7) AS se7
+      |  FROM ev GROUP BY event_type),
+      |m AS (SELECT event_type, n_eval,
+      |    CAST(CAST(sae7 AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(n_eval * 10000 AS VARCHAR) AS DOUBLE) AS mae_snaive,
+      |    CAST(CAST(sae1 AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(n_eval * 10000 AS VARCHAR) AS DOUBLE) AS mae_naive,
+      |    CAST(CAST(se7 AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(n_eval * 10000 AS VARCHAR) AS DOUBLE) AS me_snaive
+      |  FROM ag)
+      |SELECT event_type, n_eval, mae_snaive, mae_naive, me_snaive,
+      |  CASE WHEN mae_naive = 0.0 THEN NULL
+      |       ELSE mae_snaive / mae_naive END AS skill
+      |FROM m ORDER BY event_type""".stripMargin
 
   /** Source/sink round-trip audit: the corpus is written to a line-based
     * interchange format (JSONL — the raw-corpus format every pretraining
@@ -6537,7 +6758,10 @@ object Queries {
     "stream_set_intersection" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamSetIntersection(s, dir)),
     "ts_changepoint_cusum" -> tsChangepointCusum _,
+    "ts_backtest_snaive" -> tsBacktestSnaive _,
     "graph_node_jaccard" -> graphNodeJaccard _,
+    "text_boilerplate_strip" -> textBoilerplateStrip _,
+    "sim_hybrid_rrf" -> simHybridRrf _,
     "stream_quantile_bottomk" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamQuantileBottomK(s, dir)),
     "stream_count_min" -> ((s: SparkSession, dir: String) =>
@@ -6717,7 +6941,10 @@ object Queries {
     // (set determinism), so the streaming query replays the SAME oracle
     "stream_set_intersection" -> sketchSetIntersectionSql,
     "ts_changepoint_cusum" -> tsChangepointCusumSql,
+    "ts_backtest_snaive" -> tsBacktestSnaiveSql,
     "graph_node_jaccard" -> graphNodeJaccardSql,
+    "text_boilerplate_strip" -> textBoilerplateStripSql,
+    "sim_hybrid_rrf" -> simHybridRrfSql,
     // the streamed bottom-k accumulation equals the batch sketch under any
     // chunking (merge-order independence), so it replays the SAME oracle
     "stream_quantile_bottomk" -> sketchQuantileBottomKSql,

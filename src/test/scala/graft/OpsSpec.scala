@@ -2728,6 +2728,89 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no co-occurring part pairs at sf0.001 — vacuous")
   }
 
+  test("boilerplate strip matches a full driver replay; planted banner dropped") {
+    val raw = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val banner = "graft common boilerplate banner shared across many documents "
+    val segsOf = raw.map { case (id, text) =>
+      val t2 = if (id % 10 == 0) banner + text else text
+      val toks = t2.trim.toLowerCase.split("\\s+")
+      id -> toks.grouped(4).map(_.mkString(" ")).toVector
+    }.toMap
+    val dfCount = segsOf.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val out = SparkEntry.queries("text_boilerplate_strip")(spark, dir).collect()
+    assert(out.length == raw.length)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ss = segsOf(id)
+      val kept = ss.filter(s => dfCount(s) < 3)
+      assert(r.getAs[Long]("n_segments") == ss.length.toLong)
+      assert(r.getAs[Long]("n_dropped") == (ss.length - kept.length).toLong)
+      val clean = kept.mkString(" ")
+      assert(r.getAs[Long]("clean_len") == clean.length.toLong)
+      assert(r.getAs[String]("clean_md5") ==
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      if (id % 10 == 0)
+        assert(r.getAs[Long]("n_dropped") >= 2L,
+          s"planted banner not stripped from doc $id")
+    }
+  }
+
+  test("hybrid rrf: ranks consistent, fused score recomputable, both modalities present") {
+    val out = SparkEntry.queries("sim_hybrid_rrf")(spark, dir).collect()
+    assert(out.length == 10)
+    var prev = Double.MaxValue
+    out.foreach { r =>
+      val tr = if (r.isNullAt(r.fieldIndex("text_rank"))) None
+        else Some(r.getAs[Long]("text_rank"))
+      val vr = if (r.isNullAt(r.fieldIndex("vec_rank"))) None
+        else Some(r.getAs[Long]("vec_rank"))
+      assert(tr.nonEmpty || vr.nonEmpty)
+      val rrf = tr.map(x => 1.0 / (60L + x).toDouble).getOrElse(0.0) +
+        vr.map(x => 1.0 / (60L + x).toDouble).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == rrf)
+      assert(r.getAs[Double]("rrf") <= prev)
+      prev = r.getAs[Double]("rrf")
+      tr.foreach(x => assert(x >= 1L && x <= 100L))
+      vr.foreach(x => assert(x >= 1L && x <= 100L))
+    }
+    // the fusion is non-degenerate: the winning docs draw on both lists
+    assert(out.exists(r => !r.isNullAt(r.fieldIndex("text_rank"))))
+    assert(out.exists(r => !r.isNullAt(r.fieldIndex("vec_rank"))))
+    // text ranks follow text scores (higher score never ranks worse)
+    val both = out.filter(r => !r.isNullAt(r.fieldIndex("text_rank")))
+      .map(r => (r.getAs[Long]("text_score"), r.getAs[Long]("text_rank")))
+    both.combinations(2).foreach { case Array((s1, r1), (s2, r2)) =>
+      if (s1 > s2) assert(r1 < r2)
+    }
+  }
+
+  test("seasonal-naive backtest matches a BigInt driver replay") {
+    val daily = graft.streaming.StreamingOps.ewmaDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val out = SparkEntry.queries("ts_backtest_snaive")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val xs = daily.filter(_._1 == et).sortBy(_._2).map(_._3)
+      val ev = (7 until xs.length).map(i => (xs(i), xs(i - 7), xs(i - 1)))
+      val n = ev.length
+      assert(r.getAs[Long]("n_eval") == n.toLong)
+      def mae(f: ((BigInt, BigInt, BigInt)) => BigInt): Double =
+        ev.map(f).sum.toString.toDouble / (n * 10000L).toString.toDouble
+      val maeS = mae { case (x, l7, _) => (x - l7).abs }
+      val maeN = mae { case (x, _, l1) => (x - l1).abs }
+      assert(r.getAs[Double]("mae_snaive") == maeS)
+      assert(r.getAs[Double]("mae_naive") == maeN)
+      assert(r.getAs[Double]("me_snaive") ==
+        ev.map { case (x, l7, _) => x - l7 }.sum.toString.toDouble /
+          (n * 10000L).toString.toDouble)
+      if (maeN != 0.0) assert(r.getAs[Double]("skill") == maeS / maeN)
+    }
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
