@@ -5576,6 +5576,120 @@ object Queries {
       |JOIN est1 e2 ON e2.t = thr.b
       |ORDER BY x.pair""".stripMargin
 
+  /** TEMPORAL SKETCH ROLLUP (Sketches.windowDistinctWith): one KMV sketch
+    * per day answers the trailing-7-day distinct-activity count of every
+    * window by merging ≤7 tiny sketches — the pre-aggregated sketch-table
+    * pattern a 100 TB metrics store uses instead of re-scanning raw events
+    * per window. Estimates are deterministic functions of the element sets
+    * (set-deterministic KMV), so the DOUBLES hash-replay; the exact audit
+    * explodes each element to its ≤7 windows (linear, no range join).
+    */
+  private def sketchWindowDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.windowDistinct(
+      graft.streaming.StreamingOps.events(s, dir))
+
+  private val sketchWindowDistinctSql =
+    """WITH el AS (
+      |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(user_id AS VARCHAR) || '|' ||
+      |      CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS e
+      |  FROM events),
+      |h AS (SELECT DISTINCT day,
+      |    (CASE WHEN hm >= 9223372036854775808
+      |          THEN CAST(hm - 18446744073709551616 AS BIGINT)
+      |          ELSE CAST(hm AS BIGINT) END) AS hv
+      |  FROM (SELECT day, md5_number_lower(e) AS hm FROM el)),
+      |days AS (SELECT DISTINCT day FROM el),
+      |wd AS (SELECT DISTINCT d.day AS w, h.hv
+      |       FROM days d JOIN h ON h.day BETWEEN d.day - 6 AND d.day),
+      |r AS (SELECT w, hv,
+      |        row_number() OVER (PARTITION BY w ORDER BY hv) AS rn FROM wd),
+      |sk AS (SELECT w, hv, rn FROM r WHERE rn <= 256),
+      |kth AS (SELECT w, max(CASE WHEN rn = 256 THEN hv END) AS kth
+      |        FROM sk GROUP BY w),
+      |cb AS (SELECT s.w, count(*) AS cb FROM sk s JOIN kth ON kth.w = s.w
+      |       WHERE kth.kth IS NULL OR s.hv < kth.kth GROUP BY s.w),
+      |est AS (SELECT kth.w, CAST(cb.cb AS DOUBLE) /
+      |    (CASE WHEN kth.kth IS NULL THEN 1.0
+      |          ELSE (CAST(kth.kth AS DOUBLE) + 9223372036854775808.0)
+      |                 / 18446744073709551616.0 END) AS est
+      |  FROM kth JOIN cb ON cb.w = kth.w),
+      |wdays AS (SELECT d.day AS w, count(*) AS window_days
+      |          FROM days d JOIN days d2 ON d2.day BETWEEN d.day - 6 AND d.day
+      |          GROUP BY d.day),
+      |ex AS (SELECT d.day AS w, count(DISTINCT e.e) AS exact_distinct
+      |       FROM days d JOIN el e ON e.day BETWEEN d.day - 6 AND d.day
+      |       GROUP BY d.day)
+      |SELECT ex.w AS day, wdays.window_days, ex.exact_distinct, est.est,
+      |  abs(est.est / ex.exact_distinct - 1.0) <= 0.5 AS sketch_ok
+      |FROM ex JOIN wdays ON wdays.w = ex.w JOIN est ON est.w = ex.w
+      |ORDER BY day""".stripMargin
+
+  /** Referential-integrity release gate (the lakehouse FK audit): orphan
+    * counts and rates for the two FK edges lineitem.orderkey → orders and
+    * orders.custkey → customer, over deterministically corrupted child
+    * feeds (~1/97 and ~1/89 of keys negated by md5 ticket — negative keys
+    * never exist in the parents, so the planted orphans de-vacuize the
+    * gate on referentially-clean TPC-H data). Each edge is one left-anti
+    * join on the key plus one count — the child scans once, the parent
+    * ships only its key column.
+    */
+  private def diagReferentialIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashOps
+    def corrupt(key: Column, salt: Column, mod: Long): Column =
+      when(pmod(HashOps.md5Low64(
+        concat(key.cast(StringType), lit("_"), salt.cast(StringType))),
+        lit(mod)) === 0, -key).otherwise(key)
+    val liFeed = t(s, dir, "lineitem").select(
+      corrupt(col("l_orderkey"), col("l_linenumber"), 97L).as("fk"))
+    val ordFeed = t(s, dir, "orders").select(
+      corrupt(col("o_custkey"), col("o_orderkey"), 89L).as("fk"))
+    def audit(name: String, child: DataFrame, parent: DataFrame): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_child"))
+      val orphan = child.join(parent, child("fk") === parent("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      total.crossJoin(orphan).select(lit(name).as("edge"),
+        col("n_child"), col("n_orphan"),
+        (col("n_orphan").cast(DoubleType) / col("n_child").cast(DoubleType))
+          .as("orphan_rate"))
+    }
+    audit("lineitem.orderkey->orders", liFeed,
+        t(s, dir, "orders").select(col("o_orderkey").as("k")))
+      .unionAll(audit("orders.custkey->customer", ordFeed,
+        t(s, dir, "customer").select(col("c_custkey").as("k"))))
+      .orderBy(col("edge"))
+  }
+
+  private val diagReferentialIntegritySql =
+    """WITH lif AS (SELECT CASE WHEN
+      |    ((CASE WHEN h >= 9223372036854775808
+      |           THEN CAST(h - 18446744073709551616 AS BIGINT)
+      |           ELSE CAST(h AS BIGINT) END) % 97 + 97) % 97 = 0
+      |    THEN -l_orderkey ELSE l_orderkey END AS fk
+      |  FROM (SELECT l_orderkey, md5_number_lower(
+      |          CAST(l_orderkey AS VARCHAR) || '_' ||
+      |          CAST(l_linenumber AS VARCHAR)) AS h FROM lineitem)),
+      |ordf AS (SELECT CASE WHEN
+      |    ((CASE WHEN h >= 9223372036854775808
+      |           THEN CAST(h - 18446744073709551616 AS BIGINT)
+      |           ELSE CAST(h AS BIGINT) END) % 89 + 89) % 89 = 0
+      |    THEN -o_custkey ELSE o_custkey END AS fk
+      |  FROM (SELECT o_custkey, md5_number_lower(
+      |          CAST(o_custkey AS VARCHAR) || '_' ||
+      |          CAST(o_orderkey AS VARCHAR)) AS h FROM orders)),
+      |e1 AS (SELECT 'lineitem.orderkey->orders' AS edge,
+      |    (SELECT count(*) FROM lif) AS n_child,
+      |    (SELECT count(*) FROM lif
+      |      WHERE fk NOT IN (SELECT o_orderkey FROM orders)) AS n_orphan),
+      |e2 AS (SELECT 'orders.custkey->customer' AS edge,
+      |    (SELECT count(*) FROM ordf) AS n_child,
+      |    (SELECT count(*) FROM ordf
+      |      WHERE fk NOT IN (SELECT c_custkey FROM customer)) AS n_orphan)
+      |SELECT edge, n_child, n_orphan,
+      |  CAST(n_orphan AS DOUBLE) / CAST(n_child AS DOUBLE) AS orphan_rate
+      |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      |ORDER BY edge""".stripMargin
+
   /** Per-event-type quantile estimation from the mergeable bottom-k sample
     * sketch (Sketches.quantileBottomK), audited against exact quantiles and
     * the estimate's exact rank. Unlike GK/KLL, the retained sample is
@@ -6757,6 +6871,10 @@ object Queries {
     "sketch_set_intersection" -> sketchSetIntersection _,
     "stream_set_intersection" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamSetIntersection(s, dir)),
+    "sketch_window_distinct" -> sketchWindowDistinct _,
+    "stream_window_distinct" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamWindowDistinct(s, dir)),
+    "diag_referential_integrity" -> diagReferentialIntegrity _,
     "ts_changepoint_cusum" -> tsChangepointCusum _,
     "ts_backtest_snaive" -> tsBacktestSnaive _,
     "graph_node_jaccard" -> graphNodeJaccard _,
@@ -6940,6 +7058,10 @@ object Queries {
     // streamed KMV accumulation lands on bit-identical per-set arrays
     // (set determinism), so the streaming query replays the SAME oracle
     "stream_set_intersection" -> sketchSetIntersectionSql,
+    "sketch_window_distinct" -> sketchWindowDistinctSql,
+    // per-day KMV folds are set-deterministic per day → same oracle
+    "stream_window_distinct" -> sketchWindowDistinctSql,
+    "diag_referential_integrity" -> diagReferentialIntegritySql,
     "ts_changepoint_cusum" -> tsChangepointCusumSql,
     "ts_backtest_snaive" -> tsBacktestSnaiveSql,
     "graph_node_jaccard" -> graphNodeJaccardSql,

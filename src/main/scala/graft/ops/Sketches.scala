@@ -817,4 +817,86 @@ object Sketches {
   /** The batch query: sketches + audit in one call. */
   def setIntersection(events: DataFrame): DataFrame =
     setIntersectionWith(events, setAlgebraSketches(events))
+
+  // ---------------------------------------------------------------------
+  // TEMPORAL SKETCH ROLLUP: one KMV sketch per day answers the distinct
+  // count of ANY day window by merging O(window) sketches — the
+  // pre-aggregated sketch-table pattern every 100 TB metrics store uses
+  // (daily sketches are tiny, raw events are not; no re-scan per window).
+  // ---------------------------------------------------------------------
+
+  /** Elements are distinct active (user, epoch-hour) slots — the activity
+    * universe that scales with the corpus (plain user counts sit below k
+    * at small SFs and would leave the estimator untested). Day key rides
+    * as a string because [[KMinValues]] feeds (group, value) tuples.
+    */
+  private[graft] def activityElements(events: DataFrame): DataFrame =
+    events.select(
+      expr("unix_micros(ts) div 86400000000").cast(StringType).as("d"),
+      concat(col("user_id").cast(StringType), lit("|"),
+        expr("unix_micros(ts) div 3600000000").cast(StringType)).as("e"))
+
+  /** One distributed pass building the per-DAY KMV sketches (k = 256: the
+    * union estimate's RSE is 1/√(k−2) ≈ 6.3%, so the claimed 50% bound
+    * sits at 8σ). O(days · k) driver state.
+    */
+  def windowDistinctSketches(events: DataFrame): Map[Long, Array[Long]] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    activityElements(events).as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new KMinValues(256).toColumn.name("kmv"))
+      .collect().map { case (d, arr) => d.toLong -> arr }.toMap
+  }
+
+  /** Output row of [[windowDistinctWith]]'s driver half. */
+  private def wdTheta(arr: Array[Long], k: Int): Double =
+    if (arr.length < k) 1.0
+    else (arr(k - 1).toDouble + 9.223372036854775808e18) /
+      1.8446744073709552e19
+
+  /** Trailing-7-day distinct-activity estimates from the per-day sketches,
+    * audited against the exact distributed answer. For each observed day,
+    * the window sketch is the KMV merge of that day's and the previous six
+    * days' sketches — "k smallest of the union" again, so the estimate is
+    * a deterministic function of the underlying element sets and every
+    * DOUBLE replays in SQL. The exact side explodes each (day, element)
+    * to its ≤7 window days (linear, no range join) and counts distinct
+    * per window; it exists to GRADE the rollup at test scale.
+    */
+  def windowDistinctWith(
+      events: DataFrame, byDay: Map[Long, Array[Long]]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = 256
+    val kmv = new KMinValues(k)
+    val days = byDay.keys.toSeq.sorted
+    val est = days.map { w =>
+      val merged = days.filter(d => d >= w - 6 && d <= w)
+        .map(byDay).reduce(kmv.merge)
+      val th = wdTheta(merged, k)
+      val cb = if (merged.length < k) merged.length
+        else merged.count(_ < merged(k - 1))
+      (w, days.count(d => d >= w - 6 && d <= w).toLong, cb.toDouble / th)
+    }.toDF("day", "window_days", "est")
+    val elD = events.select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      concat(col("user_id").cast(StringType), lit("|"),
+        expr("unix_micros(ts) div 3600000000").cast(StringType)).as("e"))
+      .distinct()
+    val daysDf = elD.select(col("day")).distinct()
+    val exact = elD
+      .select(explode(sequence(col("day"), col("day") + 6)).as("w"), col("e"))
+      .join(daysDf.withColumnRenamed("day", "w"), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(countDistinct(col("e")).as("exact_distinct"))
+    exact.join(broadcast(est), col("w") === col("day"))
+      .select(col("day"), col("window_days"), col("exact_distinct"),
+        col("est"),
+        (abs(col("est") / col("exact_distinct") - 1.0) <= 0.5).as("sketch_ok"))
+      .orderBy(col("day"))
+  }
+
+  /** The batch query: daily sketches + window rollup + audit. */
+  def windowDistinct(events: DataFrame): DataFrame =
+    windowDistinctWith(events, windowDistinctSketches(events))
 }

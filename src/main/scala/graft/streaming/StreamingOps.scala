@@ -2182,6 +2182,66 @@ object StreamingOps {
       out
     }
 
+  /** STREAMING temporal sketch rollup: the (day, element) activity feed
+    * arrives as a file stream and each micro-batch folds per-DAY KMV
+    * minima into the driver's day-keyed sketch map — set-determinism per
+    * day makes the merged map bit-identical to the batch
+    * Sketches.windowDistinctSketches under any chunking, so the final
+    * trailing-window frame reuses the batch assembly and oracle verbatim.
+    * Driver state is O(days · k) longs; this is exactly how a metrics
+    * store maintains its daily sketch table from an ingest stream.
+    */
+  def streamWindowDistinct(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
+      import graft.ops.{KMinValues, Sketches}
+      val ev = events(spark, dir)
+      val el = Sketches.activityElements(ev).persist()
+      val nEl = el.count()
+      val nChunks = math.max(3L, math.min(96L, nEl / 250000L)).toInt
+      val tmp = stagedCorpus(dir, "windist") { t =>
+        stageParts(el, t, "chunk", nChunks, col("e"))
+      }
+      val kmv = new KMinValues(256)
+      val (acc, nSeen) = driverFoldRun[Map[String, Array[Long]]](
+        spark, tmp, el.schema, None, math.max(1, nChunks / 3),
+        zero = Map.empty,
+        foldBatch = { b =>
+          val session = b.sparkSession
+          import session.implicits._
+          b.select(col("d"), col("e")).as[(String, String)]
+            .groupByKey(_._1)
+            .agg(kmv.toColumn.name("kmv"))
+            .collect().toMap
+        },
+        merge = (a, p) => a ++ p.map { case (d, arr) =>
+          d -> a.get(d).map(x => kmv.merge(x, arr)).getOrElse(arr)
+        },
+        save = (out, s) => {
+          val entries = s.toSeq.sortBy(_._1)
+          out.writeInt(entries.size)
+          entries.foreach { case (key, arr) =>
+            out.writeUTF(key)
+            out.writeInt(arr.length)
+            arr.foreach(out.writeLong)
+          }
+        },
+        load = in => {
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val key = in.readUTF()
+            val m = in.readInt()
+            key -> Array.fill(m)(in.readLong())
+          }.toMap
+        })
+      require(nSeen >= 2,
+        s"chunked staging must yield multiple micro-batches, got $nSeen")
+      val out = Sketches.windowDistinctWith(ev,
+        acc.map { case (d, arr) => d.toLong -> arr })
+        .localCheckpoint() // materialize before releasing the cached input
+      el.unpersist()
+      out
+    }
+
   /** STREAMING entity resolution: the dirty feed arrives as a file stream
     * and every micro-batch is resolved against the STATIC clean base with
     * the batch operator (EntityResolution.resolveFeed) — the

@@ -2811,6 +2811,68 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming window-distinct sketches == batch (per-day set-deterministic fold)") {
+    val batch = SparkEntry.queries("sketch_window_distinct")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = SparkEntry.queries("stream_window_distinct")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("temporal sketch rollup matches an independent window-merge replay") {
+    val events = graft.streaming.StreamingOps.events(spark, dir)
+    val elems = ops.Sketches.activityElements(events).distinct().collect()
+      .map(r => (r.getString(0).toLong, r.getString(1)))
+    val rawByDay = elems.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byDay = rawByDay.view
+      .mapValues(_.map(ops.Sketches.md5Low64String)).toMap
+    val days = byDay.keys.toSeq.sorted
+    val k = 256
+    val out = SparkEntry.queries("sketch_window_distinct")(spark, dir).collect()
+    assert(out.length == days.length)
+    out.foreach { r =>
+      val w = r.getAs[Long]("day")
+      val inWin = days.filter(d => d >= w - 6 && d <= w)
+      assert(r.getAs[Long]("window_days") == inWin.length.toLong)
+      // exact side counts raw element strings, not hashes
+      assert(r.getAs[Long]("exact_distinct") ==
+        inWin.flatMap(rawByDay).toSet.size.toLong)
+      val union = inWin.flatMap(byDay).toSet
+      val sk = union.toSeq.sorted.take(k)
+      val th = if (sk.length < k) 1.0
+        else (sk(k - 1).toDouble + math.pow(2, 63)) / math.pow(2, 64)
+      val cb = if (sk.length < k) sk.length else sk.count(_ < sk(k - 1))
+      assert(r.getAs[Double]("est") == cb.toDouble / th)
+      assert(r.getAs[Boolean]("sketch_ok"))
+    }
+  }
+
+  test("referential integrity gate matches a driver replay of the planted corruption") {
+    def corrupted(key: Long, salt: Long, mod: Long): Long = {
+      val h = ops.Sketches.md5Low64String(s"${key}_$salt")
+      if (((h % mod) + mod) % mod == 0) -key else key
+    }
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(r => corrupted(r.getLong(0), r.getInt(1).toLong, 97L))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+    val ordKeys = orders.map(_.getLong(0)).toSet
+    val custFeed = orders.map(r => corrupted(r.getLong(1), r.getLong(0), 89L))
+    val custKeys = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val out = SparkEntry.queries("diag_referential_integrity")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (lc, lo) = (li.length.toLong, li.count(k => !ordKeys(k)).toLong)
+    assert(out("lineitem.orderkey->orders") ==
+      ((lc, lo, lo.toDouble / lc.toDouble)))
+    val (oc, oo) = (custFeed.length.toLong, custFeed.count(k => !custKeys(k)).toLong)
+    assert(out("orders.custkey->customer") ==
+      ((oc, oo, oo.toDouble / oc.toDouble)))
+    assert(lo > 0L && oo > 0L, "planted orphans missing — gate is vacuous")
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
