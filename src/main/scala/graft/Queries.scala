@@ -4415,6 +4415,135 @@ object Queries {
       |       ELSE mae_snaive / mae_naive END AS skill
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Sample autocorrelation (ACF) at lags 1/7/14 of the per-event-type
+    * daily series, oracle-EXACT — the seasonality evidence behind
+    * ts_backtest_snaive's lag-7 choice. Mean-centering is cleared of
+    * rounding by n-scaling: with dev_t = n·x_t − T (exact integers on the
+    * shared ewmaDaily frame), acf(h) = Σ dev_t·dev_{t+h} / Σ dev_t² — the
+    * n² factors cancel, the numerator and denominator are exact
+    * DECIMAL(38,0)/HUGEINT sums (≲10²⁹ at the 1000× decade vs 10³⁸), and
+    * each emitted double is ONE division of string-parsed exact operands.
+    * Windows run on the groups-sized daily frame only.
+    */
+  private def tsAutocorrelation(s: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val daily = graft.streaming.StreamingOps.ewmaDaily(s, dir)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val dev = daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("d4")).over(wAll))
+      .withColumn("dev", col("n").cast(dec38) * col("d4") - col("tot"))
+      .withColumn("dl1", lead(col("dev"), 1).over(wOrd))
+      .withColumn("dl7", lead(col("dev"), 7).over(wOrd))
+      .withColumn("dl14", lead(col("dev"), 14).over(wOrd))
+    val agg = dev.groupBy(col("event_type")).agg(
+      max(col("n")).as("n_days"),
+      sum((col("dev") * col("dev")).cast(dec38)).as("den"),
+      sum(when(col("dl1").isNotNull, (col("dev") * col("dl1")).cast(dec38))).as("num1"),
+      sum(when(col("dl7").isNotNull, (col("dev") * col("dl7")).cast(dec38))).as("num7"),
+      sum(when(col("dl14").isNotNull, (col("dev") * col("dl14")).cast(dec38))).as("num14"))
+    def acf(num: Column): Column =
+      num.cast(StringType).cast(DoubleType) /
+        col("den").cast(StringType).cast(DoubleType)
+    agg.select(col("event_type"), col("n_days"),
+        expr("stack(3, 1L, num1, 7L, num7, 14L, num14) as (lag, num)"),
+        col("den"))
+      .select(col("event_type"), col("n_days"), col("lag"),
+        acf(col("num")).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  private val tsAutocorrelationSql =
+    s"""WITH $dailyFixedPointCtes,
+      |st AS (SELECT event_type, day, d4,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    sum(d4) OVER (PARTITION BY event_type) AS tot
+      |  FROM d),
+      |dv AS (SELECT event_type, day, n AS n_days, n * d4 - tot AS dev
+      |       FROM st),
+      |ld AS (SELECT event_type, n_days, dev,
+      |    lead(dev, 1) OVER (PARTITION BY event_type ORDER BY day) AS dl1,
+      |    lead(dev, 7) OVER (PARTITION BY event_type ORDER BY day) AS dl7,
+      |    lead(dev, 14) OVER (PARTITION BY event_type ORDER BY day) AS dl14
+      |  FROM dv),
+      |ag AS (SELECT event_type, max(n_days) AS n_days,
+      |    sum(dev * dev) AS den,
+      |    sum(CASE WHEN dl1 IS NOT NULL THEN dev * dl1 END) AS num1,
+      |    sum(CASE WHEN dl7 IS NOT NULL THEN dev * dl7 END) AS num7,
+      |    sum(CASE WHEN dl14 IS NOT NULL THEN dev * dl14 END) AS num14
+      |  FROM ld GROUP BY event_type)
+      |SELECT event_type, n_days, lag,
+      |  CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS acf
+      |FROM (
+      |  SELECT event_type, n_days, 1::BIGINT AS lag, num1 AS num, den FROM ag
+      |  UNION ALL
+      |  SELECT event_type, n_days, 7::BIGINT, num7, den FROM ag
+      |  UNION ALL
+      |  SELECT event_type, n_days, 14::BIGINT, num14, den FROM ag)
+      |ORDER BY event_type, lag""".stripMargin
+
+  /** URL canonicalization dedup (the CommonCrawl ingest first-pass:
+    * collapse URL variants before any content hash): scheme/host case,
+    * utm_* tracking params, fragments and trailing slashes are normalized
+    * away by a zero-shuffle regexp_replace chain, then one exact groupBy
+    * on the canonical form counts duplicates. The synthetic corpus has no
+    * URL column, so the feed is DERIVED deterministically from doc_id in
+    * BOTH engines (the de-vacuizing pattern) with case/utm/fragment/slash
+    * noise and guaranteed collision pairs (ids 5 apart in one path block).
+    */
+  private def textUrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val url = concat(
+      lit("HTTP://Example-"), pmod(col("doc_id"), lit(5)).cast(StringType),
+      lit(".COM/"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "Docs")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "docs").otherwise("DOCS"),
+      lit("/"), expr("doc_id div 7").cast(StringType),
+      when(pmod(col("doc_id"), lit(2)) === 0, "/").otherwise(""),
+      when(pmod(col("doc_id"), lit(4)) === 0, "?utm_source=feed&utm_campaign=x")
+        .when(pmod(col("doc_id"), lit(4)) === 1, "?ref=home").otherwise(""),
+      when(pmod(col("doc_id"), lit(6)) === 0, "#frag").otherwise(""))
+    val canonical = rtrim(lower(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(url, "#.*$", ""),
+            "[?&]utm_[a-z_]+=[^&#]*", ""),
+          "\\?&", "?"),
+        "\\?$", "")), "/")
+    docs.select(col("doc_id"), url.as("url"), canonical.as("canonical"))
+      .withColumn("n_dup",
+        count(lit(1)).over(Window.partitionBy(col("canonical"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textUrlCanonicalizeSql =
+    """WITH u AS (SELECT doc_id,
+      |  'HTTP://Example-' || CAST(doc_id % 5 AS VARCHAR) || '.COM/' ||
+      |  (CASE doc_id % 3 WHEN 0 THEN 'Docs' WHEN 1 THEN 'docs'
+      |        ELSE 'DOCS' END) ||
+      |  '/' || CAST(doc_id // 7 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+      |        WHEN doc_id % 4 = 1 THEN '?ref=home' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      | FROM documents),
+      |c AS (SELECT doc_id, url,
+      |  rtrim(lower(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(url, '#.*$', ''),
+      |        '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+      |      '\?&', '?'),
+      |    '\?$', '')), '/') AS canonical
+      | FROM u)
+      |SELECT doc_id, url, canonical,
+      |  count(*) OVER (PARTITION BY canonical) AS n_dup
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Source/sink round-trip audit: the corpus is written to a line-based
     * interchange format (JSONL — the raw-corpus format every pretraining
     * ingest speaks — or quoted CSV) and read back with an explicit
@@ -6877,6 +7006,8 @@ object Queries {
     "diag_referential_integrity" -> diagReferentialIntegrity _,
     "ts_changepoint_cusum" -> tsChangepointCusum _,
     "ts_backtest_snaive" -> tsBacktestSnaive _,
+    "ts_autocorrelation" -> tsAutocorrelation _,
+    "text_url_canonicalize" -> textUrlCanonicalize _,
     "graph_node_jaccard" -> graphNodeJaccard _,
     "text_boilerplate_strip" -> textBoilerplateStrip _,
     "sim_hybrid_rrf" -> simHybridRrf _,
@@ -7064,6 +7195,8 @@ object Queries {
     "diag_referential_integrity" -> diagReferentialIntegritySql,
     "ts_changepoint_cusum" -> tsChangepointCusumSql,
     "ts_backtest_snaive" -> tsBacktestSnaiveSql,
+    "ts_autocorrelation" -> tsAutocorrelationSql,
+    "text_url_canonicalize" -> textUrlCanonicalizeSql,
     "graph_node_jaccard" -> graphNodeJaccardSql,
     "text_boilerplate_strip" -> textBoilerplateStripSql,
     "sim_hybrid_rrf" -> simHybridRrfSql,

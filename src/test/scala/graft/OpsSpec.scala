@@ -2873,6 +2873,51 @@ class OpsSpec extends AnyFunSuite {
     assert(lo > 0L && oo > 0L, "planted orphans missing — gate is vacuous")
   }
 
+  test("autocorrelation matches a BigInt driver replay; coefficients bounded") {
+    val daily = graft.streaming.StreamingOps.ewmaDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val out = SparkEntry.queries("ts_autocorrelation")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val h = r.getAs[Long]("lag").toInt
+      val xs = daily.filter(_._1 == et).sortBy(_._2).map(_._3)
+      val n = xs.length
+      val tot = xs.sum
+      val dev = xs.map(x => BigInt(n) * x - tot)
+      val den = dev.map(d => d * d).sum
+      val num = (0 until n - h).map(i => dev(i) * dev(i + h)).sum
+      assert(r.getAs[Long]("n_days") == n.toLong)
+      val acf = num.toString.toDouble / den.toString.toDouble
+      assert(r.getAs[Double]("acf") == acf)
+      assert(math.abs(acf) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("url canonicalization: regex chain lands on the semantic canonical form") {
+    val out = SparkEntry.queries("text_url_canonicalize")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // independent SEMANTIC construction (no regexes): what the
+    // normalization rules are supposed to produce for the derived feed
+    val expectByDoc = out.map { r =>
+      val id = r.getLong(0)
+      val ref = if (id % 4 == 1) "?ref=home" else ""
+      id -> s"http://example-${id % 5}.com/docs/${id / 7}$ref"
+    }.toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getAs[String]("canonical") == expectByDoc(id),
+        s"doc $id: ${r.getAs[String]("canonical")}")
+      assert(r.getAs[String]("url").toLowerCase.startsWith("http://example-"))
+    }
+    val sizes = out.groupBy(_.getAs[String]("canonical")).view.mapValues(_.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dup") == sizes(r.getAs[String]("canonical")).toLong)
+    }
+    assert(out.exists(_.getAs[Long]("n_dup") >= 2L),
+      "no collision clusters — the canonicalization demo is vacuous")
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
