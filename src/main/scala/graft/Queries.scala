@@ -4415,6 +4415,97 @@ object Queries {
       |       ELSE mae_snaive / mae_naive END AS skill
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Gaps-and-islands activity streaks (the retention/engagement streak
+    * metric): per user, consecutive-active-day runs found by the classic
+    * day − row_number island key — one window pass on the users×days
+    * distinct frame, then islands-sized aggregates. Emits each user's
+    * active-day total, streak count, and longest streak (tie → earliest
+    * start); top-50 under a total order. All exact integers.
+    */
+  private def windowStreaks(s: SparkSession, dir: String): DataFrame = {
+    val act = graft.streaming.StreamingOps.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val isl = act.withColumn("rn",
+        row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .withColumn("isl", col("day") - col("rn"))
+    val streaks = isl.groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start"))
+    val per = streaks.groupBy(col("user_id")).agg(
+      sum(col("len")).as("n_active_days"), count(lit(1)).as("n_streaks"))
+    val best = streaks.withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("len").desc, col("start"))))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("len").as("max_streak"),
+        col("start").as("max_streak_start"))
+    per.join(best, "user_id")
+      .orderBy(col("max_streak").desc, col("user_id"))
+      .limit(50)
+  }
+
+  private val windowStreaksSql =
+    """WITH act AS (SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day FROM events),
+      |isl AS (SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+      |  FROM act),
+      |st AS (SELECT user_id, isl, count(*) AS len, min(day) AS start
+      |       FROM isl GROUP BY user_id, isl),
+      |per AS (SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |          count(*) AS n_streaks FROM st GROUP BY user_id),
+      |best AS (SELECT user_id, len AS max_streak, start AS max_streak_start
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY len DESC, start) AS rk FROM st)
+      |  WHERE rk = 1)
+      |SELECT p.user_id, p.n_active_days, p.n_streaks,
+      |  b.max_streak, b.max_streak_start
+      |FROM per p JOIN best b USING (user_id)
+      |ORDER BY b.max_streak DESC, p.user_id
+      |LIMIT 50""".stripMargin
+
+  /** ANALYZE-style per-file column-statistics manifest (the CBO/data-
+    * skipping input every lakehouse engine collects): lineitem rows are
+    * assigned to synthetic files by an md5 ticket (the layout family's
+    * file-simulation device) and each file's stats row carries rowcount,
+    * null count, min/max and exact NDV for the pruning-relevant columns —
+    * ONE map-combined aggregation over the scan, stats rows are
+    * files-sized. At 100 TB this manifest IS what the planner reads
+    * instead of data.
+    */
+  private def layoutColumnStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashOps
+    val li = t(s, dir, "lineitem")
+      .withColumn("file_id", pmod(HashOps.md5Low64(
+        concat(col("l_orderkey").cast(StringType), lit("_"),
+          col("l_linenumber").cast(StringType))), lit(16L)))
+    li.groupBy(col("file_id")).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_shipdate")).as("min_shipdate"),
+        max(col("l_shipdate")).as("max_shipdate"),
+        min(col("l_partkey")).as("min_partkey"),
+        max(col("l_partkey")).as("max_partkey"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        countDistinct(col("l_returnflag")).as("ndv_returnflag"),
+        count(when(col("l_returnflag").isNull, 1)).as("nulls_returnflag"))
+      .orderBy(col("file_id"))
+  }
+
+  private val layoutColumnStatsSql =
+    """WITH f AS (SELECT *,
+      |    ((CASE WHEN h >= 9223372036854775808
+      |           THEN CAST(h - 18446744073709551616 AS BIGINT)
+      |           ELSE CAST(h AS BIGINT) END) % 16 + 16) % 16 AS file_id
+      |  FROM (SELECT *, md5_number_lower(CAST(l_orderkey AS VARCHAR) || '_'
+      |          || CAST(l_linenumber AS VARCHAR)) AS h FROM lineitem))
+      |SELECT file_id, count(*) AS n_rows,
+      |  min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate,
+      |  min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
+      |  count(DISTINCT l_partkey) AS ndv_partkey,
+      |  count(DISTINCT l_returnflag) AS ndv_returnflag,
+      |  count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS nulls_returnflag
+      |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
+
   /** Sample autocorrelation (ACF) at lags 1/7/14 of the per-event-type
     * daily series, oracle-EXACT — the seasonality evidence behind
     * ts_backtest_snaive's lag-7 choice. Mean-centering is cleared of
@@ -7008,6 +7099,8 @@ object Queries {
     "ts_backtest_snaive" -> tsBacktestSnaive _,
     "ts_autocorrelation" -> tsAutocorrelation _,
     "text_url_canonicalize" -> textUrlCanonicalize _,
+    "window_streaks" -> windowStreaks _,
+    "layout_column_stats" -> layoutColumnStats _,
     "graph_node_jaccard" -> graphNodeJaccard _,
     "text_boilerplate_strip" -> textBoilerplateStrip _,
     "sim_hybrid_rrf" -> simHybridRrf _,
@@ -7197,6 +7290,8 @@ object Queries {
     "ts_backtest_snaive" -> tsBacktestSnaiveSql,
     "ts_autocorrelation" -> tsAutocorrelationSql,
     "text_url_canonicalize" -> textUrlCanonicalizeSql,
+    "window_streaks" -> windowStreaksSql,
+    "layout_column_stats" -> layoutColumnStatsSql,
     "graph_node_jaccard" -> graphNodeJaccardSql,
     "text_boilerplate_strip" -> textBoilerplateStripSql,
     "sim_hybrid_rrf" -> simHybridRrfSql,

@@ -879,6 +879,12 @@ object Sketches {
         else merged.count(_ < merged(k - 1))
       (w, days.count(d => d >= w - 6 && d <= w).toLong, cb.toDouble / th)
     }.toDF("day", "window_days", "est")
+    // the ×7 exploded audit shuffle self-sizes from the event count (the
+    // graph_node_jaccard discipline — 70M exploded rows squeezed through
+    // the fixed session width at the 100× decade, e₂ 1.21 before sizing);
+    // HashPartitioning(w, e) satisfies the distinct-aggregate's first
+    // phase, so the countDistinct adds no session-width exchange
+    val parts = math.max(32L, events.count() * 7L / 2000000L).toInt
     val elD = events.select(
       expr("unix_micros(ts) div 86400000000").as("day"),
       concat(col("user_id").cast(StringType), lit("|"),
@@ -888,6 +894,7 @@ object Sketches {
     val exact = elD
       .select(explode(sequence(col("day"), col("day") + 6)).as("w"), col("e"))
       .join(daysDf.withColumnRenamed("day", "w"), Seq("w"), "left_semi")
+      .repartition(parts, col("w"), col("e"))
       .groupBy(col("w")).agg(countDistinct(col("e")).as("exact_distinct"))
     exact.join(broadcast(est), col("w") === col("day"))
       .select(col("day"), col("window_days"), col("exact_distinct"),

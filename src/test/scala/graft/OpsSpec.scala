@@ -2918,6 +2918,61 @@ class OpsSpec extends AnyFunSuite {
       "no collision clusters — the canonicalization demo is vacuous")
   }
 
+  test("activity streaks match a brute gaps-and-islands replay") {
+    val act = graft.streaming.StreamingOps.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = act.groupBy(_._1).map { case (u, rows) =>
+      val days = rows.map(_._2).distinct.sorted
+      // island boundaries where the gap exceeds one day
+      val runs = days.foldLeft(Vector.empty[Vector[Long]]) { (acc, d) =>
+        if (acc.nonEmpty && acc.last.last == d - 1) acc.init :+ (acc.last :+ d)
+        else acc :+ Vector(d)
+      }
+      val best = runs.map(r => (r.length.toLong, r.head))
+        .minBy { case (len, st) => (-len, st) }
+      u -> (days.length.toLong, runs.length.toLong, best._1, best._2)
+    }
+    val got = SparkEntry.queries("window_streaks")(spark, dir).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == expect(u))
+    }
+    // the emitted top-50 really is the top of the total order
+    val gotUsers = got.map(_.getLong(0)).toSet
+    val ranked = expect.toSeq.sortBy { case (u, (_, _, ms, _)) => (-ms, u) }
+      .take(got.length).map(_._1).toSet
+    assert(gotUsers == ranked)
+  }
+
+  test("column-stats manifest matches a driver replay of the file buckets") {
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_partkey"), col("l_returnflag")).collect()
+    val byFile = rows.groupBy { r =>
+      val h = ops.Sketches.md5Low64String(s"${r.getLong(0)}_${r.getInt(1)}")
+      ((h % 16) + 16) % 16
+    }
+    val out = SparkEntry.queries("layout_column_stats")(spark, dir).collect()
+    assert(out.length == byFile.size)
+    out.foreach { r =>
+      val g = byFile(r.getLong(0))
+      assert(r.getAs[Long]("n_rows") == g.length.toLong)
+      assert(r.getAs[Long]("min_partkey") == g.map(_.getLong(3)).min)
+      assert(r.getAs[Long]("max_partkey") == g.map(_.getLong(3)).max)
+      assert(r.getAs[Long]("ndv_partkey") == g.map(_.getLong(3)).distinct.length.toLong)
+      assert(r.getAs[Long]("ndv_returnflag") == g.map(_.getString(4)).distinct.length.toLong)
+      assert(r.getAs[Long]("nulls_returnflag") == 0L)
+      // l_shipdate is TIMESTAMP_NTZ → LocalDateTime on the JVM side
+      val tsOrd = Ordering.fromLessThan[java.time.LocalDateTime](_ isBefore _)
+      def ldt(row: org.apache.spark.sql.Row) =
+        row.getAs[java.time.LocalDateTime](2)
+      assert(r.getAs[java.time.LocalDateTime]("min_shipdate") == g.map(ldt).min(tsOrd))
+      assert(r.getAs[java.time.LocalDateTime]("max_shipdate") == g.map(ldt).max(tsOrd))
+    }
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
