@@ -3379,9 +3379,24 @@ object Queries {
     val vecTop = Similarity.bruteForceTopK(t(s, dir, "embeddings"), 0L, 100)
       .withColumn("vec_rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id"))).cast(LongType))
-      .withColumnRenamed("vec_id", "v_id")
-    textTop.join(vecTop, col("doc_id") === col("v_id"), "full_outer")
-      .select(coalesce(col("doc_id"), col("v_id")).as("doc_id"),
+      .withColumnRenamed("vec_id", "doc_id")
+    // join-free fusion: the two ≤100-row lists union and fold by doc_id
+    // (each side contributes at most one row per doc, so max() just picks
+    // the present value) — no SortMergeJoin materializes for 200 rows
+    val fused = textTop
+      .select(col("doc_id"), col("text_score"), col("text_rank"),
+        lit(null).cast(DoubleType).as("cosine"),
+        lit(null).cast(LongType).as("vec_rank"))
+      .unionByName(vecTop.select(col("doc_id"),
+        lit(null).cast(LongType).as("text_score"),
+        lit(null).cast(LongType).as("text_rank"),
+        col("cosine"), col("vec_rank")))
+      .groupBy(col("doc_id")).agg(
+        max(col("text_score")).as("text_score"),
+        max(col("text_rank")).as("text_rank"),
+        max(col("cosine")).as("cosine"),
+        max(col("vec_rank")).as("vec_rank"))
+    fused.select(col("doc_id"),
         col("text_score"), col("text_rank"), col("cosine"), col("vec_rank"),
         (coalesce(lit(1.0) / (lit(60L) + col("text_rank")).cast(DoubleType),
           lit(0.0)) +
@@ -4414,6 +4429,99 @@ object Queries {
       |  CASE WHEN mae_naive = 0.0 THEN NULL
       |       ELSE mae_snaive / mae_naive END AS skill
       |FROM m ORDER BY event_type""".stripMargin
+
+  /** Numeric BAND join (|x − y| ≤ ε) done scale-correctly — the classic
+    * Spark inequality-join trap: a naive theta join is a nested loop over
+    * the cross product, so instead each build row replicates to its
+    * ε-width bucket ±1 (constant ×3) and candidates come from one plain
+    * equi-join on the bucket; |c−s| ≤ ε ⇒ the buckets differ by ≤1, so
+    * recall is exact by construction and the ε predicate verifies
+    * candidates only. Customers × suppliers within 1.00 of account
+    * balance; top-20 closest under a total order plus the total pair
+    * count attached as a 1-row broadcast scalar (the graph_triangles
+    * device).
+    */
+  private def joinBandBalance(s: SparkSession, dir: String): DataFrame = {
+    // ε = 10.00: non-vacuous at every dir incl. sf0.001 (ε = 1 matches
+    // zero pairs there and the invariant test would assert on nothing)
+    val eps = 10.0
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("b", floor(col("c_acctbal") / eps).cast(LongType))
+    val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+      .select(col("s_suppkey"), col("s_acctbal"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+      .withColumn("b",
+        floor(col("s_acctbal") / eps).cast(LongType) + col("off"))
+    val pairs = cust.join(supp, "b")
+      .where(abs(col("c_acctbal") - col("s_acctbal")) <= eps)
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("c_acctbal"), col("s_acctbal"),
+        abs(col("c_acctbal") - col("s_acctbal")).as("diff"))
+    val total = pairs.agg(count(lit(1)).as("total_band_pairs"))
+    pairs.orderBy(col("diff"), col("c_custkey"), col("s_suppkey"))
+      .limit(20)
+      .crossJoin(broadcast(total))
+      .orderBy(col("diff"), col("c_custkey"), col("s_suppkey"))
+  }
+
+  private val joinBandBalanceSql =
+    """WITH p AS (
+      |  SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal,
+      |    abs(c.c_acctbal - s.s_acctbal) AS diff
+      |  FROM customer c JOIN supplier s
+      |    ON abs(c.c_acctbal - s.s_acctbal) <= 10.0),
+      |t AS (SELECT count(*) AS total_band_pairs FROM p)
+      |SELECT p.c_custkey, p.s_suppkey, p.c_acctbal, p.s_acctbal, p.diff,
+      |  t.total_band_pairs
+      |FROM p, t
+      |ORDER BY p.diff, p.c_custkey, p.s_suppkey
+      |LIMIT 20""".stripMargin
+
+  /** Frame-level dedup across the multimodal payload column (the
+    * "same clip re-uploaded" detector — dedup_substring_windows applied
+    * to BINARY frames): payloads split into aligned 32-byte frames, each
+    * frame md5-keyed, cross-document frame frequency counted; frames in
+    * ≥2 documents surface. A constant promo payload substituted into
+    * every 20th document plants guaranteed duplicate frames
+    * (de-vacuizing — organic cross-doc frame alignment is rare). One
+    * explode + one map-combined groupBy; shuffle carries 32-char hashes,
+    * never payload bytes.
+    */
+  private def multimodalFrameDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(20)) === 0,
+        expr("repeat('promo frame xyz ', 8)")).otherwise(col("text"))
+        .as("payload"))
+    val media = planted.select(col("doc_id"),
+        encode(col("payload"), "UTF-8").as("media"))
+      .where(length(col("media")) >= 32)
+    val frames = media.select(col("doc_id"),
+      explode(expr("transform(sequence(0L, (length(media) div 32) - 1), " +
+        "i -> md5(substring(media, cast(i*32+1 as int), 32)))")).as("h"))
+    frames.groupBy(col("h").as("frame_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("frame_hash"))
+  }
+
+  private val multimodalFrameDedupSql =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 20 = 0 THEN repeat('promo frame xyz ', 8)
+      |         ELSE text END AS payload
+      |  FROM documents),
+      |f AS (SELECT doc_id, payload FROM p WHERE strlen(payload) >= 32),
+      |fr AS (SELECT doc_id,
+      |    md5(substr(payload, CAST(i*32+1 AS INT), 32)) AS h
+      |  FROM (SELECT doc_id, payload,
+      |          unnest(range(0, strlen(payload) // 32)) AS i FROM f))
+      |SELECT h AS frame_hash, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_occurrences,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM fr GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY frame_hash""".stripMargin
 
   /** Gaps-and-islands activity streaks (the retention/engagement streak
     * metric): per user, consecutive-active-day runs found by the classic
@@ -7101,6 +7209,8 @@ object Queries {
     "text_url_canonicalize" -> textUrlCanonicalize _,
     "window_streaks" -> windowStreaks _,
     "layout_column_stats" -> layoutColumnStats _,
+    "join_band_balance" -> joinBandBalance _,
+    "multimodal_frame_dedup" -> multimodalFrameDedup _,
     "graph_node_jaccard" -> graphNodeJaccard _,
     "text_boilerplate_strip" -> textBoilerplateStrip _,
     "sim_hybrid_rrf" -> simHybridRrf _,
@@ -7292,6 +7402,8 @@ object Queries {
     "text_url_canonicalize" -> textUrlCanonicalizeSql,
     "window_streaks" -> windowStreaksSql,
     "layout_column_stats" -> layoutColumnStatsSql,
+    "join_band_balance" -> joinBandBalanceSql,
+    "multimodal_frame_dedup" -> multimodalFrameDedupSql,
     "graph_node_jaccard" -> graphNodeJaccardSql,
     "text_boilerplate_strip" -> textBoilerplateStripSql,
     "sim_hybrid_rrf" -> simHybridRrfSql,

@@ -2973,6 +2973,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("band join matches the brute inequality join exactly (recall by construction)") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = for {
+      (ck, cb) <- cust; (sk, sb) <- supp
+      if math.abs(cb - sb) <= 10.0
+    } yield (ck, sk, cb, sb, math.abs(cb - sb))
+    val expect = brute.sortBy { case (ck, sk, _, _, d) => (d, ck, sk) }.take(20)
+    val got = SparkEntry.queries("join_band_balance")(spark, dir).collect()
+    assert(got.nonEmpty, "no band pairs at sf0.001 — vacuous")
+    got.zip(expect).foreach { case (r, (ck, sk, cb, sb, d)) =>
+      assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)) == ((ck, sk, cb, sb, d)))
+      assert(r.getAs[Long]("total_band_pairs") == brute.length.toLong)
+    }
+  }
+
+  test("frame dedup: planted promo frames found with full cross-doc incidence") {
+    val planted = docs.select(col("doc_id")).collect().map(_.getLong(0))
+      .count(_ % 20 == 0)
+    val promo = "promo frame xyz " * 8
+    val promoHashes = (0 until promo.length / 32).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(promo.substring(i * 32, i * 32 + 32).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toSet
+    val out = SparkEntry.queries("multimodal_frame_dedup")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(promoHashes.nonEmpty && planted >= 2)
+    promoHashes.foreach { h =>
+      val (nd, occ) = out.getOrElse(h, fail(s"planted promo frame $h missing"))
+      assert(nd == planted.toLong)
+      assert(occ >= nd)
+    }
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())

@@ -42,6 +42,27 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("r6 session-3 operators stay equi-join only (streaks, stats, dedup, graph)") {
+    for (name <- Seq("graph_node_jaccard", "text_boilerplate_strip",
+        "text_url_canonicalize", "window_streaks", "layout_column_stats",
+        "sketch_window_distinct", "ts_changepoint_cusum",
+        "ts_backtest_snaive", "ts_autocorrelation")) {
+      val p = plan(name)
+      forbidden.foreach(op =>
+        assert(!p.contains(op), s"$name plan contains $op:\n${p.take(1200)}"))
+    }
+  }
+
+  test("hybrid rrf truncates both lists with distributed TakeOrdered, join-free fusion") {
+    val p = plan("sim_hybrid_rrf")
+    // both top-100 lists must be TakeOrdered (per-shard heads + driver
+    // merge), never a full Sort feeding a Limit
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // fusion is a union + 200-row groupBy — no join of any kind
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("ShuffledHashJoin"), p.take(1500))
+  }
+
   test("range agg sweep: pair-free — no join on the fact side, bucket prefix broadcast") {
     val p = plan("join_range_agg")
     forbidden.foreach(op =>
