@@ -4440,6 +4440,13 @@ object Queries {
     * balance; top-20 closest under a total order plus the total pair
     * count attached as a 1-row broadcast scalar (the graph_triangles
     * device).
+    *
+    * Scale note (the join_range_events_windows data-geometry caveat):
+    * the CANDIDATE/pair count is Θ(n_c · n_s · ε/range) for ANY engine —
+    * gen_scaled keeps the balance range fixed, so copy-scaled dirs raise
+    * pair density quadratically (measured e₂ ≈ 1.08 at 100×). On real
+    * data the entity ranges extend with volume and the bucket join stays
+    * linear in candidates; ε/bucket width is the knob.
     */
   private def joinBandBalance(s: SparkSession, dir: String): DataFrame = {
     // ε = 10.00: non-vacuous at every dir incl. sf0.001 (ε = 1 matches
