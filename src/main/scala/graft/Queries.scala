@@ -4430,6 +4430,78 @@ object Queries {
       |       ELSE mae_snaive / mae_naive END AS skill
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Deterministic global SHUFFLE-AND-SHARD (the last step of every
+    * pretraining data pipeline: randomize document order, split into
+    * balanced output shards): shuffle key = md5("shuf|doc_id") — a
+    * pseudo-random permutation that is reproducible, resumable and
+    * cross-engine replayable where a seed-based RNG is not; shard =
+    * pmod(key, 8); within-shard order = key order. At scale this is
+    * repartition on the shard + in-partition sort by key, one shuffle.
+    * The emitted surface pins the properties training cares about:
+    * per-shard counts and exact token mass (balance), the first three
+    * documents in shuffle order (the ORDER is the product), an
+    * order-independent DECIMAL checksum (bijection evidence), and a
+    * uniformity boolean (max/min shard size ≤ 1.5 — deterministic on
+    * fixed data, a hash-quality regression flips it).
+    */
+  private def pipelineShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashOps
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        HashOps.md5Low64(concat(lit("shuf|"), col("doc_id").cast(StringType)))
+          .as("k"))
+      .withColumn("shard", pmod(col("k"), lit(8L)))
+      .withColumn("n_tokens", size(split(trim(lower(col("text"))), "\\s+"))
+        .cast(LongType))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val ranked = docs.withColumn("rk", row_number().over(w))
+    val perShard = ranked.groupBy(col("shard")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      // decimal sum → STRING → DOUBLE (the correctly-rounded-parse route;
+      // a decimal column itself dtype-mismatches the DuckDB replay)
+      sum(col("k").cast(DecimalType(38, 0))).cast(StringType)
+        .cast(DoubleType).as("key_checksum"),
+      concat_ws(",", sort_array(collect_list(
+        when(col("rk") <= 3, struct(col("rk").as("r"), col("doc_id").as("d")))))
+        .getField("d").cast("array<string>")).as("head_docs"))
+    val bal = perShard.agg(
+      max(col("n_docs")).as("mx"), min(col("n_docs")).as("mn"))
+    perShard.crossJoin(broadcast(bal))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("key_checksum"), col("head_docs"),
+        (col("mx").cast(DoubleType) / col("mn").cast(DoubleType) <= 1.5)
+          .as("balanced"))
+      .orderBy(col("shard"))
+  }
+
+  private val pipelineShardShuffleSql =
+    """WITH d AS (SELECT doc_id, text,
+      |    (CASE WHEN hm >= 9223372036854775808
+      |          THEN CAST(hm - 18446744073709551616 AS BIGINT)
+      |          ELSE CAST(hm AS BIGINT) END) AS k
+      |  FROM (SELECT doc_id, text,
+      |          md5_number_lower('shuf|' || CAST(doc_id AS VARCHAR)) AS hm
+      |        FROM documents)),
+      |sh AS (SELECT doc_id, k, ((k % 8) + 8) % 8 AS shard,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM d),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY shard
+      |         ORDER BY k, doc_id) AS rk FROM sh),
+      |per AS (SELECT shard, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(CAST(sum(CAST(k AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+      |      AS key_checksum,
+      |    string_agg(CASE WHEN rk <= 3 THEN CAST(doc_id AS VARCHAR) END,
+      |      ',' ORDER BY rk) AS head_docs
+      |  FROM rk GROUP BY shard),
+      |bal AS (SELECT max(n_docs) AS mx, min(n_docs) AS mn FROM per)
+      |SELECT p.shard, p.n_docs, p.total_tokens,
+      |  p.key_checksum, p.head_docs,
+      |  CAST(bal.mx AS DOUBLE) / CAST(bal.mn AS DOUBLE) <= 1.5 AS balanced
+      |FROM per p, bal ORDER BY p.shard""".stripMargin
+
   /** Numeric BAND join (|x − y| ≤ ε) done scale-correctly — the classic
     * Spark inequality-join trap: a naive theta join is a nested loop over
     * the cross product, so instead each build row replicates to its
@@ -7218,6 +7290,7 @@ object Queries {
     "layout_column_stats" -> layoutColumnStats _,
     "join_band_balance" -> joinBandBalance _,
     "multimodal_frame_dedup" -> multimodalFrameDedup _,
+    "pipeline_shard_shuffle" -> pipelineShardShuffle _,
     "graph_node_jaccard" -> graphNodeJaccard _,
     "text_boilerplate_strip" -> textBoilerplateStrip _,
     "sim_hybrid_rrf" -> simHybridRrf _,
@@ -7411,6 +7484,7 @@ object Queries {
     "layout_column_stats" -> layoutColumnStatsSql,
     "join_band_balance" -> joinBandBalanceSql,
     "multimodal_frame_dedup" -> multimodalFrameDedupSql,
+    "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
     "graph_node_jaccard" -> graphNodeJaccardSql,
     "text_boilerplate_strip" -> textBoilerplateStripSql,
     "sim_hybrid_rrf" -> simHybridRrfSql,

@@ -3013,6 +3013,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shard shuffle is a reproducible bijection with balanced shards") {
+    val ids = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keyed = ids.map { case (id, text) =>
+      val k = ops.Sketches.md5Low64String(s"shuf|$id")
+      (id, k, ((k % 8) + 8) % 8, text.trim.toLowerCase.split("\\s+").length.toLong)
+    }
+    val byShard = keyed.groupBy(_._3)
+    val out = SparkEntry.queries("pipeline_shard_shuffle")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == ids.length.toLong,
+      "shards do not partition the corpus — not a bijection")
+    out.foreach { r =>
+      val g = byShard(r.getLong(0))
+      assert(r.getAs[Long]("n_docs") == g.length.toLong)
+      assert(r.getAs[Long]("total_tokens") == g.map(_._4).sum)
+      assert(r.getAs[Double]("key_checksum") ==
+        g.map(x => BigInt(x._2)).sum.toString.toDouble)
+      val head = g.sortBy(x => (x._2, x._1)).take(3).map(_._1).mkString(",")
+      assert(r.getAs[String]("head_docs") == head)
+      assert(r.getAs[Boolean]("balanced"))
+    }
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
