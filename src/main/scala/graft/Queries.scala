@@ -1938,9 +1938,13 @@ object Queries {
     // (GC-pressure at the 100x decade under 32 partitions)
     val nLi = t(s, dir, "lineitem").count()
     val parts = math.max(32L, nLi / 500000L).toInt
+    // repartition BEFORE distinct: HashPartitioning(ok) is a subset of the
+    // distinct's (ok, pk) clustering, so the dedup runs at `parts` width
+    // with no extra exchange (review r6-s3) and stays sized for the join
     val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pk")).distinct()
+      col("l_partkey").as("pk"))
       .repartition(parts, col("ok"))
+      .distinct()
     val co = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       // HashPartitioning on u (a subset of the grouping keys) satisfies the
@@ -4508,7 +4512,7 @@ object Queries {
     * ε-width bucket ±1 (constant ×3) and candidates come from one plain
     * equi-join on the bucket; |c−s| ≤ ε ⇒ the buckets differ by ≤1, so
     * recall is exact by construction and the ε predicate verifies
-    * candidates only. Customers × suppliers within 1.00 of account
+    * candidates only. Customers × suppliers within 10.00 of account
     * balance; top-20 closest under a total order plus the total pair
     * count attached as a 1-row broadcast scalar (the graph_triangles
     * device).
@@ -4564,7 +4568,10 @@ object Queries {
     * every 20th document plants guaranteed duplicate frames
     * (de-vacuizing — organic cross-doc frame alignment is rare). One
     * explode + one map-combined groupBy; shuffle carries 32-char hashes,
-    * never payload bytes.
+    * never payload bytes. Frames are fixed-width slices of the DECODED
+    * payload (the stand-in is text, and DuckDB has no byte-addressed BLOB
+    * substr, so both engines frame CHARACTERS — with a real binary codec
+    * the same plan frames byte ranges instead).
     */
   private def multimodalFrameDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -4572,12 +4579,11 @@ object Queries {
       when(pmod(col("doc_id"), lit(20)) === 0,
         expr("repeat('promo frame xyz ', 8)")).otherwise(col("text"))
         .as("payload"))
-    val media = planted.select(col("doc_id"),
-        encode(col("payload"), "UTF-8").as("media"))
-      .where(length(col("media")) >= 32)
+    val media = planted.where(length(col("payload")) >= 32)
     val frames = media.select(col("doc_id"),
-      explode(expr("transform(sequence(0L, (length(media) div 32) - 1), " +
-        "i -> md5(substring(media, cast(i*32+1 as int), 32)))")).as("h"))
+      explode(expr("transform(sequence(0L, (length(payload) div 32) - 1), " +
+        "i -> md5(encode(substring(payload, cast(i*32+1 as int), 32), " +
+        "'UTF-8')))")).as("h"))
     frames.groupBy(col("h").as("frame_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
@@ -4591,11 +4597,11 @@ object Queries {
       |    CASE WHEN doc_id % 20 = 0 THEN repeat('promo frame xyz ', 8)
       |         ELSE text END AS payload
       |  FROM documents),
-      |f AS (SELECT doc_id, payload FROM p WHERE strlen(payload) >= 32),
+      |f AS (SELECT doc_id, payload FROM p WHERE length(payload) >= 32),
       |fr AS (SELECT doc_id,
       |    md5(substr(payload, CAST(i*32+1 AS INT), 32)) AS h
       |  FROM (SELECT doc_id, payload,
-      |          unnest(range(0, strlen(payload) // 32)) AS i FROM f))
+      |          unnest(range(0, length(payload) // 32)) AS i FROM f))
       |SELECT h AS frame_hash, count(DISTINCT doc_id) AS n_docs,
       |  count(*) AS n_occurrences,
       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
@@ -5912,37 +5918,46 @@ object Queries {
       |r AS (SELECT t, hv,
       |        row_number() OVER (PARTITION BY t ORDER BY hv) AS rn FROM hd),
       |sk AS (SELECT t, hv, rn FROM r WHERE rn <= 1024),
-      |kth AS (SELECT t, max(CASE WHEN rn = 1024 THEN hv END) AS kth
-      |        FROM sk GROUP BY t),
-      |th AS (SELECT kth.t, kth.kth,
-      |    CASE WHEN kth.kth IS NULL THEN 1.0
-      |         ELSE (CAST(kth.kth AS DOUBLE) + 9223372036854775808.0)
-      |                / 18446744073709551616.0 END AS theta FROM kth),
+      |types(t) AS (VALUES ('click'), ('purchase'), ('view')),
+      |kth0 AS (SELECT t, max(CASE WHEN rn = 1024 THEN hv END) AS kth
+      |         FROM sk GROUP BY t),
+      |-- static type spine + LEFT JOINs: a type with an EMPTY set (possible
+      |-- on a regenerated drop) must still yield its rows, matching the
+      |-- Spark side's getOrElse(empty-array) semantics (review r6-s3)
+      |th AS (SELECT ty.t, k.kth,
+      |    CASE WHEN k.kth IS NULL THEN 1.0
+      |         ELSE (CAST(k.kth AS DOUBLE) + 9223372036854775808.0)
+      |                / 18446744073709551616.0 END AS theta
+      |  FROM types ty LEFT JOIN kth0 k ON k.t = ty.t),
       |ea AS (SELECT s.t, count(*) AS cb FROM sk s JOIN th ON th.t = s.t
       |       WHERE th.kth IS NULL OR s.hv < th.kth GROUP BY s.t),
-      |est1 AS (SELECT th.t, CAST(ea.cb AS DOUBLE) / th.theta AS est
-      |         FROM th JOIN ea ON ea.t = th.t),
+      |est1 AS (SELECT th.t, CAST(COALESCE(ea.cb, 0) AS DOUBLE) / th.theta
+      |           AS est
+      |         FROM th LEFT JOIN ea ON ea.t = th.t),
       |p(pair, a, b) AS (VALUES ('click_purchase','click','purchase'),
       |                         ('view_click','view','click'),
       |                         ('view_purchase','view','purchase')),
       |thr AS (SELECT p.pair, p.a, p.b,
-      |    CASE WHEN ka.kth IS NULL AND kb.kth IS NULL THEN NULL
-      |         WHEN ka.kth IS NULL THEN kb.kth
-      |         WHEN kb.kth IS NULL THEN ka.kth
-      |         ELSE least(ka.kth, kb.kth) END AS thrmin,
+      |    CASE WHEN ta.kth IS NULL AND tb.kth IS NULL THEN NULL
+      |         WHEN ta.kth IS NULL THEN tb.kth
+      |         WHEN tb.kth IS NULL THEN ta.kth
+      |         ELSE least(ta.kth, tb.kth) END AS thrmin,
       |    least(ta.theta, tb.theta) AS thetamin
-      |  FROM p JOIN th ta ON ta.t = p.a JOIN th tb ON tb.t = p.b
-      |         JOIN kth ka ON ka.t = p.a JOIN kth kb ON kb.t = p.b),
-      |ic AS (SELECT thr.pair, count(*) AS icnt
+      |  FROM p JOIN th ta ON ta.t = p.a JOIN th tb ON tb.t = p.b),
+      |ic0 AS (SELECT thr.pair, count(*) AS icnt
       |  FROM thr JOIN sk sa ON sa.t = thr.a
       |           JOIN sk sb ON sb.t = thr.b AND sb.hv = sa.hv
       |  WHERE thr.thrmin IS NULL OR sa.hv < thr.thrmin GROUP BY thr.pair),
-      |uc AS (SELECT pair, count(DISTINCT hv) AS ucnt FROM (
+      |ic AS (SELECT p.pair, COALESCE(ic0.icnt, 0) AS icnt
+      |       FROM p LEFT JOIN ic0 ON ic0.pair = p.pair),
+      |uc0 AS (SELECT pair, count(DISTINCT hv) AS ucnt FROM (
       |    SELECT thr.pair, sa.hv FROM thr JOIN sk sa ON sa.t = thr.a
       |      WHERE thr.thrmin IS NULL OR sa.hv < thr.thrmin
       |    UNION ALL
       |    SELECT thr.pair, sb.hv FROM thr JOIN sk sb ON sb.t = thr.b
       |      WHERE thr.thrmin IS NULL OR sb.hv < thr.thrmin) GROUP BY pair),
+      |uc AS (SELECT p.pair, COALESCE(uc0.ucnt, 0) AS ucnt
+      |       FROM p LEFT JOIN uc0 ON uc0.pair = p.pair),
       |fl AS (SELECT e,
       |    max(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS fv,
       |    max(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS fc,

@@ -757,11 +757,25 @@ object Sketches {
     * agg) exists to GRADE the sketch at test scale; at 100 TB only the
     * sketch passes run and the answer is the 3-row frame.
     */
+  /** KMV θ normalization shared by every theta-sketch consumer: 1.0 for a
+    * non-full sketch (the sketch IS the set), else the k-th smallest hash
+    * mapped to (0, 1] — both divisions on exactly-representable powers of
+    * two, so the double replays in SQL. ONE definition; the set-algebra
+    * and window-rollup oracles both depend on it staying bit-identical.
+    */
+  private[graft] def kmvTheta(arr: Array[Long], k: Int): Double =
+    if (arr.length < k) 1.0
+    else (arr(k - 1).toDouble + 9.223372036854775808e18) /
+      1.8446744073709552e19
+
   def setIntersectionWith(
       events: DataFrame, sk: Map[String, Array[Long]]): DataFrame = {
     val spark = events.sparkSession
     val k = setAlgebraK
-    val flags = setElements(events).distinct()
+    // events-scale distinct sized by the repartition-before-distinct rule:
+    // HashPartitioning(e) is a subset of the (t, e) clustering
+    val parts = math.max(32L, events.count() / 2000000L).toInt
+    val flags = setElements(events).repartition(parts, col("e")).distinct()
       .groupBy(col("e")).agg(
         max(when(col("t") === "view", 1).otherwise(0)).as("fv"),
         max(when(col("t") === "click", 1).otherwise(0)).as("fc"),
@@ -777,10 +791,7 @@ object Sketches {
       count(when(col(fa) === 1 || col(fb) === 1, 1)).as(s"u_$p")) }
     val ex = flags.agg(aggCols.head, aggCols.tail: _*).collect()(0)
 
-    def theta(arr: Array[Long]): Double =
-      if (arr.length < k) 1.0
-      else (arr(k - 1).toDouble + 9.223372036854775808e18) /
-        1.8446744073709552e19
+    def theta(arr: Array[Long]): Double = kmvTheta(arr, k)
     def kth(arr: Array[Long]): Option[Long] =
       if (arr.length < k) None else Some(arr(k - 1))
     def below(arr: Array[Long], thr: Option[Long]): Array[Long] =
@@ -849,12 +860,6 @@ object Sketches {
       .collect().map { case (d, arr) => d.toLong -> arr }.toMap
   }
 
-  /** Output row of [[windowDistinctWith]]'s driver half. */
-  private def wdTheta(arr: Array[Long], k: Int): Double =
-    if (arr.length < k) 1.0
-    else (arr(k - 1).toDouble + 9.223372036854775808e18) /
-      1.8446744073709552e19
-
   /** Trailing-7-day distinct-activity estimates from the per-day sketches,
     * audited against the exact distributed answer. For each observed day,
     * the window sketch is the KMV merge of that day's and the previous six
@@ -874,7 +879,7 @@ object Sketches {
     val est = days.map { w =>
       val merged = days.filter(d => d >= w - 6 && d <= w)
         .map(byDay).reduce(kmv.merge)
-      val th = wdTheta(merged, k)
+      val th = kmvTheta(merged, k)
       val cb = if (merged.length < k) merged.length
         else merged.count(_ < merged(k - 1))
       (w, days.count(d => d >= w - 6 && d <= w).toLong, cb.toDouble / th)
@@ -889,6 +894,8 @@ object Sketches {
       expr("unix_micros(ts) div 86400000000").as("day"),
       concat(col("user_id").cast(StringType), lit("|"),
         expr("unix_micros(ts) div 3600000000").cast(StringType)).as("e"))
+      // sized dedup: HashPartitioning(e) ⊂ the (day, e) clustering
+      .repartition(parts, col("e"))
       .distinct()
     val daysDf = elD.select(col("day")).distinct()
     val exact = elD

@@ -2132,9 +2132,54 @@ object StreamingOps {
     * longs per set on the driver, nothing else; chunking is free to follow
     * staging parallelism (the stageParts discipline).
     */
+  /** ONE definition of the keyed-KMV-map driver fold shared by
+    * streamSetIntersection and streamWindowDistinct (review r6-s3: the
+    * codec/merge plumbing must not exist twice — a serialization or merge
+    * change applied to one copy would silently desync the other).
+    * Folds a staged (keyCol, "e") element frame into Map[key → k-minimums].
+    */
+  private def kmvMapFoldRun(
+      spark: SparkSession, srcDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      filesPerTrigger: Int, keyCol: String,
+      k: Int): (Map[String, Array[Long]], Int) = {
+    val kmv = new graft.ops.KMinValues(k)
+    driverFoldRun[Map[String, Array[Long]]](
+      spark, srcDir, schema, None, filesPerTrigger,
+      zero = Map.empty,
+      foldBatch = { b =>
+        val session = b.sparkSession
+        import session.implicits._
+        b.select(col(keyCol), col("e")).as[(String, String)]
+          .groupByKey(_._1)
+          .agg(kmv.toColumn.name("kmv"))
+          .collect().toMap
+      },
+      merge = (a, p) => a ++ p.map { case (key, arr) =>
+        key -> a.get(key).map(x => kmv.merge(x, arr)).getOrElse(arr)
+      },
+      save = (out, s) => {
+        val entries = s.toSeq.sortBy(_._1)
+        out.writeInt(entries.size)
+        entries.foreach { case (key, arr) =>
+          out.writeUTF(key)
+          out.writeInt(arr.length)
+          arr.foreach(out.writeLong)
+        }
+      },
+      load = in => {
+        val n = in.readInt()
+        (0 until n).map { _ =>
+          val key = in.readUTF()
+          val m = in.readInt()
+          key -> Array.fill(m)(in.readLong())
+        }.toMap
+      })
+  }
+
   def streamSetIntersection(outer: SparkSession, dir: String): DataFrame =
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
-      import graft.ops.{KMinValues, Sketches}
+      import graft.ops.Sketches
       val ev = events(spark, dir)
       val el = Sketches.setElements(ev).persist()
       val nEl = el.count()
@@ -2142,38 +2187,8 @@ object StreamingOps {
       val tmp = stagedCorpus(dir, "setalg") { t =>
         stageParts(el, t, "chunk", nChunks, col("e"))
       }
-      val kmv = new KMinValues(Sketches.setAlgebraK)
-      val (acc, nSeen) = driverFoldRun[Map[String, Array[Long]]](
-        spark, tmp, el.schema, None, math.max(1, nChunks / 3),
-        zero = Map.empty,
-        foldBatch = { b =>
-          val session = b.sparkSession
-          import session.implicits._
-          b.select(col("t"), col("e")).as[(String, String)]
-            .groupByKey(_._1)
-            .agg(kmv.toColumn.name("kmv"))
-            .collect().toMap
-        },
-        merge = (a, p) => a ++ p.map { case (t, arr) =>
-          t -> a.get(t).map(x => kmv.merge(x, arr)).getOrElse(arr)
-        },
-        save = (out, s) => {
-          val entries = s.toSeq.sortBy(_._1)
-          out.writeInt(entries.size)
-          entries.foreach { case (key, arr) =>
-            out.writeUTF(key)
-            out.writeInt(arr.length)
-            arr.foreach(out.writeLong)
-          }
-        },
-        load = in => {
-          val n = in.readInt()
-          (0 until n).map { _ =>
-            val key = in.readUTF()
-            val m = in.readInt()
-            key -> Array.fill(m)(in.readLong())
-          }.toMap
-        })
+      val (acc, nSeen) = kmvMapFoldRun(spark, tmp, el.schema,
+        math.max(1, nChunks / 3), "t", Sketches.setAlgebraK)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       val out = Sketches.setIntersectionWith(ev, acc)
@@ -2193,7 +2208,7 @@ object StreamingOps {
     */
   def streamWindowDistinct(outer: SparkSession, dir: String): DataFrame =
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
-      import graft.ops.{KMinValues, Sketches}
+      import graft.ops.Sketches
       val ev = events(spark, dir)
       val el = Sketches.activityElements(ev).persist()
       val nEl = el.count()
@@ -2201,38 +2216,8 @@ object StreamingOps {
       val tmp = stagedCorpus(dir, "windist") { t =>
         stageParts(el, t, "chunk", nChunks, col("e"))
       }
-      val kmv = new KMinValues(256)
-      val (acc, nSeen) = driverFoldRun[Map[String, Array[Long]]](
-        spark, tmp, el.schema, None, math.max(1, nChunks / 3),
-        zero = Map.empty,
-        foldBatch = { b =>
-          val session = b.sparkSession
-          import session.implicits._
-          b.select(col("d"), col("e")).as[(String, String)]
-            .groupByKey(_._1)
-            .agg(kmv.toColumn.name("kmv"))
-            .collect().toMap
-        },
-        merge = (a, p) => a ++ p.map { case (d, arr) =>
-          d -> a.get(d).map(x => kmv.merge(x, arr)).getOrElse(arr)
-        },
-        save = (out, s) => {
-          val entries = s.toSeq.sortBy(_._1)
-          out.writeInt(entries.size)
-          entries.foreach { case (key, arr) =>
-            out.writeUTF(key)
-            out.writeInt(arr.length)
-            arr.foreach(out.writeLong)
-          }
-        },
-        load = in => {
-          val n = in.readInt()
-          (0 until n).map { _ =>
-            val key = in.readUTF()
-            val m = in.readInt()
-            key -> Array.fill(m)(in.readLong())
-          }.toMap
-        })
+      val (acc, nSeen) = kmvMapFoldRun(spark, tmp, el.schema,
+        math.max(1, nChunks / 3), "d", 256)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       val out = Sketches.windowDistinctWith(ev,
