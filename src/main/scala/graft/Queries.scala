@@ -4434,6 +4434,64 @@ object Queries {
       |       ELSE mae_snaive / mae_naive END AS skill
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** Robust outlier detection by median absolute deviation — the
+    * robust-statistics companion of window_anomaly_zscore (a z-score's
+    * mean/std are themselves dragged by the outliers they hunt; the
+    * median/MAD pair is 50%-breakdown robust). Oracle-EXACT with no
+    * doubles in the DECISION path: on the exact fixed-point daily frame,
+    * med = the order statistic at rank ⌈n/2⌉ under the (value, day) total
+    * order, mad = the same statistic of |x − med|, and the flag is the
+    * pure integer comparison |x − med| > 10·mad. Emitted values round
+    * once through the string route. Two window passes on the groups-sized
+    * daily frame.
+    */
+  private def tsMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.streaming.StreamingOps.ewmaDaily(s, dir)
+    val wAll = Window.partitionBy(col("event_type"))
+    val r1 = Window.partitionBy(col("event_type")).orderBy(col("d4"), col("day"))
+    val withMed = daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(r1))
+      .withColumn("med", max(when(col("rn") === expr("(n + 1) div 2"),
+        col("d4"))).over(wAll))
+      .withColumn("dev", abs(col("d4") - col("med")))
+    val r2 = Window.partitionBy(col("event_type")).orderBy(col("dev"), col("day"))
+    val withMad = withMed
+      .withColumn("rn2", row_number().over(r2))
+      .withColumn("mad", max(when(col("rn2") === expr("(n + 1) div 2"),
+        col("dev"))).over(wAll))
+    def d4ToDouble(c: Column): Column =
+      c.cast(StringType).cast(DoubleType) / 10000.0
+    withMad.select(col("event_type"), col("day"),
+        d4ToDouble(col("d4")).as("daily_value"),
+        d4ToDouble(col("med")).as("median"),
+        d4ToDouble(col("mad")).as("mad"),
+        (col("dev") > col("mad") * 10).as("is_outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val tsMadOutliersSql =
+    s"""WITH $dailyFixedPointCtes,
+      |st AS (SELECT event_type, day, d4,
+      |    count(*) OVER (PARTITION BY event_type) AS n,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY d4, day) AS rn
+      |  FROM d),
+      |m AS (SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN d4 END)
+      |        OVER (PARTITION BY event_type) AS med FROM st),
+      |dv AS (SELECT *, abs(d4 - med) AS dev,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY abs(d4 - med), day) AS rn2
+      |  FROM m),
+      |md AS (SELECT *, max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+      |        OVER (PARTITION BY event_type) AS mad FROM dv)
+      |SELECT event_type, day,
+      |  CAST(CAST(d4 AS VARCHAR) AS DOUBLE) / 10000.0 AS daily_value,
+      |  CAST(CAST(med AS VARCHAR) AS DOUBLE) / 10000.0 AS median,
+      |  CAST(CAST(mad AS VARCHAR) AS DOUBLE) / 10000.0 AS mad,
+      |  dev > mad * 10 AS is_outlier
+      |FROM md ORDER BY event_type, day""".stripMargin
+
   /** Deterministic global SHUFFLE-AND-SHARD (the last step of every
     * pretraining data pipeline: randomize document order, split into
     * balanced output shards): shuffle key = md5("shuf|doc_id") — a
@@ -4448,15 +4506,22 @@ object Queries {
     * uniformity boolean (max/min shard size ≤ 1.5 — deterministic on
     * fixed data, a hash-quality regression flips it).
     */
-  private def pipelineShardShuffle(s: SparkSession, dir: String): DataFrame = {
+  /** ONE derivation of the shuffle key / shard / token mass per document —
+    * shared by the batch query and stream_shard_shuffle (same-oracle pairs
+    * share their derivation, the ewmaDaily discipline).
+    */
+  private[graft] def shardShuffleElements(docs: DataFrame): DataFrame = {
     import graft.functions.HashOps
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
+    docs.select(col("doc_id"),
         HashOps.md5Low64(concat(lit("shuf|"), col("doc_id").cast(StringType)))
-          .as("k"))
+          .as("k"),
+        size(split(trim(lower(col("text"))), "\\s+"))
+          .cast(LongType).as("n_tokens"))
       .withColumn("shard", pmod(col("k"), lit(8L)))
-      .withColumn("n_tokens", size(split(trim(lower(col("text"))), "\\s+"))
-        .cast(LongType))
+  }
+
+  private def pipelineShardShuffle(s: SparkSession, dir: String): DataFrame = {
+    val docs = shardShuffleElements(t(s, dir, "documents"))
     val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
     val ranked = docs.withColumn("rk", row_number().over(w))
     val perShard = ranked.groupBy(col("shard")).agg(
@@ -7306,6 +7371,9 @@ object Queries {
     "join_band_balance" -> joinBandBalance _,
     "multimodal_frame_dedup" -> multimodalFrameDedup _,
     "pipeline_shard_shuffle" -> pipelineShardShuffle _,
+    "stream_shard_shuffle" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamShardShuffle(s, dir)),
+    "ts_mad_outliers" -> tsMadOutliers _,
     "graph_node_jaccard" -> graphNodeJaccard _,
     "text_boilerplate_strip" -> textBoilerplateStrip _,
     "sim_hybrid_rrf" -> simHybridRrf _,
@@ -7500,6 +7568,10 @@ object Queries {
     "join_band_balance" -> joinBandBalanceSql,
     "multimodal_frame_dedup" -> multimodalFrameDedupSql,
     "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
+    // per-shard folds are associative + bottom-k heads set-deterministic
+    // → the streamed manifest replays the SAME oracle
+    "stream_shard_shuffle" -> pipelineShardShuffleSql,
+    "ts_mad_outliers" -> tsMadOutliersSql,
     "graph_node_jaccard" -> graphNodeJaccardSql,
     "text_boilerplate_strip" -> textBoilerplateStripSql,
     "sim_hybrid_rrf" -> simHybridRrfSql,

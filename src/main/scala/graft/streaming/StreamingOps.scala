@@ -22,6 +22,23 @@ case class SessionOut(
 // Streaming simhash dedup (top-level + public for Catalyst encoders):
 // one arrival per (band, key) bucket per doc; bucket state is the ids and
 // signatures seen so far — 16 bytes per (doc, band), the bounded shape.
+/** Per-shard accumulator of [[StreamingOps.streamShardShuffle]] — every
+  * component associative; heads = "3 smallest of the union" (bottom-k,
+  * set-deterministic).
+  */
+case class ShardAcc(n: Long, tok: Long, checksum: BigInt,
+    heads: Seq[(Long, Long)]) {
+  def merge(o: ShardAcc): ShardAcc =
+    ShardAcc(n + o.n, tok + o.tok, checksum + o.checksum,
+      (heads ++ o.heads).sorted.take(3))
+}
+
+/** Output row of the streamed shard manifest (top-level per the
+  * Dataset-encoder rule).
+  */
+case class ShardShuffleRow(shard: Long, n_docs: Long, total_tokens: Long,
+    key_checksum: Double, head_docs: String, balanced: Boolean)
+
 case class SimhashArrival(band: Int, key: Long, doc_id: Long, sig: Long)
 case class SimhashBucketState(ids: Array[Long], sigs: Array[Long])
 case class SimhashPairOut(doc_a: Long, doc_b: Long, hamming: Int)
@@ -2132,6 +2149,80 @@ object StreamingOps {
     * longs per set on the driver, nothing else; chunking is free to follow
     * staging parallelism (the stageParts discipline).
     */
+  /** STREAMING shard-manifest maintenance: documents arrive as a file
+    * stream and each micro-batch folds its per-shard contribution —
+    * counts, exact token mass, the BigInt key checksum, and the three
+    * smallest (key, doc) pairs — into driver state. Every component is
+    * associative and the head set is "3 smallest of the union"
+    * (set-deterministic bottom-k), so the assembled manifest is
+    * BIT-IDENTICAL to the batch pipeline_shard_shuffle under any chunking
+    * and replays its DuckDB oracle verbatim. O(shards · 3) driver state:
+    * how a live ingest keeps the training-shard manifest current without
+    * re-sorting the corpus.
+    */
+  def streamShardShuffle(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
+      import spark.implicits._
+      val el = graft.Queries.shardShuffleElements(
+        spark.read.parquet(s"$dir/documents.parquet")).persist()
+      val nEl = el.count()
+      val nChunks = math.max(3L, math.min(96L, nEl / 250000L)).toInt
+      val tmp = stagedCorpus(dir, "shardshuf") { t =>
+        stageParts(el, t, "chunk", nChunks, col("doc_id"))
+      }
+      val (acc, nSeen) = driverFoldRun[Map[Long, ShardAcc]](
+        spark, tmp, el.schema, None, math.max(1, nChunks / 3),
+        zero = Map.empty,
+        foldBatch = { b =>
+          b.groupBy(col("shard")).agg(
+              count(lit(1)).as("n"),
+              sum(col("n_tokens")).as("tok"),
+              sum(col("k").cast(DecimalType(38, 0))).as("ck"),
+              expr("slice(sort_array(collect_list(struct(k, doc_id))), 1, 3)")
+                .as("heads"))
+            .collect().map { r =>
+              r.getLong(0) -> ShardAcc(r.getLong(1), r.getLong(2),
+                BigInt(r.getDecimal(3).toBigInteger),
+                r.getSeq[org.apache.spark.sql.Row](4)
+                  .map(h => (h.getLong(0), h.getLong(1))))
+            }.toMap
+        },
+        merge = (a, p) => a ++ p.map { case (sh, acc2) =>
+          sh -> a.get(sh).map(_.merge(acc2)).getOrElse(acc2)
+        },
+        save = (out, s) => {
+          val entries = s.toSeq.sortBy(_._1)
+          out.writeInt(entries.size)
+          entries.foreach { case (sh, a) =>
+            out.writeLong(sh); out.writeLong(a.n); out.writeLong(a.tok)
+            out.writeUTF(a.checksum.toString)
+            out.writeInt(a.heads.size)
+            a.heads.foreach { case (k, d) => out.writeLong(k); out.writeLong(d) }
+          }
+        },
+        load = in => {
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val sh = in.readLong()
+            val acc2 = ShardAcc(in.readLong(), in.readLong(),
+              BigInt(in.readUTF()),
+              (0 until in.readInt()).map(_ => (in.readLong(), in.readLong())))
+            sh -> acc2
+          }.toMap
+        })
+      require(nSeen >= 2,
+        s"chunked staging must yield multiple micro-batches, got $nSeen")
+      el.unpersist()
+      val mx = acc.values.map(_.n).max
+      val mn = acc.values.map(_.n).min
+      val rows = acc.toSeq.sortBy(_._1).map { case (sh, a) =>
+        ShardShuffleRow(sh, a.n, a.tok, a.checksum.toString.toDouble,
+          a.heads.map(_._2).mkString(","),
+          mx.toDouble / mn.toDouble <= 1.5)
+      }
+      spark.createDataFrame(rows).orderBy(col("shard"))
+    }
+
   /** ONE definition of the keyed-KMV-map driver fold shared by
     * streamSetIntersection and streamWindowDistinct (review r6-s3: the
     * codec/merge plumbing must not exist twice — a serialization or merge

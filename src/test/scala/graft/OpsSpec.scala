@@ -3036,6 +3036,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming shard manifest == batch (associative folds, bottom-k heads)") {
+    val batch = SparkEntry.queries("pipeline_shard_shuffle")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = SparkEntry.queries("stream_shard_shuffle")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("mad outliers match an exact order-statistic replay") {
+    val daily = graft.streaming.StreamingOps.ewmaDaily(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val out = SparkEntry.queries("ts_mad_outliers")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byType = daily.groupBy(_._1)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val series = byType(et).sortBy(_._2)
+      val n = series.length
+      def stat(vals: Seq[(BigInt, Long)]): BigInt = {
+        val sorted = vals.sortBy { case (v, day) => (v, day) }
+        sorted((n + 1) / 2 - 1)._1
+      }
+      val med = stat(series.map(x => (x._3, x._2)).toSeq)
+      val day = r.getAs[Long]("day")
+      val x = series.find(_._2 == day).get._3
+      val mad = stat(series.map(s => ((s._3 - med).abs, s._2)).toSeq)
+      assert(r.getAs[Double]("daily_value") ==
+        x.toString.toDouble / 10000.0)
+      assert(r.getAs[Double]("median") == med.toString.toDouble / 10000.0)
+      assert(r.getAs[Double]("mad") == mad.toString.toDouble / 10000.0)
+      assert(r.getAs[Boolean]("is_outlier") == ((x - med).abs > mad * 10))
+    }
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
