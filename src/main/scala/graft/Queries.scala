@@ -3476,7 +3476,7 @@ object Queries {
       s" * sqrt(list_sum(list_transform($b, x -> x * x)))))"
 
   private val (simCosineIvfSql: String, simSemDedupBucketedSql: String,
-      simOutlierCentroidSql: String) = {
+      simOutlierCentroidSql: String, simIvfRecallSweepSql: String) = {
     def cos(a: String, b: String): String = sqlCos(a, b)
     val iters = 3
     val head =
@@ -3578,9 +3578,50 @@ object Queries {
          |    FROM e CROSS JOIN c$iters c) WHERE rn = 1)
          |SELECT vec_id, bucket, sim AS centroid_cosine FROM asg
          |ORDER BY centroid_cosine ASC, vec_id ASC LIMIT 50""".stripMargin
+    // IVF recall/nProbe tuning curve: same training + assignment chain,
+    // then for each rung r the top-10 from the r closest buckets is
+    // intersected with the exact top-10 (identical fold-order cosines)
+    val recallTail =
+      s"""q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |asg AS (
+         |  SELECT vec_id, bucket, v FROM (
+         |    SELECT e.vec_id, c.bucket, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos("e.v", "c.cv")} DESC, c.bucket ASC) AS rn
+         |    FROM e CROSS JOIN c$iters c) WHERE rn = 1),
+         |exact10 AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, ${cos("e.v", "q.qv")} AS cosine
+         |    FROM e, q WHERE e.vec_id <> 0)
+         |  ORDER BY cosine DESC, vec_id LIMIT 10),
+         |porder AS (
+         |  SELECT bucket, row_number() OVER (ORDER BY sim DESC, bucket) AS pr
+         |  FROM (SELECT c.bucket, ${cos("c.cv", "q.qv")} AS sim
+         |        FROM c$iters c, q)),
+         |rungs(r) AS (VALUES (1), (2), (4), (8)),
+         |cand AS (
+         |  SELECT rg.r, a.vec_id, a.v
+         |  FROM rungs rg JOIN porder p ON p.pr <= rg.r
+         |       JOIN asg a ON a.bucket = p.bucket
+         |  WHERE a.vec_id <> 0),
+         |topk AS (
+         |  SELECT r, vec_id FROM (
+         |    SELECT cand.r, cand.vec_id,
+         |      row_number() OVER (PARTITION BY cand.r
+         |        ORDER BY ${cos("cand.v", "q.qv")} DESC, cand.vec_id) AS rn
+         |    FROM cand, q) WHERE rn <= 10),
+         |hits AS (SELECT r, count(*) AS n_hits FROM topk
+         |         WHERE vec_id IN (SELECT vec_id FROM exact10) GROUP BY r),
+         |nc AS (SELECT r, count(*) AS n_candidates FROM cand GROUP BY r)
+         |SELECT CAST(nc.r AS BIGINT) AS n_probe, nc.n_candidates,
+         |  COALESCE(hits.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / 10.0 AS recall
+         |FROM nc LEFT JOIN hits ON hits.r = nc.r
+         |ORDER BY n_probe""".stripMargin
     ((head +: iterCtes :+ tail).mkString(",\n"),
       (head +: iterCtes :+ semTail).mkString(",\n"),
-      (head +: iterCtes :+ outlierTail).mkString(",\n"))
+      (head +: iterCtes :+ outlierTail).mkString(",\n"),
+      (head +: iterCtes :+ recallTail).mkString(",\n"))
   }
 
   /** Embedding-space outlier audit (Similarity.centroidOutliers): the 50
@@ -7374,6 +7415,8 @@ object Queries {
     "stream_shard_shuffle" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamShardShuffle(s, dir)),
     "ts_mad_outliers" -> tsMadOutliers _,
+    "sim_ivf_recall_sweep" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Similarity.ivfRecallSweep(t(s, dir, "embeddings"))),
     "graph_node_jaccard" -> graphNodeJaccard _,
     "text_boilerplate_strip" -> textBoilerplateStrip _,
     "sim_hybrid_rrf" -> simHybridRrf _,
@@ -7572,6 +7615,7 @@ object Queries {
     // → the streamed manifest replays the SAME oracle
     "stream_shard_shuffle" -> pipelineShardShuffleSql,
     "ts_mad_outliers" -> tsMadOutliersSql,
+    "sim_ivf_recall_sweep" -> simIvfRecallSweepSql,
     "graph_node_jaccard" -> graphNodeJaccardSql,
     "text_boilerplate_strip" -> textBoilerplateStripSql,
     "sim_hybrid_rrf" -> simHybridRrfSql,

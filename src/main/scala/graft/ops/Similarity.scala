@@ -22,6 +22,12 @@ import org.apache.spark.sql.types._
   * ([[trainCentroids]]: lowest-vec_id init, broadcast assignment, shuffle of
   * (bucket, dim, partial-mean) triples only — no RNG, no vector shuffle).
   */
+/** One rung of [[Similarity.ivfRecallSweep]]'s tuning curve (top-level
+  * public per the Dataset-encoder rule).
+  */
+case class IvfRecallRow(
+    n_probe: Long, n_candidates: Long, n_hits: Long, recall: Double)
+
 object Similarity {
 
   /** array<float> -> array<double>, the working type for all math. */
@@ -863,6 +869,44 @@ object Similarity {
       .select(col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** IVF recall/nProbe TUNING CURVE (the sweep every production ANN
+    * deploy runs before freezing its probe budget): one training pass,
+    * one assignment pass, then for each rung r ∈ {1,2,4,8} the top-k from
+    * the r closest buckets is compared to the exact top-k — emitting
+    * (n_probe, n_candidates, n_hits, recall@k). The per-rung loop is the
+    * sanctioned bounded driver pattern (4 actions over pruned candidate
+    * sets; at scale each rung reads ~r/nBuckets of the corpus via the
+    * bucket partition key). recall = n_hits/k is one exact-int division.
+    */
+  def ivfRecallSweep(
+      embeddings: DataFrame, queryId: Long = 0L, k: Int = 10,
+      nBuckets: Int = 16, rungs: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = trainCentroids(embeddings, nBuckets)
+    val assigned = assignBucketsWith(embeddings, cents)
+    val e = prepared(embeddings)
+    val q = e.where(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probeOrder = cents.crossJoin(broadcast(q))
+      .select(col("bucket"), cosine(col("cv"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("bucket").asc)
+      .collect().map(_.getLong(0)) // driver-small: nBuckets rows
+    val exactTop = bruteForceTopK(embeddings, queryId, k)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet // k rows
+    val rows = rungs.map { r =>
+      val probed = probeOrder.take(r).toSeq
+      val cand = assigned.where(col("bucket").isin(probed: _*))
+        .where(col("vec_id") =!= queryId)
+      val nCand = cand.count()
+      val approx = cand.crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(k).select(col("vec_id")).collect().map(_.getLong(0))
+      val hits = approx.count(exactTop)
+      IvfRecallRow(r.toLong, nCand, hits.toLong, hits.toDouble / k.toDouble)
+    }
+    spark.createDataFrame(rows).orderBy(col("n_probe"))
   }
 
   /** Embedding-truncation recall audit (the Matryoshka / MRL question:

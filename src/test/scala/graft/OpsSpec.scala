@@ -3070,6 +3070,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf recall sweep: monotone curve, exact-overlap hits, consistent recall") {
+    val out = SparkEntry.queries("sim_ivf_recall_sweep")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_probe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    // wider probe budgets only add candidates, never lose hits
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_candidates") <= b.getAs[Long]("n_candidates"))
+      assert(a.getAs[Long]("n_hits") <= b.getAs[Long]("n_hits"))
+    }
+    // hits vs an independent exact/approx overlap recompute at each rung
+    val exact = ops.Similarity.bruteForceTopK(embeddings, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      val approx = ops.Similarity.ivfTopK(embeddings, 0L, 10, 16,
+          r.getAs[Long]("n_probe").toInt)
+        .collect().map(_.getLong(0))
+      assert(r.getAs[Long]("n_hits") == approx.count(exact).toLong)
+      assert(r.getAs[Double]("recall") ==
+        r.getAs[Long]("n_hits").toDouble / 10.0)
+    }
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
