@@ -3612,7 +3612,11 @@ object Queries {
          |    FROM cand, q) WHERE rn <= 10),
          |hits AS (SELECT r, count(*) AS n_hits FROM topk
          |         WHERE vec_id IN (SELECT vec_id FROM exact10) GROUP BY r),
-         |nc AS (SELECT r, count(*) AS n_candidates FROM cand GROUP BY r)
+         |nc0 AS (SELECT r, count(*) AS n_candidates FROM cand GROUP BY r),
+         |-- static rung spine (the set-algebra LEFT JOIN discipline): a rung
+         |-- with zero candidates must still emit its zero row like Spark
+         |nc AS (SELECT rg.r, COALESCE(nc0.n_candidates, 0) AS n_candidates
+         |       FROM rungs rg LEFT JOIN nc0 ON nc0.r = rg.r)
          |SELECT CAST(nc.r AS BIGINT) AS n_probe, nc.n_candidates,
          |  COALESCE(hits.n_hits, 0) AS n_hits,
          |  CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / 10.0 AS recall
@@ -4533,20 +4537,6 @@ object Queries {
       |  dev > mad * 10 AS is_outlier
       |FROM md ORDER BY event_type, day""".stripMargin
 
-  /** Deterministic global SHUFFLE-AND-SHARD (the last step of every
-    * pretraining data pipeline: randomize document order, split into
-    * balanced output shards): shuffle key = md5("shuf|doc_id") — a
-    * pseudo-random permutation that is reproducible, resumable and
-    * cross-engine replayable where a seed-based RNG is not; shard =
-    * pmod(key, 8); within-shard order = key order. At scale this is
-    * repartition on the shard + in-partition sort by key, one shuffle.
-    * The emitted surface pins the properties training cares about:
-    * per-shard counts and exact token mass (balance), the first three
-    * documents in shuffle order (the ORDER is the product), an
-    * order-independent DECIMAL checksum (bijection evidence), and a
-    * uniformity boolean (max/min shard size ≤ 1.5 — deterministic on
-    * fixed data, a hash-quality regression flips it).
-    */
   /** ONE derivation of the shuffle key / shard / token mass per document —
     * shared by the batch query and stream_shard_shuffle (same-oracle pairs
     * share their derivation, the ewmaDaily discipline).
@@ -4561,6 +4551,20 @@ object Queries {
       .withColumn("shard", pmod(col("k"), lit(8L)))
   }
 
+  /** Deterministic global SHUFFLE-AND-SHARD (the last step of every
+    * pretraining data pipeline: randomize document order, split into
+    * balanced output shards): shuffle key = md5("shuf|doc_id") — a
+    * pseudo-random permutation that is reproducible, resumable and
+    * cross-engine replayable where a seed-based RNG is not; shard =
+    * pmod(key, 8); within-shard order = key order. At scale this is
+    * repartition on the shard + in-partition sort by key, one shuffle.
+    * The emitted surface pins the properties training cares about:
+    * per-shard counts and exact token mass (balance), the first three
+    * documents in shuffle order (the ORDER is the product), an
+    * order-independent DECIMAL checksum (bijection evidence), and a
+    * uniformity boolean (max/min shard size ≤ 1.5 — deterministic on
+    * fixed data, a hash-quality regression flips it).
+    */
   private def pipelineShardShuffle(s: SparkSession, dir: String): DataFrame = {
     val docs = shardShuffleElements(t(s, dir, "documents"))
     val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))

@@ -885,9 +885,14 @@ object Similarity {
       nBuckets: Int = 16, rungs: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
     val spark = embeddings.sparkSession
     val cents = trainCentroids(embeddings, nBuckets)
+    // the assignment projection (nBuckets cosines per row) runs ONCE and
+    // is cached across the rung loop's 8 actions — without the persist
+    // every rung's count + top-k re-scans the corpus (review r6-s3)
     val assigned = assignBucketsWith(embeddings, cents)
+      .select(col("vec_id"), col("v"), col("bucket")).persist()
     val e = prepared(embeddings)
     val q = e.where(col("vec_id") === queryId).select(col("v").as("qv"))
+      .persist() // 1 row; without it every action re-scans for the query
     val probeOrder = cents.crossJoin(broadcast(q))
       .select(col("bucket"), cosine(col("cv"), col("qv")).as("sim"))
       .orderBy(col("sim").desc, col("bucket").asc)
@@ -906,6 +911,9 @@ object Similarity {
       val hits = approx.count(exactTop)
       IvfRecallRow(r.toLong, nCand, hits.toLong, hits.toDouble / k.toDouble)
     }
+    // the result is built from driver-local rows — caches can release now
+    assigned.unpersist()
+    q.unpersist()
     spark.createDataFrame(rows).orderBy(col("n_probe"))
   }
 

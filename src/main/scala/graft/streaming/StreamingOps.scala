@@ -272,6 +272,16 @@ object StreamingOps {
     * per batch runs each batch's fold on a single core (measured 7× at
     * the 100× decade).
     */
+  /** ONE definition of the ~250k-rows-per-file chunk sizing used by every
+    * driver-fold stream over a row-shaped element frame (review r6-s3:
+    * the constant existed in five copies; a tweak must not desync one
+    * stream's chunking from the rest). Returns (nChunks, filesPerTrigger).
+    */
+  private def rowChunks(nRows: Long): (Int, Int) = {
+    val n = math.max(3L, math.min(96L, nRows / 250000L)).toInt
+    (n, math.max(1, n / 3))
+  }
+
   private[graft] def stagedDocsCorpus(spark: SparkSession, dir: String): (java.nio.file.Path, Int) = {
     val docs = stagedDocsFrame(spark, dir)
     val nDocs = docs.count()
@@ -2124,13 +2134,12 @@ object StreamingOps {
       // so chunking is free to follow staging parallelism: ~250k
       // three-column event rows per file, several files per trigger (the
       // stagedDocsCorpus within-batch-parallelism discipline).
-      val nEvents = ev.count()
-      val nChunks = math.max(3L, math.min(96L, nEvents / 250000L)).toInt
+      val (nChunks, perTrigger) = rowChunks(ev.count())
       val tmp = stagedCorpus(dir, "bk") { t =>
         stageParts(ev, t, "chunk", nChunks, col("event_id"))
       }
       val (acc, nSeen) = bottomKRun(spark, tmp, ev.schema, checkpoint,
-        math.max(1, nChunks / 3))
+        perTrigger)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       val audit = Sketches.quantileAuditWith(ev, acc.toSeq.sortBy(_._1))
@@ -2139,16 +2148,6 @@ object StreamingOps {
       audit
     }
 
-  /** STREAMING θ-sketch set algebra: the per-event-type visitor-day
-    * element feed arrives as a file stream and each micro-batch folds its
-    * own KMV k-minimums into the per-set driver sketches — "k smallest of
-    * the union" is a deterministic function of the element SET, so the
-    * merged arrays are BIT-IDENTICAL to the batch sketches under ANY
-    * chunking/arrival order and the final frame reuses the batch assembly
-    * (Sketches.setIntersectionWith) and its DuckDB oracle verbatim. O(k)
-    * longs per set on the driver, nothing else; chunking is free to follow
-    * staging parallelism (the stageParts discipline).
-    */
   /** STREAMING shard-manifest maintenance: documents arrive as a file
     * stream and each micro-batch folds its per-shard contribution —
     * counts, exact token mass, the BigInt key checksum, and the three
@@ -2163,15 +2162,25 @@ object StreamingOps {
   def streamShardShuffle(outer: SparkSession, dir: String): DataFrame =
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       import spark.implicits._
-      val el = graft.Queries.shardShuffleElements(
-        spark.read.parquet(s"$dir/documents.parquet")).persist()
-      val nEl = el.count()
-      val nChunks = math.max(3L, math.min(96L, nEl / 250000L)).toInt
+      val src = spark.read.parquet(s"$dir/documents.parquet")
+      // schema resolution is plan-only; the count + derivation run INSIDE
+      // the staging builder, so cached re-invocations (stagedCorpus is
+      // per-(dir, kind)) skip the full-corpus scan entirely (review r6-s3)
+      val elSchema = graft.Queries.shardShuffleElements(src).schema
       val tmp = stagedCorpus(dir, "shardshuf") { t =>
+        val el = graft.Queries.shardShuffleElements(src)
+        val (nChunks, _) = rowChunks(el.count())
         stageParts(el, t, "chunk", nChunks, col("doc_id"))
       }
+      val nFiles = {
+        val listing = java.nio.file.Files.list(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        } finally listing.close()
+      }
       val (acc, nSeen) = driverFoldRun[Map[Long, ShardAcc]](
-        spark, tmp, el.schema, None, math.max(1, nChunks / 3),
+        spark, tmp, elSchema, None, math.max(1, nFiles / 3),
         zero = Map.empty,
         foldBatch = { b =>
           b.groupBy(col("shard")).agg(
@@ -2212,7 +2221,6 @@ object StreamingOps {
         })
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
-      el.unpersist()
       val mx = acc.values.map(_.n).max
       val mn = acc.values.map(_.n).min
       val rows = acc.toSeq.sortBy(_._1).map { case (sh, a) =>
@@ -2268,18 +2276,27 @@ object StreamingOps {
       })
   }
 
+  /** STREAMING θ-sketch set algebra: the per-event-type visitor-day
+    * element feed arrives as a file stream and each micro-batch folds its
+    * own KMV k-minimums into the per-set driver sketches — "k smallest of
+    * the union" is a deterministic function of the element SET, so the
+    * merged arrays are BIT-IDENTICAL to the batch sketches under ANY
+    * chunking/arrival order and the final frame reuses the batch assembly
+    * (Sketches.setIntersectionWith) and its DuckDB oracle verbatim. O(k)
+    * longs per set on the driver, nothing else; chunking is free to follow
+    * staging parallelism (the stageParts discipline).
+    */
   def streamSetIntersection(outer: SparkSession, dir: String): DataFrame =
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       import graft.ops.Sketches
       val ev = events(spark, dir)
       val el = Sketches.setElements(ev).persist()
-      val nEl = el.count()
-      val nChunks = math.max(3L, math.min(96L, nEl / 250000L)).toInt
+      val (nChunks, perTrigger) = rowChunks(el.count())
       val tmp = stagedCorpus(dir, "setalg") { t =>
         stageParts(el, t, "chunk", nChunks, col("e"))
       }
       val (acc, nSeen) = kmvMapFoldRun(spark, tmp, el.schema,
-        math.max(1, nChunks / 3), "t", Sketches.setAlgebraK)
+        perTrigger, "t", Sketches.setAlgebraK)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       val out = Sketches.setIntersectionWith(ev, acc)
@@ -2302,13 +2319,12 @@ object StreamingOps {
       import graft.ops.Sketches
       val ev = events(spark, dir)
       val el = Sketches.activityElements(ev).persist()
-      val nEl = el.count()
-      val nChunks = math.max(3L, math.min(96L, nEl / 250000L)).toInt
+      val (nChunks, perTrigger) = rowChunks(el.count())
       val tmp = stagedCorpus(dir, "windist") { t =>
         stageParts(el, t, "chunk", nChunks, col("e"))
       }
       val (acc, nSeen) = kmvMapFoldRun(spark, tmp, el.schema,
-        math.max(1, nChunks / 3), "d", 256)
+        perTrigger, "d", 256)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       val out = Sketches.windowDistinctWith(ev,
@@ -2339,8 +2355,7 @@ object StreamingOps {
       val dirty = EntityResolution.dirtyFeed(base)
       // verdicts are chunking-independent, so staging parallelism is free
       // (the stageParts discipline): ~250k dirty rows per file
-      val nDirty = dirty.count()
-      val nChunks = math.max(3L, math.min(96L, nDirty / 250000L)).toInt
+      val (nChunks, _) = rowChunks(dirty.count())
       val tmp = stagedCorpus(dir, "erdirty") { t =>
         stageParts(dirty, t, "chunk", nChunks, col("dirty_id"))
       }
