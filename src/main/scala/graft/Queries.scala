@@ -3182,6 +3182,84 @@ object Queries {
       |  md5(COALESCE(re.clean_text, '')) AS clean_md5
       |FROM tn t LEFT JOIN re USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** Multi-scale duplicated-substring LADDER (the Lee et al. 2022
+    * "how long do duplicated spans get" analysis): for window lengths
+    * L ∈ {16, 32, 64, 128} at stride L/2, every VERIFIED duplicated
+    * window substring is counted — n_dup_substrings / n_dup_positions /
+    * max cross-doc incidence per rung, plus the lexicographically-least
+    * witness. The rung where duplication dies out brackets the corpus's
+    * longest repeated span at ladder resolution. Two-phase per rung:
+    * 8-byte md5 hashes generate candidates through the shuffle, actual
+    * strings verify ONLY candidates (collision-proof: verification groups
+    * real substrings, so hash collisions can add candidates, never
+    * results). Total window volume is Σ 2/L ≈ 0.23 chars per char.
+    */
+  private def dedupLrsLadder(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashOps
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), trim(lower(col("text"))).as("txt"))
+    val rungs = Seq(16, 32, 64, 128)
+    val perRung = rungs.map { l =>
+      val st = l / 2
+      val w = docs.where(length(col("txt")) >= l)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0L, cast((length(txt) - $l) div $st as bigint)), " +
+            s"i -> substring(txt, cast(i*$st+1 as int), $l))")).as("s"))
+      val cand = w.select(col("doc_id"), col("s"),
+        HashOps.md5Low64(col("s")).as("h"))
+      val hot = cand.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2).select(col("h"))
+      val dup = cand.join(hot, "h")
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("nd"))
+        .where(col("cnt") >= 2)
+      val nw = w.agg(count(lit(1)).as("n_windows"))
+      val stats = dup.agg(
+        count(lit(1)).as("n_dup_substrings"),
+        coalesce(sum(col("cnt")), lit(0L)).cast(LongType)
+          .as("n_dup_positions"),
+        coalesce(max(col("nd")), lit(0L)).as("max_docs"))
+      val wit = dup.orderBy(col("s")).limit(1)
+        .select(col("s").as("witness"), col("cnt").as("witness_count"))
+      nw.crossJoin(stats) // 1×1 scalar attach
+        .join(wit, lit(true), "left") // ≤1 row; empty rung keeps its NULLs
+        .select(lit(l.toLong).as("window_len"), lit(st.toLong).as("stride"),
+          col("n_windows"), col("n_dup_substrings"), col("n_dup_positions"),
+          col("max_docs"), col("witness"), col("witness_count"))
+    }
+    perRung.reduce(_ unionAll _).orderBy(col("window_len"))
+  }
+
+  private val dedupLrsLadderSql: String = {
+    val rungSelects = Seq(16, 32, 64, 128).map { l =>
+      val st = l / 2
+      s"""SELECT CAST($l AS BIGINT) AS window_len, CAST($st AS BIGINT) AS stride,
+         |  (SELECT count(*) FROM w$l) AS n_windows,
+         |  st$l.n_dup_substrings, st$l.n_dup_positions, st$l.max_docs,
+         |  wit$l.witness, wit$l.witness_count
+         |FROM st$l LEFT JOIN wit$l ON TRUE""".stripMargin
+    }
+    val rungCtes = Seq(16, 32, 64, 128).map { l =>
+      val st = l / 2
+      s"""w$l AS (SELECT doc_id, unnest(list_transform(
+         |    range(0, (length(txt) - $l) // $st + 1),
+         |    i -> substr(txt, CAST(i*$st+1 AS INT), $l))) AS s
+         |  FROM dl_docs WHERE length(txt) >= $l),
+         |dup$l AS (SELECT s, count(*) AS cnt, count(DISTINCT doc_id) AS nd
+         |          FROM w$l GROUP BY s HAVING count(*) >= 2),
+         |st$l AS (SELECT count(*) AS n_dup_substrings,
+         |    CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_dup_positions,
+         |    COALESCE(max(nd), 0) AS max_docs FROM dup$l),
+         |wit$l AS (SELECT s AS witness, cnt AS witness_count FROM dup$l
+         |          ORDER BY s LIMIT 1)""".stripMargin
+    }
+    s"""WITH dl_docs AS (SELECT doc_id, trim(lower(text)) AS txt
+       |  FROM documents),
+       |${rungCtes.mkString(",\n")}
+       |${rungSelects.mkString("\nUNION ALL\n")}
+       |ORDER BY window_len""".stripMargin
+  }
+
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"))
 
@@ -7346,6 +7424,7 @@ object Queries {
     "dedup_simhash_blocked" -> dedupSimhashBlocked _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_substring_windows" -> dedupSubstringWindows _,
+    "dedup_lrs_ladder" -> dedupLrsLadder _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "sim_cosine_brute" -> simCosineBrute _,
     "sim_cosine_ivf" -> simCosineIvf _,
@@ -7546,6 +7625,7 @@ object Queries {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_substring_windows" -> dedupSubstringWindowsSql,
+    "dedup_lrs_ladder" -> dedupLrsLadderSql,
     "sim_cosine_brute" -> simCosineBruteSql,
     "sim_cosine_ivf" -> simCosineIvfSql,
     "sim_outlier_centroid" -> simOutlierCentroidSql,

@@ -3091,6 +3091,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicated-substring ladder matches a brute per-rung replay") {
+    val txts = docs.select(col("doc_id"), trim(lower(col("text"))).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val out = SparkEntry.queries("dedup_lrs_ladder")(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("window_len")).toSeq ==
+      Seq(16L, 32L, 64L, 128L))
+    out.foreach { r =>
+      val l = r.getAs[Long]("window_len").toInt
+      val st = l / 2
+      val wins = txts.filter(_._2.length >= l).flatMap { case (id, t) =>
+        (0 to (t.length - l) / st).map(i => (id, t.substring(i * st, i * st + l)))
+      }
+      assert(r.getAs[Long]("n_windows") == wins.length.toLong)
+      val dup = wins.groupBy(_._2).filter(_._2.length >= 2)
+      assert(r.getAs[Long]("n_dup_substrings") == dup.size.toLong)
+      assert(r.getAs[Long]("n_dup_positions") ==
+        dup.values.map(_.length.toLong).sum)
+      assert(r.getAs[Long]("max_docs") ==
+        (if (dup.isEmpty) 0L
+         else dup.values.map(_.map(_._1).distinct.length).max.toLong))
+      if (dup.nonEmpty) {
+        val wmin = dup.keys.min
+        assert(r.getAs[String]("witness") == wmin)
+        assert(r.getAs[Long]("witness_count") == dup(wmin).length.toLong)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("witness")))
+      }
+    }
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
