@@ -6235,6 +6235,61 @@ object Queries {
       |FROM ex JOIN wdays ON wdays.w = ex.w JOIN est ON est.w = ex.w
       |ORDER BY day""".stripMargin
 
+  /** TEMPORAL QUANTILE ROLLUP (Sketches.windowQuantile): trailing-7-day
+    * p50/p90 of event values answered from per-day mergeable bottom-k
+    * sketches — the production sketch-table variant (latency percentiles
+    * over any window, no raw re-scan); every read-off value, exact
+    * quantile and realized rank error replays value-exactly.
+    */
+  private def sketchWindowQuantile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.windowQuantile(
+      graft.streaming.StreamingOps.events(s, dir))
+
+  private val sketchWindowQuantileSql =
+    """WITH el AS (SELECT epoch_us(ts) // 86400000000 AS day,
+      |    event_id, value FROM events),
+      |h AS (SELECT day, event_id, value,
+      |    (CASE WHEN hm >= 9223372036854775808
+      |          THEN CAST(hm - 18446744073709551616 AS BIGINT)
+      |          ELSE CAST(hm AS BIGINT) END) AS hv
+      |  FROM (SELECT day, event_id, value,
+      |          md5_number_lower(CAST(event_id AS VARCHAR)) AS hm FROM el)),
+      |days AS (SELECT DISTINCT day FROM el),
+      |wsk AS (SELECT w, event_id, value FROM (
+      |    SELECT d.day AS w, h.event_id, h.value,
+      |      row_number() OVER (PARTITION BY d.day
+      |        ORDER BY h.hv, h.event_id) AS rn
+      |    FROM days d JOIN h ON h.day BETWEEN d.day - 6 AND d.day)
+      |  WHERE rn <= 1024),
+      |m AS (SELECT w, count(*) AS m FROM wsk GROUP BY w),
+      |qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+      |est AS (SELECT w, q, value AS est FROM (
+      |    SELECT s.w, qs.q, s.value, m.m,
+      |      row_number() OVER (PARTITION BY s.w, qs.q
+      |        ORDER BY s.value, s.event_id) AS vr
+      |    FROM wsk s CROSS JOIN qs JOIN m ON m.w = s.w)
+      |  WHERE vr = CAST(ceil(q * m) AS BIGINT)),
+      |win AS (SELECT d.day AS w, e.event_id, e.value
+      |        FROM days d JOIN el e ON e.day BETWEEN d.day - 6 AND d.day),
+      |n AS (SELECT w, count(*) AS n FROM win GROUP BY w),
+      |exact AS (SELECT w, q, value AS exact_q FROM (
+      |    SELECT wi.w, qs.q, wi.value, n.n,
+      |      row_number() OVER (PARTITION BY wi.w, qs.q
+      |        ORDER BY wi.value, wi.event_id) AS vr
+      |    FROM win wi CROSS JOIN qs JOIN n ON n.w = wi.w)
+      |  WHERE vr = CAST(ceil(q * n) AS BIGINT)),
+      |rk AS (SELECT est.w, est.q, est.est,
+      |    count(CASE WHEN win.value <= est.est THEN 1 END) AS est_rank
+      |  FROM est JOIN win ON win.w = est.w GROUP BY est.w, est.q, est.est)
+      |SELECT rk.w AS day, rk.q, n.n AS n_exact, rk.est, ex.exact_q,
+      |  abs(CAST(rk.est_rank AS DOUBLE) / CAST(n.n AS DOUBLE) - rk.q)
+      |    AS rank_err,
+      |  abs(CAST(rk.est_rank AS DOUBLE) / CAST(n.n AS DOUBLE) - rk.q)
+      |    <= 0.1 AS sketch_ok
+      |FROM rk JOIN n ON n.w = rk.w
+      |JOIN exact ex ON ex.w = rk.w AND ex.q = rk.q
+      |ORDER BY day, rk.q""".stripMargin
+
   /** Referential-integrity release gate (the lakehouse FK audit): orphan
     * counts and rates for the two FK edges lineitem.orderkey → orders and
     * orders.custkey → customer, over deterministically corrupted child
@@ -7483,6 +7538,7 @@ object Queries {
     "stream_set_intersection" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamSetIntersection(s, dir)),
     "sketch_window_distinct" -> sketchWindowDistinct _,
+    "sketch_window_quantile" -> sketchWindowQuantile _,
     "stream_window_distinct" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamWindowDistinct(s, dir)),
     "diag_referential_integrity" -> diagReferentialIntegrity _,
@@ -7683,6 +7739,7 @@ object Queries {
     // (set determinism), so the streaming query replays the SAME oracle
     "stream_set_intersection" -> sketchSetIntersectionSql,
     "sketch_window_distinct" -> sketchWindowDistinctSql,
+    "sketch_window_quantile" -> sketchWindowQuantileSql,
     // per-day KMV folds are set-deterministic per day → same oracle
     "stream_window_distinct" -> sketchWindowDistinctSql,
     "diag_referential_integrity" -> diagReferentialIntegritySql,

@@ -3121,6 +3121,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal quantile rollup matches an independent window-merge replay") {
+    val events = graft.streaming.StreamingOps.events(spark, dir)
+    val rows = events.select(
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byDay = rows.groupBy(_._1)
+    val days = byDay.keys.toSeq.sorted
+    val k = 1024
+    val out = SparkEntry.queries("sketch_window_quantile")(spark, dir).collect()
+    assert(out.length == days.length * 2)
+    out.foreach { r =>
+      val w = r.getAs[Long]("day")
+      val q = r.getAs[Double]("q")
+      val win = days.filter(d => d >= w - 6 && d <= w).flatMap(byDay(_))
+      assert(r.getAs[Long]("n_exact") == win.length.toLong)
+      // independent sketch: k smallest (md5(event_id), event_id) of the
+      // window's event set, then the rank-⌈q·m⌉ value
+      val sample = win
+        .map(x => (ops.Sketches.md5Low64String(x._2.toString), x._2, x._3))
+        .sortBy(t => (t._1, t._2)).take(k)
+        .map(t => (t._3, t._2)).sortBy(identity)
+      val est = sample(math.ceil(q * sample.length).toInt - 1)._1
+      assert(r.getAs[Double]("est") == est)
+      val exact = win.map(x => (x._3, x._2)).sorted
+        .apply(math.ceil(q * win.length).toInt - 1)._1
+      assert(r.getAs[Double]("exact_q") == exact)
+      val rank = win.count(_._3 <= est)
+      assert(r.getAs[Double]("rank_err") ==
+        math.abs(rank.toDouble / win.length.toDouble - q))
+      assert(r.getAs[Boolean]("sketch_ok"))
+    }
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
