@@ -7539,6 +7539,8 @@ object Queries {
       graft.streaming.StreamingOps.streamSetIntersection(s, dir)),
     "sketch_window_distinct" -> sketchWindowDistinct _,
     "sketch_window_quantile" -> sketchWindowQuantile _,
+    "stream_window_quantile" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamWindowQuantile(s, dir)),
     "stream_window_distinct" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamWindowDistinct(s, dir)),
     "diag_referential_integrity" -> diagReferentialIntegrity _,
@@ -7740,6 +7742,8 @@ object Queries {
     "stream_set_intersection" -> sketchSetIntersectionSql,
     "sketch_window_distinct" -> sketchWindowDistinctSql,
     "sketch_window_quantile" -> sketchWindowQuantileSql,
+    // per-day bottom-k folds are set-deterministic → same oracle verbatim
+    "stream_window_quantile" -> sketchWindowQuantileSql,
     // per-day KMV folds are set-deterministic per day → same oracle
     "stream_window_distinct" -> sketchWindowDistinctSql,
     "diag_referential_integrity" -> diagReferentialIntegritySql,

@@ -931,18 +931,41 @@ object Sketches {
     * errors are themselves hashed surface). Scale: sketches carry ≤ 3k
     * longs/day; the exploded audit grades the rollup at test scale.
     */
-  def windowQuantile(events: DataFrame): DataFrame = {
+  private[graft] val windowQuantileK = 1024
+
+  /** The per-day element frame of [[windowQuantile]] — ONE definition
+    * shared with the streaming fold (same-oracle pairs share their
+    * derivation).
+    */
+  private[graft] def windowQuantileElements(events: DataFrame): DataFrame =
+    events.select(
+      expr("unix_micros(ts) div 86400000000").cast(StringType).as("d"),
+      col("event_id"), col("value"))
+
+  /** One distributed pass building the per-day bottom-k sketches. */
+  def windowQuantileSketches(events: DataFrame): Map[Long, Array[Long]] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val k = 1024
-    val bk = new BottomKSample(k)
-    val byDay: Map[Long, Array[Long]] = events
-      .select(expr("unix_micros(ts) div 86400000000").cast(StringType),
-        col("event_id"), col("value"))
+    windowQuantileElements(events)
       .as[(String, Long, Double)]
       .groupByKey(_._1)
-      .agg(bk.toColumn.name("bk"))
+      .agg(new BottomKSample(windowQuantileK).toColumn.name("bk"))
       .collect().map { case (d, arr) => d.toLong -> arr }.toMap
+  }
+
+  def windowQuantile(events: DataFrame): DataFrame =
+    windowQuantileWith(events, windowQuantileSketches(events))
+
+  /** Rollup + audit from already-built per-day sketches (the shared
+    * assembly the streaming accumulation reuses verbatim — merged
+    * day sketches are bit-identical by set determinism).
+    */
+  def windowQuantileWith(
+      events: DataFrame, byDay: Map[Long, Array[Long]]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = windowQuantileK
+    val bk = new BottomKSample(k)
     val days = byDay.keys.toSeq.sorted
     val qs = Seq(0.5, 0.9)
     // driver rollup: merge ≤7 day sketches per window, read off quantiles

@@ -2148,6 +2148,66 @@ object StreamingOps {
       audit
     }
 
+  /** STREAMING temporal quantile rollup: the (day, event_id, value) feed
+    * arrives as a file stream and each micro-batch folds per-day bottom-k
+    * minima into the driver's day-keyed sketch map — "k smallest event-id
+    * hashes of the union" is set-deterministic per day, so the merged map
+    * is bit-identical to the batch Sketches.windowQuantileSketches under
+    * any chunking and the trailing-window frame reuses the batch assembly
+    * and oracle verbatim. O(days · 3k) longs of driver state — live
+    * maintenance of the percentile sketch table.
+    */
+  def streamWindowQuantile(outer: SparkSession, dir: String): DataFrame =
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
+      import graft.ops.{BottomKSample, Sketches}
+      val ev = events(spark, dir)
+      val el = Sketches.windowQuantileElements(ev).persist()
+      val (nChunks, perTrigger) = rowChunks(el.count())
+      val tmp = stagedCorpus(dir, "winquant") { t =>
+        stageParts(el, t, "chunk", nChunks, col("event_id"))
+      }
+      val bk = new BottomKSample(Sketches.windowQuantileK)
+      val (acc, nSeen) = driverFoldRun[Map[String, Array[Long]]](
+        spark, tmp, el.schema, None, perTrigger,
+        zero = Map.empty,
+        foldBatch = { b =>
+          val session = b.sparkSession
+          import session.implicits._
+          b.select(col("d"), col("event_id"), col("value"))
+            .as[(String, Long, Double)]
+            .groupByKey(_._1)
+            .agg(bk.toColumn.name("bk"))
+            .collect().toMap
+        },
+        merge = (a, p) => a ++ p.map { case (d, arr) =>
+          d -> a.get(d).map(x => bk.merge(x, arr)).getOrElse(arr)
+        },
+        save = (out, s) => {
+          val entries = s.toSeq.sortBy(_._1)
+          out.writeInt(entries.size)
+          entries.foreach { case (key, arr) =>
+            out.writeUTF(key)
+            out.writeInt(arr.length)
+            arr.foreach(out.writeLong)
+          }
+        },
+        load = in => {
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val key = in.readUTF()
+            val m = in.readInt()
+            key -> Array.fill(m)(in.readLong())
+          }.toMap
+        })
+      require(nSeen >= 2,
+        s"chunked staging must yield multiple micro-batches, got $nSeen")
+      val out = Sketches.windowQuantileWith(ev,
+        acc.map { case (d, arr) => d.toLong -> arr })
+        .localCheckpoint() // materialize before releasing the cached input
+      el.unpersist()
+      out
+    }
+
   /** STREAMING shard-manifest maintenance: documents arrive as a file
     * stream and each micro-batch folds its per-shard contribution —
     * counts, exact token mass, the BigInt key checksum, and the three

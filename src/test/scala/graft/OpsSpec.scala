@@ -3155,6 +3155,14 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quantile rollup == batch (per-day set-deterministic bottom-k fold)") {
+    val batch = SparkEntry.queries("sketch_window_quantile")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = SparkEntry.queries("stream_window_quantile")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())
