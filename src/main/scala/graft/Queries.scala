@@ -1483,7 +1483,11 @@ object Queries {
     // result partitioning-invariant, so the oracle is untouched.
     val liRows = t(s, dir, "lineitem").count()
     val parts = math.max(32L, math.min(512L, liRows / 250000L)).toInt
-    graft.ops.Graph.pageRank(edges, damping = 85, maxIter = 3, parts = parts)
+    // rowsHint = 2·|lineitem| bounds |edges| (distinct pairs + reversal):
+    // past Fs.materialize's threshold the loop frames go to scratch parquet
+    // instead of memory-pinned localCheckpoint blocks (the 1000× OOM class)
+    graft.ops.Graph.pageRank(edges, damping = 85, maxIter = 3, parts = parts,
+      rowsHint = 2L * liRows)
       .select(col("node"), expr("node div 2").as("entity_key"),
         when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
         col("outdeg"), col("r").as("rank_raw"),

@@ -33,23 +33,45 @@ import org.apache.spark.sql.functions._
   *    max |r′ − r| ≤ tolRaw (exact integer compare, one node-sized agg
   *    action per round), instead of always running `maxIter` rounds.
   *
-  * Scale shape: edges hash-partitioned by src and localCheckpointed once;
-  * per round one edge⋈rank equi-join (edge side co-located, only the
+  * Scale shape: edges hash-partitioned by src and materialized once
+  * ([[graft.util.Fs.materialize]] — scratch parquet past the footer-count
+  * threshold, localCheckpoint below it; raw localCheckpoint of a 10⁸-edge
+  * frame is the memory-pinned OOM class the 1000× decade exposed). Per
+  * round one edge⋈rank equi-join (edge side co-located, only the
   * node-sized rank frame moves) + one map-combined sum by dst — 2
-  * edge-sized shuffles, the CC-loop discipline (ops/Dedup.scala). Dangling
-  * handling adds one O(n) 1-row aggregate per round (3 longs to the
-  * driver — the sanctioned scalar-collect pattern); its pool share enters
-  * the plan as a literal, so nothing node-sized crosses the driver.
+  * edge-sized shuffles, the CC-loop discipline (ops/Dedup.scala). The
+  * damped update left-joins contrib against the once-materialized
+  * `(node, outdeg)` frame, so `ranks` is referenced exactly ONCE per
+  * round: with both knobs off there are no mid-loop actions and the whole
+  * fixed-iteration run is ONE lazy plan (no per-round eager job — the
+  * r5→r6 +49% regression was four eager checkpoint jobs per query), with
+  * a lineage-bounding materialize every [[LineageEvery]] rounds for deep
+  * loops. The knobs introduce one action per round (dangling pool agg /
+  * convergence delta agg), so with either on, each round's ranks IS
+  * materialized — otherwise round k's action would recompute rounds 1..k.
+  * Dangling handling's O(n) aggregate sends 3 longs to the driver — the
+  * sanctioned scalar-collect pattern; its pool share enters the plan as a
+  * literal, so nothing node-sized crosses the driver.
   */
 object Graph {
   /** Rank fixed-point base: 1.0 == 1e9 raw. */
   val Base = 1000000000L
+
+  /** Lazy fixed-iteration runs materialize ranks every this-many rounds to
+    * bound plan/lineage depth (each round adds 2 joins + 1 agg to the tree;
+    * 8 rounds ≈ a 24-operator spine, well inside Catalyst's comfort zone).
+    */
+  val LineageEvery = 8
 
   /** @param edges  (src, dst) long-keyed directed edges
     * @param damping damping factor in percent (default 85 = 0.85)
     * @param maxIter iteration cap
     * @param handleDangling redistribute dangling + residue mass exactly
     * @param tolRaw  >0: stop once max |Δr| ≤ tolRaw (raw 1e-9 units)
+    * @param rowsHint approximate edge count (a parquet footer count the
+    *                 caller already has): past Fs.materialize's threshold,
+    *                 the edge frame and any materialized rank frames go to
+    *                 scratch parquet instead of localCheckpoint
     * @return (node, outdeg, r, iters) — r is the raw scaled rank, iters the
     *         literal number of rounds actually run (lets tests observe
     *         convergence-based termination; query projections drop it)
@@ -60,20 +82,41 @@ object Graph {
       maxIter: Int = 3,
       handleDangling: Boolean = false,
       tolRaw: Long = 0L,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 32,
+      rowsHint: Long = 0L): DataFrame = {
     require(damping >= 1 && damping <= 99, "damping is an integer percent in [1, 99]")
     require(maxIter >= 1, "at least one iteration")
-    val e = edges
+    import graft.util.Fs
+    val e = Fs.materialize(edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .repartition(parts, col("src")).localCheckpoint()
+      .repartition(parts, col("src")), rowsHint)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // node universe with out-degrees, materialized ONCE — every round's
+    // damped update left-joins contrib against THIS frame (not against the
+    // previous ranks), so the previous ranks frame is referenced exactly
+    // once per round and the fixed-iteration path stays a single lazy plan.
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-    var ranks = nodes.join(deg, nodes("node") === deg("src"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        lit(Base).as("r"))
-      .repartition(parts, col("node")).localCheckpoint()
+    val nd = Fs.materialize(nodes.join(deg, nodes("node") === deg("src"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .repartition(parts, col("node")), rowsHint)
+    // each knob adds a driver ACTION per round (pool agg / delta agg) that
+    // would otherwise recompute the whole lineage — only then pay the
+    // per-round materialization the default path deliberately avoids
+    val eager = handleDangling || tolRaw > 0L
+    var ranks = nd.select(col("node"), col("outdeg"), lit(Base).as("r"))
+    var prevMat: Option[Fs.Materialized] = None
+    def setRanks(df: DataFrame, force: Boolean): Unit =
+      if (force) {
+        val m = Fs.materializeTracked(df, rowsHint)
+        // the new frame is fully written — round k−1's scratch copy is no
+        // longer an input to anything; free it now instead of at JVM exit
+        prevMat.foreach(_.free())
+        prevMat = Some(m)
+        ranks = m.df
+      } else ranks = df
+    if (eager) setRanks(ranks, force = true)
     // (100−d)·1e7 is exact for every integer percent — Base div 100 == 1e7
     val teleport = (100L - damping) * (Base / 100L)
     var it = 0
@@ -84,8 +127,8 @@ object Graph {
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      val inflow = ranks.join(contrib, ranks("node") === contrib("dst"), "left")
-        .select(ranks("node"), col("outdeg"), coalesce(col("s"), lit(0L)).as("s"))
+      val inflow = nd.join(contrib, nd("node") === contrib("dst"), "left")
+        .select(nd("node"), nd("outdeg"), coalesce(col("s"), lit(0L)).as("s"))
       val m =
         if (!handleDangling)
           inflow.select(col("node"), col("outdeg"), col("s").as("m"))
@@ -104,14 +147,18 @@ object Graph {
         }
       val next = m.select(col("node"), col("outdeg"),
         (lit(teleport) + expr(s"($damping * m) div 100")).as("r"))
-        .repartition(parts, col("node")).localCheckpoint()
       if (tolRaw > 0L) {
-        val maxDelta = next.select(col("node"), col("r").as("rn"))
+        val nextMat = Fs.materializeTracked(
+          next.repartition(parts, col("node")), rowsHint)
+        val maxDelta = nextMat.df.select(col("node"), col("r").as("rn"))
           .join(ranks.select(col("node"), col("r").as("ro")), "node")
           .agg(max(abs(col("rn") - col("ro")))).head().getLong(0)
         done = maxDelta <= tolRaw
-      }
-      ranks = next
+        prevMat.foreach(_.free())
+        prevMat = Some(nextMat)
+        ranks = nextMat.df
+      } else
+        setRanks(next, force = eager || (it + 1) % LineageEvery == 0)
       it += 1
     }
     ranks.withColumn("iters", lit(it.toLong))
@@ -147,24 +194,30 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int = 3,
       parts: Int = 32, rowsHint: Long = 0L): DataFrame = {
     require(rounds >= 1, "at least one round")
-    import graft.util.Fs.materialize
-    val e = materialize(edges
+    import graft.util.Fs
+    val e = Fs.materialize(edges
       .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .repartition(parts, col("u")), rowsHint)
-    var labels = materialize(e.select(col("u").as("node"))
+    var labelsMat = Fs.materializeTracked(e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .distinct()
       .select(col("node"), col("node").as("lab"))
       .repartition(parts, col("node")), rowsHint)
     for (_ <- 1 to rounds) {
+      val labels = labelsMat.df
       val lu = labels.select(col("node").as("u"), col("lab"))
       val lv = labels.select(col("node").as("v"), col("lab"))
       val msgs = e.join(lv, Seq("v")).select(col("u").as("node"), col("lab"))
         .unionAll(e.join(lu, Seq("u")).select(col("v").as("node"), col("lab")))
-      labels = materialize(labels.unionAll(msgs)
+      val next = Fs.materializeTracked(labels.unionAll(msgs)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
         .repartition(parts, col("node")), rowsHint)
+      // next is fully written — round k−1's scratch copy is no longer an
+      // input to anything; free it now instead of at JVM exit (r6 ADVICE:
+      // per-round copies accumulate a full frame per round at 1000×)
+      labelsMat.free()
+      labelsMat = next
     }
-    labels
+    labelsMat.df
   }
 }
