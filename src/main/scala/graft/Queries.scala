@@ -3058,6 +3058,97 @@ object Queries {
       |  USING (lang)
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------- deterministic-subset dedup proofs
+  //
+  // The pair/CC dedup family's DuckDB oracles are quadratic (all-pairs
+  // jaccard / recursive-CTE reachability), so at sf0.1 the full-corpus
+  // replays blow the gate budget and the family was value-proven only at
+  // sf0.01 (r6 VERDICT #3 — and the r6 simhash episode proved exactly this
+  // family's bugs are data-scale-dependent). Each `*_subset` sibling runs
+  // the IDENTICAL Spark code path over Dedup.subsetDocs (pmod(md5_low64
+  // (doc_id), 4) = 0 + two planted near-dups), and its oracle replays the
+  // same restriction — ~16× cheaper, inside budget at sf0.1, restoring a
+  // true two-decade value proof for banding, prefix filtering, CC, the
+  // apply step, and the incremental streaming CC.
+
+  /** DuckDB-side twin of [[graft.ops.Dedup.subsetDocs]]: same pmod filter
+    * (UBIGINT reinterpreted as signed BEFORE the pmod — the CLAUDE.md
+    * md5_number_lower rule) + the same two planted literals, injected as a
+    * `docsub` CTE and substituted for every `FROM documents`.
+    */
+  private def subsetSql(base: String): String = {
+    val k = graft.ops.Dedup.SubsetK
+    val txt = graft.ops.Dedup.PlantedText
+    val n = txt.length
+    val cte =
+      s"""docsub AS (
+         |  SELECT * FROM documents WHERE
+         |    ((CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) >= 9223372036854775808
+         |           THEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) - 18446744073709551616 AS BIGINT)
+         |           ELSE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS BIGINT) END)
+         |     % $k + $k) % $k = 0
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (CAST(-1 AS BIGINT), '$txt', 'xx', 'planted', CAST($n AS BIGINT)),
+         |    (CAST(-2 AS BIGINT), '$txt', 'xx', 'planted', CAST($n AS BIGINT)))
+         |    v(doc_id, text, lang, source, n_chars))""".stripMargin
+    val body = base.replace("FROM documents", "FROM docsub")
+    if (body.startsWith("WITH RECURSIVE "))
+      "WITH RECURSIVE " + cte + ",\n" + body.stripPrefix("WITH RECURSIVE ")
+    else if (body.startsWith("WITH "))
+      "WITH " + cte + ",\n" + body.stripPrefix("WITH ")
+    else "WITH " + cte + "\n" + body
+  }
+
+  private def dedupMinhashLshSubset(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Dedup.subsetDocs(t(s, dir, "documents")), bands = 32)
+
+  private def dedupJaccardPrefixSubset(s: SparkSession, dir: String): DataFrame = {
+    val full = t(s, dir, "documents")
+    // self-size from the SUBSET row count the filter implies (footer/K)
+    val parts = math.max(32L,
+      math.min(512L, full.count() / graft.ops.Dedup.SubsetK / 10000L)).toInt
+    Dedup.jaccardPrefixPairs(Dedup.subsetDocs(full), tNum = 7, tDen = 10,
+      parts = parts)
+  }
+
+  private def dedupClustersSubset(s: SparkSession, dir: String): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(Dedup.subsetDocs(t(s, dir, "documents")), bands = 32))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def pipelineDedupApplySubset(s: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.subsetDocs(t(s, dir, "documents"))
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, bands = 32))
+    val dropped = labels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val kept = docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("text")).cast(LongType)).as("chars_kept"))
+      .join(docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total")), Seq("lang"))
+      .select(col("lang"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_removed"), col("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
+  private def streamDedupClustersSubsetQ(s: SparkSession, dir: String): DataFrame = {
+    val labels = graft.streaming.StreamingOps.streamDedupClusters(s, dir,
+      subset = true)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(broadcast(sizes), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"))
 
@@ -5983,11 +6074,12 @@ object Queries {
        |  JOIN (SELECT k, count(*) AS cb FROM kb GROUP BY k) b USING (k)),
        |tot AS (SELECT (SELECT count(*) FROM ka) AS n_a,
        |               (SELECT count(*) FROM kb) AS n_b)
-       |SELECT n_a, n_b, CAST(exact_size AS BIGINT) AS exact_size,
-       |  CAST(est AS BIGINT) AS cm_estimate,
+       |SELECT n_a, n_b, CAST(exact_size AS VARCHAR) AS exact_size,
+       |  CAST(est AS VARCHAR) AS cm_estimate,
        |  est >= exact_size AS overestimate,
-       |  CAST(CAST(est AS VARCHAR) AS DOUBLE)
-       |    / CAST(CAST(exact_size AS VARCHAR) AS DOUBLE) AS ratio
+       |  CASE WHEN exact_size = 0 THEN NULL
+       |       ELSE CAST(CAST(est AS VARCHAR) AS DOUBLE)
+       |            / CAST(CAST(exact_size AS VARCHAR) AS DOUBLE) END AS ratio
        |FROM tot, ex, est""".stripMargin
   }
 
@@ -7479,6 +7571,11 @@ object Queries {
     "dedup_jaccard_prefix" -> dedupJaccardPrefix _,
     "dedup_clusters" -> dedupClusters _,
     "pipeline_dedup_apply" -> pipelineDedupApply _,
+    "dedup_minhash_lsh_subset" -> dedupMinhashLshSubset _,
+    "dedup_jaccard_prefix_subset" -> dedupJaccardPrefixSubset _,
+    "dedup_clusters_subset" -> dedupClustersSubset _,
+    "pipeline_dedup_apply_subset" -> pipelineDedupApplySubset _,
+    "stream_dedup_clusters_subset" -> streamDedupClustersSubsetQ _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_simhash_blocked" -> dedupSimhashBlocked _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
@@ -7788,6 +7885,11 @@ object Queries {
     "dedup_jaccard_prefix" -> dedupMinhashLshSql,
     "dedup_clusters" -> dedupClustersSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,
+    "dedup_minhash_lsh_subset" -> subsetSql(dedupMinhashLshSql),
+    "dedup_jaccard_prefix_subset" -> subsetSql(dedupMinhashLshSql),
+    "dedup_clusters_subset" -> subsetSql(dedupClustersSql),
+    "pipeline_dedup_apply_subset" -> subsetSql(pipelineDedupApplySql),
+    "stream_dedup_clusters_subset" -> subsetSql(dedupClustersSql),
     "dedup_simhash" -> dedupSimhashSql,
     // multi-table probing is candidate-generation only; the result set is
     // provably identical to banded, so it replays the same all-pairs oracle

@@ -26,6 +26,40 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Deterministic 1-in-[[SubsetK]] corpus subset for second-decade oracle
+    * proofs of the pair/CC dedup family: the DuckDB all-pairs / recursive-CC
+    * replays are quadratic, so at sf0.1 the FULL-corpus oracles blow the
+    * gate budget and the family was value-proven only at sf0.01 (r6 VERDICT
+    * #3). Restricting BOTH engines to pmod(md5_low64(doc_id), K) = 0 before
+    * the pair stage shrinks the replay ~K² while the Spark side still runs
+    * the identical banded/prefix/CC code path over the larger corpus's
+    * data. md5 (not xxhash64) because the subset must replay hash-exactly
+    * in DuckDB (`md5_number_lower` — the cross-engine-deterministic rule).
+    *
+    * Two PLANTED near-duplicate docs (ids −1/−2, identical text, built from
+    * literals the same way in both engines) ride along so the subset's
+    * ground truth can never be vacuously empty on a regenerated corpus —
+    * a green row must die if the Spark pair stage regresses to empty.
+    */
+  val SubsetK = 4L
+  val PlantedText =
+    "graft planted near duplicate alpha beta gamma delta epsilon zeta"
+
+  /** Subset filter + planted positives over the raw `documents` frame
+    * (doc_id, text, lang, source, n_chars).
+    */
+  def subsetDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val planted = Seq(-1L, -2L)
+      .map(id => (id, PlantedText, "xx", "planted", PlantedText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs
+      .where(pmod(graft.functions.HashOps.md5Low64(col("doc_id").cast(StringType)),
+        lit(SubsetK)) === 0L)
+      .unionByName(planted)
+  }
+
   /** Distinct word n-gram shingles from a MATERIALIZED token-array column.
     *
     * `toks` must be a plain column reference (project `tokens(text)` first):
@@ -189,7 +223,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
-      maxBucket: Int = 8192): DataFrame = {
+      maxBucket: Int = 8192,
+      failOnOverCap: Boolean = true): DataFrame = {
     val withSig = docs.select(col(idCol).as("doc_id"),
       simhash64(col(textCol)).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sig"),
@@ -197,8 +232,29 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
       }: _*)).as("bk"))
-    banded
+    val keyed = banded
       .select(col("bk.band"), col("bk.key"), struct(col("doc_id"), col("sig")).as("d"))
+    // SELF-ENFORCING exactness contract (r6 VERDICT #4): a bucket past
+    // `maxBucket` is DROPPED by the valve below, and with it the
+    // banded == all-pairs pigeonhole claim — silently. Refuse instead:
+    // one map-combined count agg over the band keys (bounded ≤ 4·2^16
+    // rows, recomputes only the native signature pass) checks max load
+    // before any bucket is materialized. BucketLoad is the standalone
+    // diagnostic; this is the same measure, in-line and fatal.
+    if (failOnOverCap) {
+      val r = keyed.groupBy(col("band"), col("key")).count()
+        .agg(max(col("count")), count(when(col("count") > maxBucket, 1)))
+        .head()
+      val (maxLoad, overCap) = (r.getLong(0), r.getLong(1))
+      if (overCap > 0) throw new IllegalStateException(
+        s"simhashPairs: $overCap band bucket(s) exceed maxBucket=$maxBucket " +
+          s"(max load $maxLoad) — dropping them silently breaks the " +
+          "banded == all-pairs hamming<=3 guarantee on THIS corpus. Use " +
+          "Dedup.simhashPairsBlocked (6-block/C(6,3) ~32-bit keys, same " +
+          "deterministic recall), collapse boilerplate upstream first, or " +
+          "pass failOnOverCap = false to accept documented pair loss.")
+    }
+    keyed
       .groupBy(col("band"), col("key"))
       .agg(collect_list(col("d")).as("ds"))
       .where(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)

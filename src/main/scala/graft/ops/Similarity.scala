@@ -215,10 +215,40 @@ object Similarity {
     * [[knnGraphBucketed]] (SRP-refined blocks, e≈1) or IVF clusters with
     * cluster count ∝ N (the SemDeDup paper's configuration).
     */
+  /** SELF-ENFORCING Θ(Σ block²) contract for the fixed-blocking demo
+    * members (r6 VERDICT #4): one map-combined count agg over the block
+    * keys measures the pair-stage load factor Σ block² / N — the
+    * comparisons-per-row the equi-join is about to do. Past
+    * `maxCompPerRow` the operator REFUSES with the scale sibling's name,
+    * instead of silently burning a quadratic decade: a fixed-cardinality
+    * block column means block ≈ N/|blocks|, so the factor grows linearly
+    * with the corpus and crosses any fixed budget exactly one decade after
+    * the demo decade. Default 32768 clears the measured sf0.1 (≈500) and
+    * 10× (≈5000) points and trips at 100× (≈50000) — the decade the r6
+    * sweep already delegated to the bucketed siblings.
+    */
+  private def guardBlockLoad(blocks: DataFrame, op: String, sibling: String,
+      maxCompPerRow: Long): Unit = if (maxCompPerRow > 0) {
+    val r = blocks.groupBy(col("block")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast(DecimalType(38, 0)),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0)))).head()
+    val n = BigInt(r.getDecimal(0).toBigInteger)
+    val cand = BigInt(r.getDecimal(1).toBigInteger)
+    if (n > 0 && cand > BigInt(maxCompPerRow) * n) throw new IllegalStateException(
+      s"$op: pair stage would do ~${cand / n} comparisons per row " +
+        s"(Σ block² = $cand over $n rows; budget $maxCompPerRow/row) — " +
+        s"fixed-cardinality blocking is Θ(N²) by contract at this scale. " +
+        s"Use $sibling (scale-adaptive blocks), or raise maxCompPerRow " +
+        "deliberately.")
+  }
+
   def knnGraphBlocked(
-      embeddings: DataFrame, k: Int = 3, blockCol: String = "label"): DataFrame = {
+      embeddings: DataFrame, k: Int = 3, blockCol: String = "label",
+      maxCompPerRow: Long = 32768L): DataFrame = {
     val e = embeddings.select(col("vec_id"), col(blockCol).as("block"),
       asDouble(col("embedding")).as("v"))
+    guardBlockLoad(e.select(col("block")), "knnGraphBlocked",
+      "Similarity.knnGraphBucketed", maxCompPerRow)
     val a = e.select(col("vec_id"), col("block"), col("v").as("va"))
     val b = e.select(col("vec_id").as("neighbor_id"), col("block"), col("v").as("vb"))
     val w = org.apache.spark.sql.expressions.Window
@@ -306,9 +336,13 @@ object Similarity {
     */
   def semDedupPrune(
       embeddings: DataFrame, threshold: Double = 0.3,
-      blockCol: String = "label"): DataFrame =
+      blockCol: String = "label",
+      maxCompPerRow: Long = 32768L): DataFrame = {
+    guardBlockLoad(embeddings.select(col(blockCol).as("block")),
+      "semDedupPrune", "Similarity.semDedupPruneBucketed", maxCompPerRow)
     semDedupCore(embeddings.select(col("vec_id"), col(blockCol).as("block"),
       asDouble(col("embedding")).as("v")), threshold)
+  }
 
   /** SemDeDup with operator-owned, SCALE-ADAPTIVE blocking — the at-scale
     * instantiation the [[semDedupPrune]] cost contract calls for. Blocks

@@ -448,9 +448,16 @@ object Sketches {
     val nA = keys(typeA).count()
     val nB = keys(typeB).count()
     import spark.implicits._
-    Seq((nA, nB, exact.toLong, est.toLong, est >= exact,
-      java.lang.Double.parseDouble(est.toString) /
-        java.lang.Double.parseDouble(exact.toString)))
+    // est/exact travel as BigInt-derived decimal STRINGS (a 100 TB join
+    // size overflows int64 — toLong would truncate silently), and the
+    // ratio is null-guarded: disjoint key sets give exact = 0, where a
+    // division yields engine-dependent Infinity/NULL (r6 ADVICE; the
+    // repo's zero-denominator rule).
+    val ratio: Option[Double] =
+      if (exact == 0) None
+      else Some(java.lang.Double.parseDouble(est.toString) /
+        java.lang.Double.parseDouble(exact.toString))
+    Seq((nA, nB, exact.toString, est.toString, est >= exact, ratio))
       .toDF("n_a", "n_b", "exact_size", "cm_estimate", "overestimate", "ratio")
   }
 

@@ -409,10 +409,12 @@ object TextOps {
     "n_ips" -> regexp_count(text, lit(Ipv4Re)),
     "n_phones" -> regexp_count(text, lit(PhoneRe)))
 
-  /** The classic UTF-8-decoded-as-Latin-1 mojibake digraphs and their
-    * repairs (the ftfy fix-encoding shape, reduced to the deterministic
-    * literal-replacement core: each pattern is what one common non-ASCII
-    * codepoint's UTF-8 bytes look like after a Latin-1 mis-decode).
+  /** The classic UTF-8-mis-decoded-as-Windows-1252 (cp1252) mojibake
+    * digraphs and their repairs (the ftfy fix-encoding shape, reduced to
+    * the deterministic literal-replacement core: each pattern is what one
+    * common non-ASCII codepoint's UTF-8 bytes look like after a cp1252
+    * mis-decode — NOT Latin-1, where 0x80/0x99/0x9C are unmapped control
+    * chars; the €/™/œ glyphs in the quote digraphs exist only in cp1252).
     * Ordered longest-first so no repair output re-matches a later pattern.
     */
   val mojibakePairs: Seq[(String, String)] = Seq(

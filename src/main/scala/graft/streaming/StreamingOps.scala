@@ -1115,11 +1115,14 @@ object StreamingOps {
     * why the query shares dedup_clusters' DuckDB oracle verbatim and
     * OpsSpec pins ==batch including a cross-batch component merge.
     */
-  def streamDedupClusters(outer: SparkSession, dir: String): DataFrame =
+  def streamDedupClusters(outer: SparkSession, dir: String,
+      subset: Boolean = false): DataFrame =
     withStreamingPartitions(outer, 8) { spark =>
       val nBatches = 3
-      val tmp = stagedCorpus(dir, "ccpairs") { t =>
-        val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val kind = if (subset) "ccpairs_sub" else "ccpairs"
+      val tmp = stagedCorpus(dir, kind) { t =>
+        val raw = spark.read.parquet(s"$dir/documents.parquet")
+        val docs = if (subset) graft.ops.Dedup.subsetDocs(raw) else raw
         val pairs = graft.ops.Dedup.minhashLshPairs(docs, bands = 32)
           .select(col("doc_a"), col("doc_b"))
         val w = org.apache.spark.sql.expressions.Window

@@ -159,6 +159,43 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"banded=${lsh.size} exact=${exact.size}")
   }
 
+  test("quadratic-contract guards: over-cap simhash bucket and skewed block load fail loudly") {
+    import spark.implicits._
+    // ---- simhashPairs: a template corpus whose identical signatures pile
+    // every doc onto one bucket per band — past maxBucket the old behavior
+    // silently DROPPED the bucket (and the banded == all-pairs claim);
+    // the guard must refuse instead
+    val template = (1L to 6L)
+      .map(i => (i, "identical template text alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException] {
+      Dedup.simhashPairs(template, maxBucket = 4)
+    }
+    assert(e1.getMessage.contains("simhashPairsBlocked"),
+      "guard message must name the scale sibling")
+    // explicit opt-out keeps the documented valve semantics (pairs lost)
+    val dropped = Dedup.simhashPairs(template, maxBucket = 4,
+      failOnOverCap = false).collect()
+    assert(dropped.isEmpty, "over-cap buckets are dropped under the opt-out")
+    // and the natural corpus stays under the cap — default call unchanged
+    assert(Dedup.simhashPairs(docs).collect().nonEmpty)
+
+    // ---- block-load guard: a fixed block column with every vector in ONE
+    // block is the Θ(N²) shape; a tight budget must trip it, naming the
+    // bucketed sibling, and the natural corpus must clear the default
+    val e2 = intercept[IllegalStateException] {
+      Similarity.semDedupPrune(embeddings.withColumn("label", lit("all")),
+        maxCompPerRow = 8L)
+    }
+    assert(e2.getMessage.contains("semDedupPruneBucketed"))
+    val e3 = intercept[IllegalStateException] {
+      Similarity.knnGraphBlocked(embeddings.withColumn("label", lit("all")),
+        maxCompPerRow = 8L)
+    }
+    assert(e3.getMessage.contains("knnGraphBucketed"))
+    assert(Similarity.semDedupPrune(embeddings).collect().nonEmpty)
+  }
+
   test("multi-table (Manku) simhash == banded == all-pairs, incl. planted h<=3 flips") {
     // planted positives: exact copies of 5 docs with 1..3 bit-positions'
     // worth of appended tokens removed — guaranteed-by-construction pairs
@@ -2602,13 +2639,31 @@ class OpsSpec extends AnyFunSuite {
           rows.count(_.getString(0) == "click").toLong)
       }
     val exact = byUser.values.map { case (a, b) => a * b }.sum
-    assert(r.getAs[Long]("exact_size") == exact)
+    // sizes travel as decimal strings (int64 overflows at 100 TB join sizes)
+    assert(BigInt(r.getAs[String]("exact_size")) == BigInt(exact))
     assert(r.getAs[Long]("n_a") == byUser.values.map(_._1).sum)
     assert(r.getAs[Long]("n_b") == byUser.values.map(_._2).sum)
     // the CM inner product bounds the join size from above DETERMINISTICALLY
     assert(r.getAs[Boolean]("overestimate"))
-    assert(r.getAs[Long]("cm_estimate") >= exact)
+    assert(BigInt(r.getAs[String]("cm_estimate")) >= BigInt(exact))
+    assert(exact > 0, "natural events corpus should share error/click users")
     assert(r.getAs[Double]("ratio") >= 1.0)
+  }
+
+  test("join-size estimate: disjoint key sets give exact = 0 and a NULL ratio, not Infinity") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "error", "2024-01-01 00:00:00"),
+      (2L, "error", "2024-01-01 00:00:01"),
+      (3L, "click", "2024-01-01 00:00:02"),
+      (4L, "click", "2024-01-01 00:00:03"))
+      .toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"),
+        col("ts_s").cast("timestamp").as("ts"))
+    val r = graft.ops.Sketches.joinSizeEstimate(ev).collect()(0)
+    assert(r.getAs[String]("exact_size") == "0")
+    assert(r.isNullAt(r.fieldIndex("ratio")), "zero-denominator ratio must be NULL")
+    assert(r.getAs[Boolean]("overestimate"), "0 <= any CM estimate")
   }
 
   test("dp release: clamped, bounded noise, suppressed small groups") {

@@ -97,7 +97,14 @@ def main():
                     print(f'{name:26s} BUDGET >{budget:.0f}s (replay cost; see sf0.01 gate)', flush=True)
                 else:
                     proc.join()
-                    print(q.get() if not q.empty() else f'{name:26s} ERROR worker died', flush=True)
+                    # Queue.empty() is unreliable right after process exit
+                    # (feeder-thread flush race) — a passing oracle could
+                    # sporadically print 'worker died'. Block briefly instead.
+                    try:
+                        msg = q.get(timeout=5)
+                    except Exception:
+                        msg = f'{name:26s} ERROR worker died'
+                    print(msg, flush=True)
                 running.pop(i)
         if block and running:
             time.sleep(1)
