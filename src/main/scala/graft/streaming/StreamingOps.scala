@@ -2105,23 +2105,8 @@ object StreamingOps {
       merge = (a, p) => a ++ p.map { case (et, buf) =>
         et -> a.get(et).map(x => bk.merge(x, buf)).getOrElse(buf)
       },
-      save = (out, s) => {
-        val entries = s.toSeq.sortBy(_._1)
-        out.writeInt(entries.size)
-        entries.foreach { case (key, arr) =>
-          out.writeUTF(key)
-          out.writeInt(arr.length)
-          arr.foreach(out.writeLong)
-        }
-      },
-      load = in => {
-        val n = in.readInt()
-        (0 until n).map { _ =>
-          val key = in.readUTF()
-          val m = in.readInt()
-          key -> Array.fill(m)(in.readLong())
-        }.toMap
-      })
+      save = keyedLongArraySave,
+      load = keyedLongArrayLoad)
   }
 
   def streamQuantileBottomK(outer: SparkSession, dir: String,
@@ -2160,48 +2145,48 @@ object StreamingOps {
     * and oracle verbatim. O(days · 3k) longs of driver state — live
     * maintenance of the percentile sketch table.
     */
+  /** One restartable day-keyed bottom-k accumulation run (the
+    * [[countMinRun]] shape for the temporal quantile rollup): split from
+    * [[streamWindowQuantile]] so the kill-resume spec can drive it in
+    * phases against one checkpoint (r6 VERDICT #6).
+    */
+  private[graft] def windowQuantileRun(
+      spark: SparkSession, srcDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpoint: Option[java.nio.file.Path],
+      filesPerTrigger: Int = 1): (Map[String, Array[Long]], Int) = {
+    import graft.ops.{BottomKSample, Sketches}
+    val bk = new BottomKSample(Sketches.windowQuantileK)
+    driverFoldRun[Map[String, Array[Long]]](
+      spark, srcDir, schema, checkpoint, filesPerTrigger,
+      zero = Map.empty,
+      foldBatch = { b =>
+        val session = b.sparkSession
+        import session.implicits._
+        b.select(col("d"), col("event_id"), col("value"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .agg(bk.toColumn.name("bk"))
+          .collect().toMap
+      },
+      merge = (a, p) => a ++ p.map { case (d, arr) =>
+        d -> a.get(d).map(x => bk.merge(x, arr)).getOrElse(arr)
+      },
+      save = keyedLongArraySave,
+      load = keyedLongArrayLoad)
+  }
+
   def streamWindowQuantile(outer: SparkSession, dir: String): DataFrame =
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
-      import graft.ops.{BottomKSample, Sketches}
+      import graft.ops.Sketches
       val ev = events(spark, dir)
       val el = Sketches.windowQuantileElements(ev).persist()
       val (nChunks, perTrigger) = rowChunks(el.count())
       val tmp = stagedCorpus(dir, "winquant") { t =>
         stageParts(el, t, "chunk", nChunks, col("event_id"))
       }
-      val bk = new BottomKSample(Sketches.windowQuantileK)
-      val (acc, nSeen) = driverFoldRun[Map[String, Array[Long]]](
-        spark, tmp, el.schema, None, perTrigger,
-        zero = Map.empty,
-        foldBatch = { b =>
-          val session = b.sparkSession
-          import session.implicits._
-          b.select(col("d"), col("event_id"), col("value"))
-            .as[(String, Long, Double)]
-            .groupByKey(_._1)
-            .agg(bk.toColumn.name("bk"))
-            .collect().toMap
-        },
-        merge = (a, p) => a ++ p.map { case (d, arr) =>
-          d -> a.get(d).map(x => bk.merge(x, arr)).getOrElse(arr)
-        },
-        save = (out, s) => {
-          val entries = s.toSeq.sortBy(_._1)
-          out.writeInt(entries.size)
-          entries.foreach { case (key, arr) =>
-            out.writeUTF(key)
-            out.writeInt(arr.length)
-            arr.foreach(out.writeLong)
-          }
-        },
-        load = in => {
-          val n = in.readInt()
-          (0 until n).map { _ =>
-            val key = in.readUTF()
-            val m = in.readInt()
-            key -> Array.fill(m)(in.readLong())
-          }.toMap
-        })
+      val (acc, nSeen) = windowQuantileRun(spark, tmp, el.schema, None,
+        perTrigger)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       val out = Sketches.windowQuantileWith(ev,
@@ -2222,6 +2207,57 @@ object StreamingOps {
     * how a live ingest keeps the training-shard manifest current without
     * re-sorting the corpus.
     */
+  /** One restartable shard-manifest accumulation run (the [[countMinRun]]
+    * shape for the training-shard maintenance fold): split from
+    * [[streamShardShuffle]] so the kill-resume spec can drive it in phases
+    * against one checkpoint (r6 VERDICT #6).
+    */
+  private[graft] def shardShuffleRun(
+      spark: SparkSession, srcDir: java.nio.file.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      checkpoint: Option[java.nio.file.Path],
+      filesPerTrigger: Int = 1): (Map[Long, ShardAcc], Int) =
+    driverFoldRun[Map[Long, ShardAcc]](
+      spark, srcDir, schema, checkpoint, filesPerTrigger,
+      zero = Map.empty,
+      foldBatch = { b =>
+        b.groupBy(col("shard")).agg(
+            count(lit(1)).as("n"),
+            sum(col("n_tokens")).as("tok"),
+            sum(col("k").cast(DecimalType(38, 0))).as("ck"),
+            expr("slice(sort_array(collect_list(struct(k, doc_id))), 1, 3)")
+              .as("heads"))
+          .collect().map { r =>
+            r.getLong(0) -> ShardAcc(r.getLong(1), r.getLong(2),
+              BigInt(r.getDecimal(3).toBigInteger),
+              r.getSeq[org.apache.spark.sql.Row](4)
+                .map(h => (h.getLong(0), h.getLong(1))))
+          }.toMap
+      },
+      merge = (a, p) => a ++ p.map { case (sh, acc2) =>
+        sh -> a.get(sh).map(_.merge(acc2)).getOrElse(acc2)
+      },
+      save = (out, s) => {
+        val entries = s.toSeq.sortBy(_._1)
+        out.writeInt(entries.size)
+        entries.foreach { case (sh, a) =>
+          out.writeLong(sh); out.writeLong(a.n); out.writeLong(a.tok)
+          out.writeUTF(a.checksum.toString)
+          out.writeInt(a.heads.size)
+          a.heads.foreach { case (k, d) => out.writeLong(k); out.writeLong(d) }
+        }
+      },
+      load = in => {
+        val n = in.readInt()
+        (0 until n).map { _ =>
+          val sh = in.readLong()
+          val acc2 = ShardAcc(in.readLong(), in.readLong(),
+            BigInt(in.readUTF()),
+            (0 until in.readInt()).map(_ => (in.readLong(), in.readLong())))
+          sh -> acc2
+        }.toMap
+      })
+
   def streamShardShuffle(outer: SparkSession, dir: String): DataFrame =
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       import spark.implicits._
@@ -2242,46 +2278,8 @@ object StreamingOps {
           listing.iterator().asScala.count(_.toString.endsWith(".parquet"))
         } finally listing.close()
       }
-      val (acc, nSeen) = driverFoldRun[Map[Long, ShardAcc]](
-        spark, tmp, elSchema, None, math.max(1, nFiles / 3),
-        zero = Map.empty,
-        foldBatch = { b =>
-          b.groupBy(col("shard")).agg(
-              count(lit(1)).as("n"),
-              sum(col("n_tokens")).as("tok"),
-              sum(col("k").cast(DecimalType(38, 0))).as("ck"),
-              expr("slice(sort_array(collect_list(struct(k, doc_id))), 1, 3)")
-                .as("heads"))
-            .collect().map { r =>
-              r.getLong(0) -> ShardAcc(r.getLong(1), r.getLong(2),
-                BigInt(r.getDecimal(3).toBigInteger),
-                r.getSeq[org.apache.spark.sql.Row](4)
-                  .map(h => (h.getLong(0), h.getLong(1))))
-            }.toMap
-        },
-        merge = (a, p) => a ++ p.map { case (sh, acc2) =>
-          sh -> a.get(sh).map(_.merge(acc2)).getOrElse(acc2)
-        },
-        save = (out, s) => {
-          val entries = s.toSeq.sortBy(_._1)
-          out.writeInt(entries.size)
-          entries.foreach { case (sh, a) =>
-            out.writeLong(sh); out.writeLong(a.n); out.writeLong(a.tok)
-            out.writeUTF(a.checksum.toString)
-            out.writeInt(a.heads.size)
-            a.heads.foreach { case (k, d) => out.writeLong(k); out.writeLong(d) }
-          }
-        },
-        load = in => {
-          val n = in.readInt()
-          (0 until n).map { _ =>
-            val sh = in.readLong()
-            val acc2 = ShardAcc(in.readLong(), in.readLong(),
-              BigInt(in.readUTF()),
-              (0 until in.readInt()).map(_ => (in.readLong(), in.readLong())))
-            sh -> acc2
-          }.toMap
-        })
+      val (acc, nSeen) = shardShuffleRun(spark, tmp, elSchema, None,
+        math.max(1, nFiles / 3))
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
       val mx = acc.values.map(_.n).max
@@ -2300,14 +2298,41 @@ object StreamingOps {
     * change applied to one copy would silently desync the other).
     * Folds a staged (keyCol, "e") element frame into Map[key → k-minimums].
     */
-  private def kmvMapFoldRun(
+  /** The ONE codec for Map[String → Array[Long]] driver state (bottom-k /
+    * KMV keyed sketch maps): three call sites previously carried verbatim
+    * copies; a format change applied to one would silently desync the
+    * others' checkpoints.
+    */
+  private def keyedLongArraySave(
+      out: java.io.DataOutputStream, s: Map[String, Array[Long]]): Unit = {
+    val entries = s.toSeq.sortBy(_._1)
+    out.writeInt(entries.size)
+    entries.foreach { case (key, arr) =>
+      out.writeUTF(key)
+      out.writeInt(arr.length)
+      arr.foreach(out.writeLong)
+    }
+  }
+
+  private def keyedLongArrayLoad(
+      in: java.io.DataInputStream): Map[String, Array[Long]] = {
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val key = in.readUTF()
+      val m = in.readInt()
+      key -> Array.fill(m)(in.readLong())
+    }.toMap
+  }
+
+  private[graft] def kmvMapFoldRun(
       spark: SparkSession, srcDir: java.nio.file.Path,
       schema: org.apache.spark.sql.types.StructType,
       filesPerTrigger: Int, keyCol: String,
-      k: Int): (Map[String, Array[Long]], Int) = {
+      k: Int,
+      checkpoint: Option[java.nio.file.Path] = None): (Map[String, Array[Long]], Int) = {
     val kmv = new graft.ops.KMinValues(k)
     driverFoldRun[Map[String, Array[Long]]](
-      spark, srcDir, schema, None, filesPerTrigger,
+      spark, srcDir, schema, checkpoint, filesPerTrigger,
       zero = Map.empty,
       foldBatch = { b =>
         val session = b.sparkSession
@@ -2320,23 +2345,8 @@ object StreamingOps {
       merge = (a, p) => a ++ p.map { case (key, arr) =>
         key -> a.get(key).map(x => kmv.merge(x, arr)).getOrElse(arr)
       },
-      save = (out, s) => {
-        val entries = s.toSeq.sortBy(_._1)
-        out.writeInt(entries.size)
-        entries.foreach { case (key, arr) =>
-          out.writeUTF(key)
-          out.writeInt(arr.length)
-          arr.foreach(out.writeLong)
-        }
-      },
-      load = in => {
-        val n = in.readInt()
-        (0 until n).map { _ =>
-          val key = in.readUTF()
-          val m = in.readInt()
-          key -> Array.fill(m)(in.readLong())
-        }.toMap
-      })
+      save = keyedLongArraySave,
+      load = keyedLongArrayLoad)
   }
 
   /** STREAMING θ-sketch set algebra: the per-event-type visitor-day

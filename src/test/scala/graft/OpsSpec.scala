@@ -1034,6 +1034,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of planted ties: equal-(key,ts) rows resolve deterministically in both directions") {
+    import spark.implicits._
+    // Every asof CONSUMER pre-reduces right rows to one per (key, ts)
+    // (join_asof_nearest / join_asof_click_error: max(event_id);
+    // join_scd2_pointintime: max_by(priority, version)) — but a regenerated
+    // corpus must not be able to change OPERATOR behavior either, so pin
+    // the operator's own tie rule with planted duplicates (r6 VERDICT #8).
+    val left = Seq((1L, 10L, "c1"), (1L, 10L, "c2"), (1L, 30L, "c3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, 5L), (1L, 10L, 9L), // backward tie AT a left ts (inclusive)
+      (1L, 20L, 3L), (1L, 20L, 7L)) // forward tie strictly after ts=10
+      .toDF("k", "ts", "p")
+    def runAsOf() = graft.ops.AsOfJoin.asOf(left, right, "k", "ts", Seq("p"))
+      .orderBy(col("ts"), col("tag")).collect().map(_.toSeq).toSeq
+    val a = runAsOf()
+    // inclusive backward at equal ts; tied right rows -> GREATEST payload
+    // struct (the __p asc / last() rule); both equal-ts left rows agree;
+    // c3's most recent rights are the tied pair at ts=20 -> 7
+    assert(a.map(r => (r(1), r(2), r(3))) == Seq(
+      (10L, "c1", 9L), (10L, "c2", 9L), (30L, "c3", 7L)))
+    assert(a == runAsOf(), "tie resolution must be run-to-run deterministic")
+
+    def runBoth() = graft.ops.AsOfJoin.asOfBoth(left, right, "k", "ts", Seq("p"))
+      .orderBy(col("ts"), col("tag")).collect()
+      .map(r => (r.getAs[Long]("ts"), r.getAs[String]("tag"),
+        r.getAs[Long]("back_p"), Option(r.getAs[Any]("fwd_p")))).toSeq
+    val b = runBoth()
+    assert(b == Seq(
+      // backward: greatest tied payload at ts<=10; forward: STRICTLY after
+      // (the equal-ts rights at 10 are excluded), tied rights at 20 ->
+      // SMALLEST payload struct (the first() over the following frame)
+      (10L, "c1", 9L, Some(3L)), (10L, "c2", 9L, Some(3L)),
+      (30L, "c3", 7L, None)))
+    assert(b == runBoth(), "bidirectional ties must be deterministic")
+  }
+
   test("scd2: islands match brute-force run compression, intervals tile, one current row") {
     val out = Queries.all("window_scd2")(spark, dir).collect()
     val orders = spark.read.parquet(s"$dir/orders.parquet")
@@ -1754,6 +1791,72 @@ class OpsSpec extends AnyFunSuite {
         s"group $k: resumed buffer differs from the one-pass batch sketch")
     }
     Seq(cmSrc, cmCkpt, bkSrc, bkCkpt).foreach(rmTree)
+  }
+
+  test("driver-fold kill-and-resume: window-quantile, window-distinct, set-algebra, shard manifest (r6 #6)") {
+    import graft.streaming.StreamingOps
+    import graft.ops.Sketches
+    val ev = StreamingOps.events(spark, dir)
+
+    // shared choreography: phase 1 folds chunk0 against a checkpoint, the
+    // driver "dies"; a fresh run restores state.bin, the engine checkpoint
+    // skips the committed batch, and only the remainder folds; an idle
+    // third run must change nothing. Reference = a one-chunk run of the
+    // same fold (the keyed sketch algebras are set-deterministic, so
+    // chunked+resumed == one-pass bit-for-bit).
+    def choreograph[S](label: String, el: org.apache.spark.sql.DataFrame,
+        chunkOf: Int => org.apache.spark.sql.DataFrame,
+        run: (java.nio.file.Path, Option[java.nio.file.Path]) => (S, Int))(
+        assertEq: (S, S) => Unit): Unit = {
+      val src = java.nio.file.Files.createTempDirectory(s"${label}_resume_src")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"${label}_resume_ck")
+      val full = java.nio.file.Files.createTempDirectory(s"${label}_resume_fl")
+      StreamingOps.stageOne(el, full, "all")
+      val (ref, _) = run(full, None)
+      StreamingOps.stageOne(chunkOf(0), src, "chunk0")
+      val (s1, n1) = run(src, Some(ckpt))
+      assert(n1 == 1, s"$label: phase 1 should fold one batch, got $n1")
+      StreamingOps.stageOne(chunkOf(1), src, "chunk1")
+      StreamingOps.stageOne(chunkOf(2), src, "chunk2")
+      val (s2, n2) = run(src, Some(ckpt))
+      assert(n2 == 3, s"$label: resume should total 3 batches, got $n2")
+      assertEq(s2, ref)
+      val (s3, n3) = run(src, Some(ckpt))
+      assert(n3 == 3, s"$label: idle restart re-folded a batch")
+      assertEq(s3, ref)
+      val _ = s1
+      Seq(src, ckpt, full).foreach(rmTree)
+    }
+    def eqLongArrayMap(a: Map[String, Array[Long]],
+        b: Map[String, Array[Long]]): Unit = {
+      assert(a.keySet == b.keySet)
+      a.foreach { case (k, arr) => assert(arr.toSeq == b(k).toSeq,
+        s"key $k: resumed buffer differs from the one-pass fold") }
+    }
+
+    val wq = Sketches.windowQuantileElements(ev)
+    choreograph("wq", wq,
+      i => wq.where(pmod(col("event_id"), lit(3)) === i),
+      (s, c) => StreamingOps.windowQuantileRun(spark, s, wq.schema, c))(eqLongArrayMap)
+
+    val wd = Sketches.activityElements(ev)
+    choreograph("wd", wd,
+      i => wd.where(pmod(xxhash64(col("e")), lit(3)) === i),
+      (s, c) => StreamingOps.kmvMapFoldRun(spark, s, wd.schema, 1, "d", 256,
+        c))(eqLongArrayMap)
+
+    val se = Sketches.setElements(ev)
+    choreograph("se", se,
+      i => se.where(pmod(xxhash64(col("e")), lit(3)) === i),
+      (s, c) => StreamingOps.kmvMapFoldRun(spark, s, se.schema, 1, "t",
+        Sketches.setAlgebraK, c))(eqLongArrayMap)
+
+    val sh = Queries.shardShuffleElements(docs)
+    choreograph("sh", sh,
+      i => sh.where(pmod(col("doc_id"), lit(3)) === i),
+      (s, c) => StreamingOps.shardShuffleRun(spark, s, sh.schema, c)) {
+      (a, b) => assert(a == b, "resumed shard manifest differs from one-pass")
+    }
   }
 
   test("ridge quality model: exact solve, streamed == batch, kill-and-resume") {
