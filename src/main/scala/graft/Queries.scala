@@ -1468,13 +1468,6 @@ object Queries {
     * convergence knobs on graphs that need them.
     */
   private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
-    val fwd = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
-      .distinct()
-    // reversed copy: src parities disjoint, so plain union stays duplicate-free.
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     // Loop width is THE scale knob (r5 verdict): a fixed 32 puts the whole
     // per-iteration hash aggregation of a 100x corpus into 32 concurrent
     // tasks and OOMs a local[32]/8g session (caught by the r6 full-registry
@@ -1483,6 +1476,29 @@ object Queries {
     // result partitioning-invariant, so the oracle is untouched.
     val liRows = t(s, dir, "lineitem").count()
     val parts = math.max(32L, math.min(512L, liRows / 250000L)).toInt
+    // The EDGE DERIVATION needs the same width discipline as the loop
+    // (r7: at the 1000× decade the session-width join/distinct over a
+    // 6×10⁸-row fact table OOMed on 128 MB hash-map doublings — 32 tasks
+    // × ~2×10⁷-entry aggregate state): explicit repartitions on the join
+    // and distinct keys satisfy their ClusteredDistribution, so every
+    // edge-building exchange runs `parts` wide. ONLY when the self-sized
+    // width exceeds the session width — at base scale the extra exchanges
+    // are pure cost (measured +1.3 s at sf0.1, the r6→r7 regression class).
+    val widen = parts > s.conf.get("spark.sql.shuffle.partitions").toInt
+    def w(df: DataFrame, keys: Column*): DataFrame =
+      if (widen) df.repartition(parts, keys: _*) else df
+    val fwd = w(
+      w(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("l_orderkey"))
+        .join(w(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("src"),
+          (col("o_custkey") * 2 + 1).as("dst")),
+      col("src"), col("dst"))
+      .distinct()
+    // reversed copy: src parities disjoint, so plain union stays duplicate-free.
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     // rowsHint = 2·|lineitem| bounds |edges| (distinct pairs + reversal):
     // past Fs.materialize's threshold the loop frames go to scratch parquet
     // instead of memory-pinned localCheckpoint blocks (the 1000× OOM class)
@@ -1864,19 +1880,33 @@ object Queries {
     * localCheckpointed because every consumer reads it several times.
     */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pk")).distinct()
-    val edges = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok"))
-      .where(col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .where(pmod(graft.functions.HashOps.md5Low64(
-        concat(col("u").cast(StringType), lit("_"), col("v").cast(StringType))),
-        lit(4L)) === 0)
+    // The graph_pagerank edge-derivation width discipline (r7): at the
+    // 1000× decade the session-width self-join/distinct over ~6×10⁸
+    // lineitems OOMs on spill-read buffers + partial-agg doublings; widen
+    // every derivation exchange to the self-sized parts — only when that
+    // exceeds the session width (pure cost at base scale otherwise).
+    val liRows = t(s, dir, "lineitem").count()
+    val parts = math.max(32L, math.min(512L, liRows / 250000L)).toInt
+    val widen = parts > s.conf.get("spark.sql.shuffle.partitions").toInt
+    def w(df: DataFrame, keys: Column*): DataFrame =
+      if (widen) df.repartition(parts, keys: _*) else df
+    val li = w(t(s, dir, "lineitem").select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")), col("ok"), col("pk")).distinct()
+    val liJ = w(li, col("ok"))
+    val edges = w(
+      liJ.as("a").join(liJ.as("b"), col("a.ok") === col("b.ok"))
+        .where(col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .where(pmod(graft.functions.HashOps.md5Low64(
+          concat(col("u").cast(StringType), lit("_"), col("v").cast(StringType))),
+          lit(4L)) === 0),
+      col("u"), col("v"))
       .distinct()
-    // footer-count hint: past ~10⁸ lineitems the edge set goes to scratch
-    // parquet instead of memory-backed checkpoint blocks (Fs.materialize —
-    // the graph-at-1000× OOM lesson)
-    graft.util.Fs.materialize(edges, t(s, dir, "lineitem").count())
+    // footer-count hint: past ~10⁸ lineitems the edge set goes to a
+    // bucketed scratch table instead of memory-backed checkpoint blocks
+    // (Fs.materializeKeyed — the graph-at-1000× OOM lessons, r6 + r7);
+    // bucketing on u keeps the consumers' per-round u-joins exchange-free
+    graft.util.Fs.materializeKeyed(edges, parts, Seq("u"), liRows)
   }
 
   /** The matching DuckDB CTE chain (li, e0, e) for [[coPurchaseEdges]]. */

@@ -87,9 +87,9 @@ object Graph {
     require(damping >= 1 && damping <= 99, "damping is an integer percent in [1, 99]")
     require(maxIter >= 1, "at least one iteration")
     import graft.util.Fs
-    val e = Fs.materialize(edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .repartition(parts, col("src")), rowsHint)
+    val e = Fs.materializeKeyed(edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
+      parts, Seq("src"), rowsHint)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // node universe with out-degrees, materialized ONCE — every round's
     // damped update left-joins contrib against THIS frame (not against the
@@ -98,9 +98,10 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-    val nd = Fs.materialize(nodes.join(deg, nodes("node") === deg("src"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .repartition(parts, col("node")), rowsHint)
+    val nd = Fs.materializeKeyed(
+      nodes.join(deg, nodes("node") === deg("src"), "left")
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")),
+      parts, Seq("node"), rowsHint)
     // each knob adds a driver ACTION per round (pool agg / delta agg) that
     // would otherwise recompute the whole lineage — only then pay the
     // per-round materialization the default path deliberately avoids
@@ -109,7 +110,7 @@ object Graph {
     var prevMat: Option[Fs.Materialized] = None
     def setRanks(df: DataFrame, force: Boolean): Unit =
       if (force) {
-        val m = Fs.materializeTracked(df, rowsHint)
+        val m = Fs.materializeTrackedKeyed(df, parts, Seq("node"), rowsHint)
         // the new frame is fully written — round k−1's scratch copy is no
         // longer an input to anything; free it now instead of at JVM exit
         prevMat.foreach(_.free())
@@ -148,8 +149,8 @@ object Graph {
       val next = m.select(col("node"), col("outdeg"),
         (lit(teleport) + expr(s"($damping * m) div 100")).as("r"))
       if (tolRaw > 0L) {
-        val nextMat = Fs.materializeTracked(
-          next.repartition(parts, col("node")), rowsHint)
+        val nextMat = Fs.materializeTrackedKeyed(next, parts,
+          Seq("node"), rowsHint)
         val maxDelta = nextMat.df.select(col("node"), col("r").as("rn"))
           .join(ranks.select(col("node"), col("r").as("ro")), "node")
           .agg(max(abs(col("rn") - col("ro")))).head().getLong(0)
@@ -195,23 +196,23 @@ object Graph {
       parts: Int = 32, rowsHint: Long = 0L): DataFrame = {
     require(rounds >= 1, "at least one round")
     import graft.util.Fs
-    val e = Fs.materialize(edges
-      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
-      .repartition(parts, col("u")), rowsHint)
-    var labelsMat = Fs.materializeTracked(e.select(col("u").as("node"))
+    val e = Fs.materializeKeyed(edges
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v")),
+      parts, Seq("u"), rowsHint)
+    var labelsMat = Fs.materializeTrackedKeyed(e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .distinct()
-      .select(col("node"), col("node").as("lab"))
-      .repartition(parts, col("node")), rowsHint)
+      .select(col("node"), col("node").as("lab")),
+      parts, Seq("node"), rowsHint)
     for (_ <- 1 to rounds) {
       val labels = labelsMat.df
       val lu = labels.select(col("node").as("u"), col("lab"))
       val lv = labels.select(col("node").as("v"), col("lab"))
       val msgs = e.join(lv, Seq("v")).select(col("u").as("node"), col("lab"))
         .unionAll(e.join(lu, Seq("u")).select(col("v").as("node"), col("lab")))
-      val next = Fs.materializeTracked(labels.unionAll(msgs)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-        .repartition(parts, col("node")), rowsHint)
+      val next = Fs.materializeTrackedKeyed(labels.unionAll(msgs)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab")),
+        parts, Seq("node"), rowsHint)
       // next is fully written — round k−1's scratch copy is no longer an
       // input to anything; free it now instead of at JVM exit (r6 ADVICE:
       // per-round copies accumulate a full frame per round at 1000×)

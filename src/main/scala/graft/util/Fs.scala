@@ -27,20 +27,26 @@ object Fs {
   }
   def deferDelete(p: java.nio.file.Path): Unit = { deferred.add(p); () }
 
-  /** A materialized frame plus the scratch dir (if any) backing it.
-    * Iterative loops call [[free]] on round k's handle once round k+1 has
-    * been WRITTEN (the write inside [[materializeTracked]] is eager, so the
-    * old data is no longer an input to anything) — without this, a loop of
-    * R rounds at the 1000× decade accumulates R full-frame disk copies
-    * until JVM exit (r6 ADVICE). Exit-time deletion stays as the fallback
-    * for handles never freed.
+  /** A materialized frame plus the scratch dir / catalog table (if any)
+    * backing it. Iterative loops call [[free]] on round k's handle once
+    * round k+1 has been WRITTEN (the write inside [[materializeTracked]]
+    * is eager, so the old data is no longer an input to anything) —
+    * without this, a loop of R rounds at the 1000× decade accumulates R
+    * full-frame disk copies until JVM exit (r6 ADVICE). Exit-time deletion
+    * stays as the fallback for handles never freed.
     */
   final case class Materialized(
       df: org.apache.spark.sql.DataFrame,
-      scratch: Option[java.nio.file.Path]) {
-    def free(): Unit = scratch.foreach { p =>
-      deferred.remove(p)
-      deleteRecursively(p)
+      scratch: Option[java.nio.file.Path],
+      table: Option[(org.apache.spark.sql.SparkSession, String)] = None) {
+    def free(): Unit = {
+      table.foreach { case (spark, name) =>
+        try spark.sql(s"DROP TABLE IF EXISTS $name") catch { case _: Throwable => () }
+      }
+      scratch.foreach { p =>
+        deferred.remove(p)
+        deleteRecursively(p)
+      }
     }
   }
 
@@ -69,4 +75,64 @@ object Fs {
       df.write.parquet(tmp.resolve("d").toString)
       Materialized(df.sparkSession.read.parquet(tmp.resolve("d").toString), Some(tmp))
     }
+
+  /** [[materialize]] for a frame the caller wants HASH-PARTITIONED on
+    * `keys` for downstream co-location: the repartition belongs on the
+    * SMALL branch only. localCheckpoint preserves its child's
+    * partitioning, so checkpointing `repartition(parts, keys)` saves every
+    * downstream join/agg on the keys an Exchange — but a parquet
+    * round-trip LOSES partitioning entirely, so on the big branch the
+    * pre-write exchange is pure cost, and a wide one at that: the
+    * 1000×-decade run of graph_pagerank OOMed in exactly that 512-way
+    * sort-shuffle (32 concurrent map tasks × ~384 MB pointer-array
+    * doublings on a 1.2e9-row frame, r7). Big branch = write the frame
+    * AS PRODUCED, read back lazily; downstream ops insert their own
+    * exchange, which they would have needed after the round-trip anyway.
+    */
+  private val tableSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** [[materializeTrackedKeyed]] needs COLUMN NAMES for the big branch's
+    * bucketBy; keyed callers pass names and we build the columns.
+    *
+    * Small branch: `repartition(parts, keys).localCheckpoint()` —
+    * localCheckpoint preserves its child's partitioning, so downstream
+    * joins/aggs on the keys reuse it (the CLAUDE.md loop-shuffle rule).
+    *
+    * Big branch: a plain parquet round-trip LOSES partitioning, so every
+    * loop round would re-shuffle the full frame — at the 1000× decade that
+    * is a 12 GB spill-heavy exchange PER ROUND and it OOMed an 8 GB heap
+    * (r7, graph_pagerank's 10⁹-edge frame). Instead write a BUCKETED
+    * external table (`bucketBy(parts, keys)` into a scratch dir, in-memory
+    * catalog): the bucketed scan reports HashPartitioning(keys, parts), so
+    * per-round equi-joins/aggs on the keys read the buckets in place and
+    * only the node-sized side moves — the cluster answer (a bucketed
+    * lakehouse table) expressed locally. One `repartition(parts, keys)`
+    * before the write keeps it to one file per bucket. [[Materialized.free]]
+    * drops the table and deletes the dir.
+    */
+  def materializeTrackedKeyed(df: org.apache.spark.sql.DataFrame,
+      parts: Int, keys: Seq[String], rowsHint: Long,
+      bigRows: Long = 20000000L): Materialized = {
+    val keyCols = keys.map(df.col)
+    if (rowsHint < bigRows)
+      Materialized(df.repartition(parts, keyCols: _*).localCheckpoint(), None)
+    else {
+      val spark = df.sparkSession
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mat")
+      deferDelete(tmp)
+      val name = s"graft_mat_${tableSeq.incrementAndGet()}_${
+        java.lang.Long.toHexString(System.nanoTime())}"
+      df.repartition(parts, keyCols: _*)
+        .write
+        .option("path", tmp.resolve("t").toString)
+        .bucketBy(parts, keys.head, keys.tail: _*)
+        .saveAsTable(name)
+      Materialized(spark.table(name), Some(tmp), Some((spark, name)))
+    }
+  }
+
+  def materializeKeyed(df: org.apache.spark.sql.DataFrame,
+      parts: Int, keys: Seq[String], rowsHint: Long,
+      bigRows: Long = 20000000L): org.apache.spark.sql.DataFrame =
+    materializeTrackedKeyed(df, parts, keys, rowsHint, bigRows).df
 }
