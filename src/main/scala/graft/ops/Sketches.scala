@@ -1001,12 +1001,23 @@ object Sketches {
       .join(daysDf, Seq("w"), "left_semi")
       .repartition(parts, col("w"))
     import org.apache.spark.sql.expressions.{Window => W}
-    val wq = W.partitionBy(col("w"), col("q"))
-      .orderBy(col("value"), col("event_id"))
-    val exact = win.crossJoin(broadcast(Seq(0.5, 0.9).toDF("q")))
-      .withColumn("vr", row_number().over(wq))
-      .withColumn("n", count(lit(1)).over(W.partitionBy(col("w"), col("q"))))
-      .where(col("vr") === ceil(col("q") * col("n")).cast(LongType))
+    // exact order statistic from per-(window, value) COUNTS, not a row-level
+    // sort: the row_number formulation buffers an entire (w, q) partition
+    // (the full 7-day exploded stream) in one window sort — ~7×10⁸ rows at
+    // the 1000× decade across a handful of partitions, which exhausted the
+    // execution pool (r7). Value cardinality is corpus-bounded, so the
+    // count frame is ~10³× smaller; the value whose cumulative range
+    // [cum−c+1, cum] contains rank ceil(q·n) is BY CONSTRUCTION the same
+    // value row_number() would have landed on (ties in `value` collapse to
+    // one count row), so est/exact_q/rank_err are bit-identical.
+    val cnt = win.groupBy(col("w"), col("value")).agg(count(lit(1)).as("c"))
+    val cum = cnt
+      .withColumn("cum", sum(col("c")).over(
+        W.partitionBy(col("w")).orderBy(col("value"))))
+      .withColumn("n", sum(col("c")).over(W.partitionBy(col("w"))))
+    val exact = cum.crossJoin(broadcast(Seq(0.5, 0.9).toDF("q")))
+      .withColumn("r", ceil(col("q") * col("n")).cast(LongType))
+      .where(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
       .select(col("w"), col("q"), col("value").as("exact_q"), col("n"))
     val rank = win.join(broadcast(est), col("w") === col("day"))
       .groupBy(col("day"), col("q"), col("est"))

@@ -882,15 +882,22 @@ object StreamingOps {
         }
       }
 
-      val name = s"stream_sess_${math.abs(System.identityHashCode(spark)).toString}_${math.abs(System.identityHashCode(ev)).toString}"
-      spark.streams.active.filter(_.name == name).foreach(_.stop())
+      // FILE sink, not a memory sink: sessions are CORPUS-SCALE output
+      // (one row per session), and the memory sink collects them all onto
+      // the driver heap — stream_sessionize OOMed the 1000× decade on
+      // exactly that (r7). The parquet sink streams each micro-batch's
+      // emissions to a scratch dir; the result reads back lazily.
+      val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out")
+      val ckDir = java.nio.file.Files.createTempDirectory("graft_sess_ck")
+      graft.util.Fs.deferDelete(outDir)
       val q = stream
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
         .writeStream
         .outputMode("append")
-        .format("memory")
-        .queryName(name)
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckDir.toString)
         .start()
       q.processAllAvailable()
       stageOneCached(ev.where(unix_micros(col("ts")) > midUs), tmp, "batch2", cacheKey)
@@ -903,9 +910,12 @@ object StreamingOps {
         tmp, "sentinel", cacheKey)
       q.processAllAvailable()
       q.stop()
-      // the memory sink holds the rows; the staged source is dead weight
+      // the parquet sink holds the rows; source staging + engine
+      // checkpoint are dead weight (outDir is deferred to JVM exit — the
+      // returned frame reads it lazily)
       deleteRecursively(tmp)
-      spark.table(name)
+      deleteRecursively(ckDir)
+      spark.read.parquet(outDir.toString)
         .where(col("user_id") >= 0)
         .orderBy(col("user_id"), col("session_start_us"))
     }
