@@ -229,9 +229,13 @@ object Similarity {
     */
   private def guardBlockLoad(blocks: DataFrame, op: String, sibling: String,
       maxCompPerRow: Long): Unit = if (maxCompPerRow > 0) {
+    // square in DECIMAL, not Long: a block past ~3.04e9 rows would overflow
+    // the Long multiply and ANSI-throw ArithmeticException — in exactly the
+    // pathological-skew regime this guard exists to diagnose (r7 ADVICE)
+    val c38 = col("c").cast(DecimalType(38, 0))
     val r = blocks.groupBy(col("block")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c")).cast(DecimalType(38, 0)),
-        sum((col("c") * col("c")).cast(DecimalType(38, 0)))).head()
+      .agg(sum(c38).cast(DecimalType(38, 0)),
+        sum(c38 * c38).cast(DecimalType(38, 0))).head()
     val n = BigInt(r.getDecimal(0).toBigInteger)
     val cand = BigInt(r.getDecimal(1).toBigInteger)
     if (n > 0 && cand > BigInt(maxCompPerRow) * n) throw new IllegalStateException(

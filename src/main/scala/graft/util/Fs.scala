@@ -47,6 +47,19 @@ object Fs {
         deferred.remove(p)
         deleteRecursively(p)
       }
+      // small branch (localCheckpoint): the checkpoint blocks live in the
+      // CACHING layer and otherwise persist for the session — an iterative
+      // loop below bigRows would pin one full-frame block copy per round
+      // (r7 ADVICE: the exact accumulation free() exists to prevent, just
+      // in storage instead of on disk). Unpersist the checkpointed RDD
+      // behind the LogicalRDD leaf; best-effort, the handle is dead either
+      // way.
+      if (scratch.isEmpty && table.isEmpty)
+        try df.queryExecution.analyzed.collectLeaves().foreach {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false); ()
+          case _ => ()
+        } catch { case _: Throwable => () }
     }
   }
 
