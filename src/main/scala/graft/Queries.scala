@@ -1850,28 +1850,6 @@ object Queries {
       |  ON m.month = f.month AND m.priority = f.priority
       |ORDER BY m.month, m.priority""".stripMargin
 
-  /** Triangle counting on the part co-purchase graph (parts sharing an
-    * order), via the degree-oriented wedge algorithm: every undirected edge
-    * is directed from its (degree, id)-smaller endpoint to the larger, so
-    * each triangle has exactly ONE apex with two out-edges and is counted
-    * exactly once, and — the scale property — per-node out-degree is
-    * O(√m), bounding the wedge join at Σ outdeg² = O(m^1.5) instead of the
-    * naive Σ deg² blowup on hub nodes (Suri & Vassilvitskii, WWW'11 —
-    * pattern re-derived, no code). Shuffles: one distinct per edge build,
-    * two degree joins, one wedge self-join + one closure join, all
-    * edge-sized. Deterministic tie-break (degree, then id) makes the
-    * orientation — and therefore every intermediate — exact in SQL; the
-    * oracle replays the whole pipeline. The graph is first thinned by
-    * DOULION edge sampling (Tsourakakis et al., KDD'09): each edge
-    * survives iff pmod(md5-low64("u_v"), 4) == 0 — deterministic, so both
-    * engines sample the IDENTICAL subgraph and the sampled census is
-    * exact, while the unbiased estimate of the full-graph count is
-    * count·p⁻³ = count·64. Sampling cuts the wedge join by p² and is the
-    * standard way a triangle census survives a 100 TB edge set. Output:
-    * top-100 parts by triangle participation (each triangle credits its
-    * three vertices) plus the global sampled count and the DOULION
-    * estimate on every row (broadcast scalars).
-    */
   /** The DOULION-sampled co-purchase edge set (parts sharing an order),
     * shared by graph_triangles AND graph_label_propagation so the two
     * queries' oracles can share the edge CTE verbatim (the ewmaDaily
@@ -1950,6 +1928,28 @@ object Queries {
       |          FROM e0))
       |  WHERE ((hs % 4) + 4) % 4 = 0)""".stripMargin
 
+  /** Triangle counting on the part co-purchase graph (parts sharing an
+    * order), via the degree-oriented wedge algorithm: every undirected edge
+    * is directed from its (degree, id)-smaller endpoint to the larger, so
+    * each triangle has exactly ONE apex with two out-edges and is counted
+    * exactly once, and — the scale property — per-node out-degree is
+    * O(√m), bounding the wedge join at Σ outdeg² = O(m^1.5) instead of the
+    * naive Σ deg² blowup on hub nodes (Suri & Vassilvitskii, WWW'11 —
+    * pattern re-derived, no code). Shuffles: one distinct per edge build,
+    * two degree joins, one wedge self-join + one closure join, all
+    * edge-sized. Deterministic tie-break (degree, then id) makes the
+    * orientation — and therefore every intermediate — exact in SQL; the
+    * oracle replays the whole pipeline. The graph is first thinned by
+    * DOULION edge sampling (Tsourakakis et al., KDD'09): each edge
+    * survives iff pmod(md5-low64("u_v"), 4) == 0 — deterministic, so both
+    * engines sample the IDENTICAL subgraph and the sampled census is
+    * exact, while the unbiased estimate of the full-graph count is
+    * count·p⁻³ = count·64. Sampling cuts the wedge join by p² and is the
+    * standard way a triangle census survives a 100 TB edge set. Output:
+    * top-100 parts by triangle participation (each triangle credits its
+    * three vertices) plus the global sampled count and the DOULION
+    * estimate on every row (broadcast scalars).
+    */
   private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     // materialize-once discipline: e feeds degrees, orientation, and the
     // closure join; tri feeds the total and three participation unions
