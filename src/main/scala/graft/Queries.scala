@@ -6370,12 +6370,15 @@ object Queries {
     graft.ops.Sketches.windowDistinct(
       graft.streaming.StreamingOps.events(s, dir))
 
-  private val sketchWindowDistinctSql =
-    """WITH el AS (
+  /** Oracle body parameterized on the event source, so the `*_subset`
+    * sibling replays the IDENTICAL pipeline over the restricted feed.
+    */
+  private def sketchWindowDistinctSqlBody(src: String): String =
+    s"""el AS (
       |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
       |    CAST(user_id AS VARCHAR) || '|' ||
       |      CAST(epoch_us(ts) // 3600000000 AS VARCHAR) AS e
-      |  FROM events),
+      |  FROM $src),
       |h AS (SELECT DISTINCT day,
       |    (CASE WHEN hm >= 9223372036854775808
       |          THEN CAST(hm - 18446744073709551616 AS BIGINT)
@@ -6406,6 +6409,24 @@ object Queries {
       |  abs(est.est / ex.exact_distinct - 1.0) <= 0.5 AS sketch_ok
       |FROM ex JOIN wdays ON wdays.w = ex.w JOIN est ON est.w = ex.w
       |ORDER BY day""".stripMargin
+
+  private val sketchWindowDistinctSql =
+    "WITH " + sketchWindowDistinctSqlBody("events")
+
+  /** The 1/16 user-subset restriction of stream_window_distinct_subset —
+    * md5_number_lower replays graft_md5_low64, reinterpreted signed BEFORE
+    * the pmod (the CLAUDE.md cross-engine hash rule), then the identical
+    * sketch/audit pipeline over the restricted feed.
+    */
+  private val streamWindowDistinctSubsetSql =
+    """WITH evsub AS (
+      |  SELECT e.* FROM (
+      |    SELECT *, md5_number_lower('wd:' || CAST(user_id AS VARCHAR)) AS hu
+      |    FROM events) e
+      |  WHERE (((CASE WHEN hu >= 9223372036854775808
+      |            THEN CAST(hu - 18446744073709551616 AS BIGINT)
+      |            ELSE CAST(hu AS BIGINT) END) % 16) + 16) % 16 = 0),
+      |""".stripMargin + sketchWindowDistinctSqlBody("evsub")
 
   /** TEMPORAL QUANTILE ROLLUP (Sketches.windowQuantile): trailing-7-day
     * p50/p90 of event values answered from per-day mergeable bottom-k
@@ -7720,6 +7741,8 @@ object Queries {
       graft.streaming.StreamingOps.streamWindowQuantile(s, dir)),
     "stream_window_distinct" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamingOps.streamWindowDistinct(s, dir)),
+    "stream_window_distinct_subset" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamingOps.streamWindowDistinctSubset(s, dir)),
     "diag_referential_integrity" -> diagReferentialIntegrity _,
     "ts_changepoint_cusum" -> tsChangepointCusum _,
     "ts_backtest_snaive" -> tsBacktestSnaive _,
@@ -7923,6 +7946,9 @@ object Queries {
     "stream_window_quantile" -> sketchWindowQuantileSql,
     // per-day KMV folds are set-deterministic per day → same oracle
     "stream_window_distinct" -> sketchWindowDistinctSql,
+    // identical pipeline over the md5 1/16 user subset (audit-subset
+    // sibling for the top-decade exponent, r7 VERDICT #5b)
+    "stream_window_distinct_subset" -> streamWindowDistinctSubsetSql,
     "diag_referential_integrity" -> diagReferentialIntegritySql,
     "ts_changepoint_cusum" -> tsChangepointCusumSql,
     "ts_backtest_snaive" -> tsBacktestSnaiveSql,

@@ -854,6 +854,21 @@ object Sketches {
       concat(col("user_id").cast(StringType), lit("|"),
         expr("unix_micros(ts) div 3600000000").cast(StringType)).as("e"))
 
+  /** Deterministic 1/16 USER subset of the events feed — the `*_subset`
+    * discipline (Dedup.subsetDocs) applied to the window-distinct family:
+    * at the top decade the full-N exact-grading audit is the linear-scan
+    * asymptote (r7 1000× sweep: e₃ 1.10 was the audit, not the sketch
+    * path), so the sibling restricts the ELEMENT UNIVERSE — sketches,
+    * exact audit, and DuckDB oracle identically (md5_number_lower replays
+    * the hash) — keeping the whole code path value-proven while the
+    * measured exponent reflects the O(days·k) sketch rollup. User-level
+    * (not element-level) restriction preserves day coverage, so the day
+    * spine never goes vacuous (1035 subset events / 30 days at sf0.01).
+    */
+  private[graft] def windowDistinctSubsetOf(events: DataFrame): DataFrame =
+    events.where(pmod(graft.functions.HashOps.md5Low64(
+      concat(lit("wd:"), col("user_id").cast(StringType))), lit(16L)) === 0)
+
   /** One distributed pass building the per-DAY KMV sketches (k = 256: the
     * union estimate's RSE is 1/√(k−2) ≈ 6.3%, so the claimed 50% bound
     * sits at 8σ). O(days · k) driver state.

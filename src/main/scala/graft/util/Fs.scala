@@ -27,6 +27,13 @@ object Fs {
   }
   def deferDelete(p: java.nio.file.Path): Unit = { deferred.add(p); () }
 
+  /** Live deferred scratch dirs — the observable for the no-leak
+    * discipline (r7 VERDICT #8): iterative operators must free their loop
+    * scratch before returning, so a long bench session's deferred count
+    * stays bounded by the number of LIVE lazy results, not by rounds run.
+    */
+  private[graft] def deferredCount: Int = deferred.size()
+
   /** A materialized frame plus the scratch dir / catalog table (if any)
     * backing it. Iterative loops call [[free]] on round k's handle once
     * round k+1 has been WRITTEN (the write inside [[materializeTracked]]

@@ -3321,6 +3321,51 @@ class OpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("Fs materialization lifecycle: free() releases scratch dirs, tables, and checkpoint blocks") {
+    import graft.util.Fs
+    val df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    // big branch (bigRows = 1 forces scratch parquet): dir exists while the
+    // handle is live, free() deletes it and drops it from the deferred queue
+    val before = Fs.deferredCount
+    val big = Fs.materializeTracked(df, rowsHint = 100, bigRows = 1)
+    assert(Fs.deferredCount == before + 1)
+    assert(big.scratch.exists(java.nio.file.Files.exists(_)))
+    assert(big.df.count() == 100)
+    big.free()
+    assert(Fs.deferredCount == before)
+    assert(big.scratch.forall(!java.nio.file.Files.exists(_)))
+    // big KEYED branch: bucketed catalog table + dir, both gone after free()
+    val keyed = Fs.materializeTrackedKeyed(df, parts = 4, keys = Seq("k"),
+      rowsHint = 100, bigRows = 1)
+    val tableName = keyed.table.map(_._2).get
+    assert(spark.catalog.tableExists(tableName))
+    assert(keyed.df.count() == 100)
+    keyed.free()
+    assert(!spark.catalog.tableExists(tableName))
+    assert(keyed.scratch.forall(!java.nio.file.Files.exists(_)))
+    assert(Fs.deferredCount == before)
+    // small branch: free() unpersists the localCheckpoint blocks (r7
+    // ADVICE — loops below bigRows otherwise pin one block copy per round
+    // for the session lifetime)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val small = Fs.materializeTracked(df, rowsHint = 100)
+    assert(small.scratch.isEmpty && small.table.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore + 1)
+    small.free()
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore)
+    // iterative operators free their loop scratch before returning
+    // (r7 VERDICT #8): a full labelPropagation run leaves the deferred
+    // count unchanged and adds no pinned checkpoint blocks beyond the
+    // returned (materialized) final frame
+    val edges = spark.range(50).selectExpr("id AS u", "(id + 1) % 50 AS v")
+    val persisted0 = spark.sparkContext.getPersistentRDDs.size
+    val labels = graft.ops.Graph.labelPropagation(edges, rounds = 3, parts = 4)
+    assert(labels.count() == 50)
+    assert(Fs.deferredCount == before)
+    // at most the final label frame remains pinned
+    assert(spark.sparkContext.getPersistentRDDs.size <= persisted0 + 1)
+  }
+
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {
     val res = SparkEntry.queries("source_schema_evolution")(spark, dir).collect()
     assert(res.length == docs.count())

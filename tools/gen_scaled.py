@@ -79,6 +79,19 @@ def offset_copy(table, copies, offsets):
     return pa.concat_tables(out)
 
 
+# --widen-range: per-copy offset applied to the acctbal VALUE columns, far
+# larger than the base value span (~[-1000, 10000]) plus any band epsilon.
+# Key-offset copies leave values in a FIXED range, so value-band occupancy
+# (and hence band-join candidate pairs) grows quadratically with copies —
+# the r7 1000x sweep measured join_band_balance at e3=1.85 from exactly
+# this harness geometry. Real corpus growth widens the value range too;
+# with the offset, within-copy band pairs are preserved verbatim and
+# cross-copy pairs are impossible (gap >> epsilon), so total pairs scale
+# exactly linearly and the measured exponent grades the OPERATOR, not the
+# generator.
+ACCTBAL_STRIDE = 100000.0
+
+
 def stride(table, col):
     """Key stride: max+1, so copies never collide even with sparse keys."""
     return pc.max(table.column(col)).as_py() + 1
@@ -227,17 +240,42 @@ def main():
     ap.add_argument("--tables", default="",
                     help="comma-separated subset (e.g. documents,embeddings) "
                          "for partial decade dirs; empty = all tables")
+    ap.add_argument("--widen-range", action="store_true",
+                    help="offset customer/supplier acctbal per copy so "
+                         "value-band density stays constant (real-growth "
+                         "geometry for band joins; see ACCTBAL_STRIDE)")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     n = args.copies
     subset = set(t for t in args.tables.split(",") if t)
     print(f"scaling {args.src} x{n} -> {args.dst}"
-          + (f" (tables: {sorted(subset)})" if subset else ""))
+          + (f" (tables: {sorted(subset)})" if subset else "")
+          + (" [widen-range]" if args.widen_range else ""))
+
+    def cust_offsets(customer):
+        o = {"c_custkey": stride(customer, "c_custkey")}
+        if args.widen_range:
+            o["c_acctbal"] = ACCTBAL_STRIDE
+        return o
+
+    def supp_offsets(supplier):
+        o = {"s_suppkey": stride(supplier, "s_suppkey")}
+        if args.widen_range:
+            o["s_acctbal"] = ACCTBAL_STRIDE
+        return o
 
     if subset:
         # partial dir: copy the fixed dims, stream-scale the asked tables
         for name in ("region", "nation"):
             write(args.dst, name, read(args.src, name))
+        if "customer" in subset:
+            customer = read(args.src, "customer")
+            write(args.dst, "customer",
+                  offset_copy(customer, n, cust_offsets(customer)))
+        if "supplier" in subset:
+            supplier = read(args.src, "supplier")
+            write(args.dst, "supplier",
+                  offset_copy(supplier, n, supp_offsets(supplier)))
         if "documents" in subset:
             scale_documents_stream(args.src, args.dst, n)
         if "embeddings" in subset:
@@ -257,8 +295,8 @@ def main():
     part_stride = stride(part, "p_partkey")
     order_stride = stride(orders, "o_orderkey")
 
-    write(args.dst, "customer", offset_copy(customer, n, {"c_custkey": cust_stride}))
-    write(args.dst, "supplier", offset_copy(supplier, n, {"s_suppkey": supp_stride}))
+    write(args.dst, "customer", offset_copy(customer, n, cust_offsets(customer)))
+    write(args.dst, "supplier", offset_copy(supplier, n, supp_offsets(supplier)))
     write(args.dst, "part", offset_copy(part, n, {"p_partkey": part_stride}))
     write(args.dst, "orders", offset_copy(
         orders, n, {"o_orderkey": order_stride, "o_custkey": cust_stride}))
