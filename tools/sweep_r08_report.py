@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Assemble SCALESWEEP_1000x_r08.jsonl from the TimeQ sweep logs.
+
+Reads /tmp/sweep_{100x,band100x,band1000x,1000x}.txt (written by
+tools/sweep_r08.sh), computes e3 = log10(t1000/t100) from warm minima
+measured at the SAME concurrency (SPARK_GRAFT_CPUS=16, the documented
+decade-4 discipline: 0.5 GB/core, default heap, same plans), and writes
+one JSONL row per query with the round-8 notes attached.
+"""
+import json
+import math
+import re
+import sys
+
+LINE = re.compile(r"^TIMEQ (\S+)\s+cold=([0-9.]+) warm=([0-9.]+)")
+
+
+def parse(path):
+    out = {}
+    try:
+        with open(path) as f:
+            for ln in f:
+                m = LINE.match(ln)
+                if m:
+                    out[m.group(1)] = (float(m.group(2)), float(m.group(3)))
+    except FileNotFoundError:
+        pass
+    return out
+
+
+def main():
+    t100 = parse("/tmp/sweep_100x.txt")
+    t1000 = parse("/tmp/sweep_1000x.txt")
+    t1000.update(parse("/tmp/sweep_1000x_join.txt"))
+    b100 = parse("/tmp/sweep_band100x.txt")
+    b1000 = parse("/tmp/sweep_band1000x.txt")
+
+    notes = {
+        "stream_dedup_events": (
+            "the r8 memory->parquet file-sink conversion's 1000x proof "
+            "(r7 VERDICT #1: the biggest row-scale emitter, one row per "
+            "unique event = 1e8 rows through the sink) + RocksDB state "
+            "store (1e8 dedup keys are corpus-scale STATE: the default "
+            "in-memory provider heap-OOMed at this decade; disk-backed "
+            "state is the r8 fix). No driver OOM"),
+        "stream_join_click_purchase": (
+            "stream-stream interval join at 1e8 events: both inputs "
+            "buffer in the state store until the watermark passes — "
+            "corpus-scale state, RocksDB-backed since r8 (same OOM class "
+            "as dedup state), output through the r8 parquet file sink"),
+        "dedup_jaccard_prefix": (
+            "prefix-filter df-agg + bucket equi-join + candidate-only "
+            "verify at 5e6 docs (r7 VERDICT #7 top-10 coverage)"),
+        "dedup_jaccard_prefix_subset": (
+            "deterministic 1/4 md5 subset sibling, same code path"),
+        "sim_semdedup_bucketed": (
+            "IVF-bucketed semantic dedup at 2e6 vectors (r7 VERDICT #7)"),
+        "join_fuzzy_quote": (
+            "shingle inverted-index quote attribution at 5e6 docs, "
+            "self-sized index shuffles (r7 VERDICT #7)"),
+        "stream_window_distinct_subset": (
+            "1/16 user-subset sibling: the exact-grading audit is 16x "
+            "lighter, so the exponent reflects the O(days*k) sketch/rollup "
+            "product path (r7 VERDICT #5b; full query r7 e3=1.10 was the "
+            "audit's linear scan at half concurrency)"),
+        "stream_window_distinct": (
+            "full query re-measured with both decades at cpus=16 "
+            "(r7 mixed a 32-thread 100x denominator)"),
+        "join_band_balance": (
+            "widened-range scaled dirs (gen_scaled --widen-range: acctbal "
+            "offset per copy keeps value-band density constant — the "
+            "real-growth geometry; r7 e3=1.85 on fixed-range dirs was the "
+            "documented generator artifact, r7 VERDICT #5a)"),
+    }
+
+    rows = []
+    for q in sorted(set(t100) | set(t1000)):
+        if q not in t100 or q not in t1000:
+            continue
+        w100, w1000 = min(t100[q]), min(t1000[q])
+        e3 = math.log10(w1000 / w100)
+        rows.append({
+            "query": q, "dir": "base", "sec": w1000,
+            "cold_sec": t1000[q][0], "sec_100x": w100, "cpus": 16,
+            "e3": round(e3, 3), "note": notes.get(q, ""),
+        })
+    if "join_band_balance" in b100 and "join_band_balance" in b1000:
+        w100, w1000 = min(b100["join_band_balance"]), min(b1000["join_band_balance"])
+        rows.append({
+            "query": "join_band_balance", "dir": "widened-range",
+            "sec": w1000, "cold_sec": b1000["join_band_balance"][0],
+            "sec_100x": w100, "cpus": 16,
+            "e3": round(math.log10(w1000 / w100), 3),
+            "note": notes["join_band_balance"],
+        })
+    with open("/root/repo/SCALESWEEP_1000x_r08.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    for r in rows:
+        print(f"{r['query']:34s} {r['dir']:14s} 100x={r['sec_100x']:9.3f} "
+              f"1000x={r['sec']:9.3f} e3={r['e3']:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
