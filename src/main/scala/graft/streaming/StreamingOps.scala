@@ -98,7 +98,7 @@ object StreamingOps {
     * from the shared SparkConf, so plans resolve identically.
     */
   private val childSessions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Boolean), SparkSession]
 
   /** The caller session's shuffle-partition setting — for DRIVER-FOLD
     * sketch streams (count-min, bottom-k, ridge stats), which keep no
@@ -111,14 +111,36 @@ object StreamingOps {
     try outer.conf.get("spark.sql.shuffle.partitions").toInt
     catch { case scala.util.control.NonFatal(_) => 32 }
 
-  private def withStreamingPartitions[A](spark: SparkSession, n: Int)(body: SparkSession => A): A = {
-    // ONE cached child per (caller session, n): repeated invocations reuse
-    // its session state (codegen cache, memory-sink views) exactly as the
-    // pre-child-session code reused the caller's — benchmarked +0.4 s per
-    // streaming query when a fresh child was created per call
-    val ss = childSessions.computeIfAbsent((spark, n), _ => {
+  /** `diskState = true` routes the query's state store to RocksDB
+    * (disk-backed, native memory) instead of the default
+    * HDFSBackedStateStoreProvider, whose loaded-version maps live ON THE
+    * EXECUTOR HEAP. For queries whose state is CORPUS-SCALE — exact dedup
+    * keeps one entry per unique event id, a stream-stream interval join
+    * buffers both inputs until the watermark passes — the in-memory
+    * provider is a deterministic executor OOM once per-partition state
+    * outgrows the heap share: the r8 decade-4 run put 10⁸ dedup keys (×2
+    * at-least-once copies) through 8 partitions of one 8 GB JVM and died
+    * in exactly this class. On the 1000-executor design target the same
+    * math holds per executor, and disk-backed state is the standard
+    * answer (RocksDB ships with Spark). Day/window-bounded aggregation
+    * state stays on the default provider — eviction already bounds it,
+    * and the r7 decade-4 readings on those members are pinned baselines.
+    */
+  private def withStreamingPartitions[A](spark: SparkSession, n: Int,
+      diskState: Boolean = false)(body: SparkSession => A): A = {
+    // ONE cached child per (caller session, n, provider): repeated
+    // invocations reuse its session state (codegen cache, memory-sink
+    // views) exactly as the pre-child-session code reused the caller's —
+    // benchmarked +0.4 s per streaming query when a fresh child was
+    // created per call. The provider flag is part of the key: RocksDB is
+    // set on the CHILD only, so queries sharing the same n never inherit
+    // it (the CLAUDE.md conf-scoping rule).
+    val ss = childSessions.computeIfAbsent((spark, n, diskState), _ => {
       val s = spark.newSession()
       s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      if (diskState)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       s
     })
     body(ss)
@@ -618,7 +640,10 @@ object StreamingOps {
     * `GROUP BY day, COUNT(DISTINCT event_id)`, which the DuckDB oracle
     * replays.
     */
-  def streamDedupEvents(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
+  def streamDedupEvents(outer: SparkSession, dir: String): DataFrame =
+    // diskState: exact-dedup state is one entry per UNIQUE EVENT ID —
+    // corpus-scale, heap-OOM on the default in-memory provider at 10⁸ ids
+    withStreamingPartitions(outer, 8, diskState = true) { spark =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the STREAM emits one row per unique event — corpus-scale output, so
@@ -661,7 +686,10 @@ object StreamingOps {
     * finite harness file — value-identical to the batch inequality join the
     * DuckDB oracle replays.
     */
-  def streamClickPurchaseJoin(outer: SparkSession, dir: String): DataFrame = withStreamingPartitions(outer, 8) { spark =>
+  def streamClickPurchaseJoin(outer: SparkSession, dir: String): DataFrame =
+    // diskState: an interval stream-stream join buffers BOTH inputs in the
+    // state store until the watermark passes — corpus-scale state
+    withStreamingPartitions(outer, 8, diskState = true) { spark =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src(): DataFrame = normalizeTs(spark.readStream
@@ -1351,7 +1379,9 @@ object StreamingOps {
   def streamDedupSimhash(
       outer: SparkSession, dir: String,
       maxHamming: Int = 3, maxBucket: Int = 8192): DataFrame =
-    withStreamingPartitions(outer, 8) { spark =>
+    // diskState: per-bucket state holds every seen (simhash, doc_id) in
+    // the band's bucket — Σ over buckets is corpus-scale
+    withStreamingPartitions(outer, 8, diskState = true) { spark =>
       import spark.implicits._
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))

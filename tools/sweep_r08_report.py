@@ -12,7 +12,8 @@ import math
 import re
 import sys
 
-LINE = re.compile(r"^TIMEQ (\S+)\s+cold=([0-9.]+) warm=([0-9.]+)")
+# sbt prefixes forked stdout with "[info] " — never anchor TIMEQ
+LINE = re.compile(r"TIMEQ (\S+)\s+cold=([0-9.]+) warm=([0-9.]+)")
 
 
 def parse(path):
@@ -20,7 +21,7 @@ def parse(path):
     try:
         with open(path) as f:
             for ln in f:
-                m = LINE.match(ln)
+                m = LINE.search(ln)
                 if m:
                     out[m.group(1)] = (float(m.group(2)), float(m.group(3)))
     except FileNotFoundError:
@@ -32,6 +33,9 @@ def main():
     t100 = parse("/tmp/sweep_100x.txt")
     t1000 = parse("/tmp/sweep_1000x.txt")
     t1000.update(parse("/tmp/sweep_1000x_join.txt"))
+    # stage B: the re-run after dedup_jaccard_prefix exhausted the box's
+    # disk mid-session and killed the rest of its TimeQ JVM
+    t1000.update(parse("/tmp/sweep_1000x_b.txt"))
     b100 = parse("/tmp/sweep_band100x.txt")
     b1000 = parse("/tmp/sweep_band1000x.txt")
 
@@ -93,12 +97,26 @@ def main():
             "e3": round(math.log10(w1000 / w100), 3),
             "note": notes["join_band_balance"],
         })
+    if "dedup_jaccard_prefix" in t100 and "dedup_jaccard_prefix" not in t1000:
+        rows.append({
+            "query": "dedup_jaccard_prefix", "dir": "base", "sec": -3,
+            "sec_100x": min(t100["dedup_jaccard_prefix"]), "cpus": 16,
+            "note": (
+                "DISK-BOUND at decade 4 on one box (the r7 graph_triangles "
+                "class): the exploded shingle df-agg/prefix index at 5e6 "
+                "docs spills past the ~60 GB free on this box "
+                "(SPILL_OUT_OF_MEMORY: No space left on device) — on the "
+                "1000-executor design target that spill is ~100 MB/node. "
+                "The 100x point (263 s at 16 threads) and the 1/4-subset "
+                "sibling's decade-4 row keep the code path value-proven "
+                "and scale-measured"),
+        })
     with open("/root/repo/SCALESWEEP_1000x_r08.jsonl", "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
     for r in rows:
         print(f"{r['query']:34s} {r['dir']:14s} 100x={r['sec_100x']:9.3f} "
-              f"1000x={r['sec']:9.3f} e3={r['e3']:.3f}")
+              f"1000x={r['sec']:9.3f} e3={r.get('e3', float('nan')):.3f}")
     return 0
 
 
