@@ -1502,8 +1502,13 @@ object Queries {
     // rowsHint = 2·|lineitem| bounds |edges| (distinct pairs + reversal):
     // past Fs.materialize's threshold the loop frames go to scratch parquet
     // instead of memory-pinned localCheckpoint blocks (the 1000× OOM class)
+    // finalizeAndFree (r8): materialize the final node-scale ranks once and
+    // free the edge-scale e/nd scratch before returning — without it each
+    // bench/verify invocation leaves a 2·|lineitem|-row scratch frame until
+    // JVM exit (the r7 VERDICT #8 class, closed for triangles/label-prop in
+    // r8 but previously impossible here because the returned plan was lazy)
     graft.ops.Graph.pageRank(edges, damping = 85, maxIter = 3, parts = parts,
-      rowsHint = 2L * liRows)
+      rowsHint = 2L * liRows, finalizeAndFree = true)
       .select(col("node"), expr("node div 2").as("entity_key"),
         when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
         col("outdeg"), col("r").as("rank_raw"),

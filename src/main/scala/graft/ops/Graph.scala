@@ -80,6 +80,16 @@ object Graph {
     *                 threshold (r7 ADVICE: reusing the edge hint paid a
     *                 bucketed parquet write per round for a frame orders of
     *                 magnitude smaller than the edges)
+    * @param finalizeAndFree materialize the FINAL ranks (node-scale, one
+    *                 eager job — the consumer would have executed the same
+    *                 single plan anyway) and free the EDGE-scale e/nd
+    *                 scratch before returning. Without it the returned lazy
+    *                 plan references e and nd, so their scratch — 2·|edges|
+    *                 rows, the dominant footprint at decade 3–4 — lives
+    *                 until JVM exit and every extra consumer action re-runs
+    *                 the whole loop. The r7 no-eager-jobs discipline is
+    *                 untouched: this is one job at the END covering all
+    *                 rounds, not a job per round.
     * @return (node, outdeg, r, iters) — r is the raw scaled rank, iters the
     *         literal number of rounds actually run (lets tests observe
     *         convergence-based termination; query projections drop it)
@@ -92,14 +102,16 @@ object Graph {
       tolRaw: Long = 0L,
       parts: Int = 32,
       rowsHint: Long = 0L,
-      nodeRowsHint: Long = -1L): DataFrame = {
+      nodeRowsHint: Long = -1L,
+      finalizeAndFree: Boolean = false): DataFrame = {
     require(damping >= 1 && damping <= 99, "damping is an integer percent in [1, 99]")
     require(maxIter >= 1, "at least one iteration")
     import graft.util.Fs
     val nHint = if (nodeRowsHint >= 0L) nodeRowsHint else rowsHint / 8L
-    val e = Fs.materializeKeyed(edges
+    val eH = Fs.materializeTrackedKeyed(edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst")),
       parts, Seq("src"), rowsHint)
+    val e = eH.df
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // node universe with out-degrees, materialized ONCE — every round's
     // damped update left-joins contrib against THIS frame (not against the
@@ -108,10 +120,11 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-    val nd = Fs.materializeKeyed(
+    val ndH = Fs.materializeTrackedKeyed(
       nodes.join(deg, nodes("node") === deg("src"), "left")
         .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")),
       parts, Seq("node"), nHint)
+    val nd = ndH.df
     // each knob adds a driver ACTION per round (pool agg / delta agg) that
     // would otherwise recompute the whole lineage — only then pay the
     // per-round materialization the default path deliberately avoids
@@ -172,7 +185,21 @@ object Graph {
         setRanks(next, force = eager || (it + 1) % LineageEvery == 0)
       it += 1
     }
-    ranks.withColumn("iters", lit(it.toLong))
+    val out = ranks.withColumn("iters", lit(it.toLong))
+    if (!finalizeAndFree) out
+    else {
+      // one eager node-scale materialization of the final ranks, then free
+      // the edge-scale scratch (e is 2·|edges| rows — the decade-3/4
+      // footprint; the final frame is node-scale, orders of magnitude
+      // smaller). The write executes the loop's single lazy plan exactly
+      // once; every consumer action then reads the materialized frame
+      // instead of re-running the loop.
+      val finH = Fs.materializeTrackedKeyed(out, parts, Seq("node"), nHint)
+      prevMat.foreach(_.free())
+      ndH.free()
+      eH.free()
+      finH.df
+    }
   }
 
   /** Synchronous min-label propagation over an undirected graph — the

@@ -3364,6 +3364,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Fs.deferredCount == before)
     // at most the final label frame remains pinned
     assert(spark.sparkContext.getPersistentRDDs.size <= persisted0 + 1)
+    // pageRank with finalizeAndFree: the edge/nd scratch is freed before
+    // return (r8 — previously impossible because the returned plan was
+    // lazy); only the materialized final ranks frame remains pinned, and
+    // the values are identical to the lazy path's
+    val persisted1 = spark.sparkContext.getPersistentRDDs.size
+    val prEdges = edges.selectExpr("u AS src", "v AS dst")
+    val prLazy = graft.ops.Graph.pageRank(prEdges, maxIter = 3, parts = 4)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val prFin = graft.ops.Graph.pageRank(prEdges, maxIter = 3, parts = 4,
+      finalizeAndFree = true)
+    val prFinRows = prFin.orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(prFinRows == prLazy)
+    assert(Fs.deferredCount == before)
+    // lazy call pins e + nd; finalize call nets exactly one extra frame
+    // (its materialized final ranks)
+    assert(spark.sparkContext.getPersistentRDDs.size <= persisted1 + 3)
   }
 
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {

@@ -197,6 +197,36 @@ def scale_documents_stream(src, dst, copies):
     print(f"  documents: {total} rows (streamed, row_group_size={flush_at})")
 
 
+def scale_events_stream(src, dst, copies):
+    """Streaming offset-copy for the events table at very large copy counts
+    (the events-only decade-4 dir: 1000 copies of 1e5 rows would otherwise
+    concat ~8 GB of python-held arrow tables). Same key-offset semantics as
+    the full-dir path: event_id/user_id strides, dates/values untouched."""
+    table = read(src, "events")
+    ev_stride = stride(table, "event_id")
+    us_stride = stride(table, "user_id")
+    writer = pq.ParquetWriter(os.path.join(dst, "events.parquet"), table.schema)
+    pending, pending_rows, total, flush_at = [], 0, 0, 1000000
+    for c in range(copies):
+        t = table
+        if c > 0:
+            for col, s in (("event_id", ev_stride), ("user_id", us_stride)):
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t.column(col),
+                                 pa.scalar(c * s, t.schema.field(col).type))
+                t = t.set_column(idx, t.schema.field(col), shifted)
+        pending.append(t)
+        pending_rows += t.num_rows
+        total += t.num_rows
+        if pending_rows >= flush_at:
+            writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
+            pending, pending_rows = [], 0
+    if pending:
+        writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
+    writer.close()
+    print(f"  events: {total} rows (streamed, row_group_size={flush_at})")
+
+
 def scale_embeddings_stream(src, dst, copies):
     """Streaming twin of scale_embeddings for very large copy counts."""
     table = read(src, "embeddings")
@@ -276,6 +306,8 @@ def main():
             supplier = read(args.src, "supplier")
             write(args.dst, "supplier",
                   offset_copy(supplier, n, supp_offsets(supplier)))
+        if "events" in subset:
+            scale_events_stream(args.src, args.dst, n)
         if "documents" in subset:
             scale_documents_stream(args.src, args.dst, n)
         if "embeddings" in subset:
