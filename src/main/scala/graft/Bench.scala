@@ -7,7 +7,7 @@ object Bench {
     * series disaggregated to quarterly inside cogroup tasks (one shuffle,
     * kernels run where the data is). Returns wall seconds.
     */
-  private def manySeriesSec(spark: SparkSession, nSeries: Int): Double = {
+  private[graft] def manySeriesSec(spark: SparkSession, nSeries: Int): Double = {
     val t0 = System.nanoTime()
     val low = spark.range(nSeries.toLong).select(col("id").as("series_id"))
       .crossJoin(spark.range(7).select((col("id") + 1995).as("yr")))
