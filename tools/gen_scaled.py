@@ -197,6 +197,35 @@ def scale_documents_stream(src, dst, copies):
     print(f"  documents: {total} rows (streamed, row_group_size={flush_at})")
 
 
+def scale_rel_stream(src, dst, name, copies, offsets, flush_at=1000000):
+    """Streamed key-offset copies for any relational table (the events
+    writer generalized): per-copy shifted key columns are built one copy at
+    a time and flushed through one ParquetWriter, so a 1000-copy lineitem
+    never concatenates in memory. Non-offset columns are zero-copy
+    references to the base table's arrow buffers."""
+    table = read(src, name)
+    writer = pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"), table.schema)
+    pending, pending_rows, total = [], 0, 0
+    for c in range(copies):
+        t = table
+        if c > 0:
+            for col, s in offsets.items():
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t.column(col),
+                                 pa.scalar(c * s, t.schema.field(col).type))
+                t = t.set_column(idx, t.schema.field(col), shifted)
+        pending.append(t)
+        pending_rows += t.num_rows
+        total += t.num_rows
+        if pending_rows >= flush_at:
+            writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
+            pending, pending_rows = [], 0
+    if pending:
+        writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
+    writer.close()
+    print(f"  {name}: {total} rows (streamed, row_group_size={flush_at})")
+
+
 def scale_events_stream(src, dst, copies):
     """Streaming offset-copy for the events table at very large copy counts
     (the events-only decade-4 dir: 1000 copies of 1e5 rows would otherwise
@@ -306,6 +335,23 @@ def main():
             supplier = read(args.src, "supplier")
             write(args.dst, "supplier",
                   offset_copy(supplier, n, supp_offsets(supplier)))
+        if "orders" in subset or "lineitem" in subset:
+            # strides from the BASE tables so orders/lineitem stay
+            # referentially consistent with each other (and with any
+            # customer/supplier copies built above)
+            cust_stride = stride(read(args.src, "customer"), "c_custkey")
+            supp_stride = stride(read(args.src, "supplier"), "s_suppkey")
+            part_stride = stride(read(args.src, "part"), "p_partkey")
+            order_stride = stride(read(args.src, "orders"), "o_orderkey")
+            if "orders" in subset:
+                scale_rel_stream(args.src, args.dst, "orders", n,
+                                 {"o_orderkey": order_stride,
+                                  "o_custkey": cust_stride})
+            if "lineitem" in subset:
+                scale_rel_stream(args.src, args.dst, "lineitem", n,
+                                 {"l_orderkey": order_stride,
+                                  "l_partkey": part_stride,
+                                  "l_suppkey": supp_stride})
         if "events" in subset:
             scale_events_stream(args.src, args.dst, n)
         if "documents" in subset:
