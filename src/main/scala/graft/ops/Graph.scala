@@ -193,8 +193,11 @@ object Graph {
       // footprint; the final frame is node-scale, orders of magnitude
       // smaller). The write executes the loop's single lazy plan exactly
       // once; every consumer action then reads the materialized frame
-      // instead of re-running the loop.
-      val finH = Fs.materializeTrackedKeyed(out, parts, Seq("node"), nHint)
+      // instead of re-running the loop. UNKEYED: the loop is over — no
+      // downstream op joins on node, so a keyed bucketed layout would pay
+      // a parts-wide exchange (512-way at the 1000× decade) for nothing;
+      // the frame is written AS PRODUCED.
+      val finH = Fs.materializeTracked(out, nHint)
       prevMat.foreach(_.free())
       ndH.free()
       eH.free()
