@@ -174,7 +174,9 @@ def scale_documents_stream(src, dst, copies):
     pending = [table]
     pending_rows = table.num_rows
     total = table.num_rows
-    flush_at = 250000
+    # row-group parity with the full-dir path (see scale_rel_stream),
+    # capped so a flush of python-built string tables stays in memory
+    flush_at = min(2000000, max(8192, table.num_rows * copies // 64))
     for c in range(1, copies):
         tag = str(c)
         rep = r"\g<1>" + tag
@@ -197,13 +199,18 @@ def scale_documents_stream(src, dst, copies):
     print(f"  documents: {total} rows (streamed, row_group_size={flush_at})")
 
 
-def scale_rel_stream(src, dst, name, copies, offsets, flush_at=1000000):
+def scale_rel_stream(src, dst, name, copies, offsets):
     """Streamed key-offset copies for any relational table (the events
     writer generalized): per-copy shifted key columns are built one copy at
     a time and flushed through one ParquetWriter, so a 1000-copy lineitem
     never concatenates in memory. Non-offset columns are zero-copy
-    references to the base table's arrow buffers."""
+    references to the base table's arrow buffers. Row-group geometry
+    matches the full-dir path (`write()`: rows//64) — scan parallelism is
+    row-group-bound, so a streamed dir with many more groups than the
+    batch-built one measures a DIFFERENT problem (the r8-s2 label-prop
+    decade rows were 600-group vs 64-group dirs)."""
     table = read(src, name)
+    flush_at = max(8192, table.num_rows * copies // 64)
     writer = pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"), table.schema)
     pending, pending_rows, total = [], 0, 0
     for c in range(copies):
@@ -235,7 +242,9 @@ def scale_events_stream(src, dst, copies):
     ev_stride = stride(table, "event_id")
     us_stride = stride(table, "user_id")
     writer = pq.ParquetWriter(os.path.join(dst, "events.parquet"), table.schema)
-    pending, pending_rows, total, flush_at = [], 0, 0, 1000000
+    pending, pending_rows, total = [], 0, 0
+    # row-group parity with the full-dir path (see scale_rel_stream)
+    flush_at = max(8192, table.num_rows * copies // 64)
     for c in range(copies):
         t = table
         if c > 0:
@@ -268,7 +277,8 @@ def scale_embeddings_stream(src, dst, copies):
     pending = [table]
     pending_rows = table.num_rows
     total = table.num_rows
-    flush_at = 250000
+    # row-group parity with the full-dir path (see scale_rel_stream)
+    flush_at = min(2000000, max(8192, table.num_rows * copies // 64))
     for c in range(1, copies):
         h = (np.uint64(c) * np.uint64(1315423911)
              + np.arange(dim, dtype=np.uint64)) * np.uint64(2654435761)
