@@ -66,13 +66,37 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val many = try manySeriesSec(spark, 10000) catch { case _: Throwable => -1.0 }
-    val many100k = try manySeriesSec(spark, 100000) catch { case _: Throwable => -1.0 }
-    // third decade (r6 VERDICT #7): series-parallelism is THE 100 TB design
-    // (SURVEY §7.8); 10⁶ independent series through the cogroup kernels in
-    // one shuffle pins the flat-scaling claim (measured 3.6 s vs 2.3 s at
-    // 10⁵ on this machine — fixed overhead still dominates at a million)
-    val many1m = try manySeriesSec(spark, 1000000) catch { case _: Throwable => -1.0 }
+    // Scale-shape measurements (many-series + 10x exponents) run on a
+    // FRESH SparkContext: after three sweeps of the full registry the
+    // original session carries 128+ queries' worth of streaming
+    // state-store maintenance threads, caches and GC debt, and the r8
+    // driver bench read the 10⁶ many-series point at 15.2 s on it while
+    // an isolated warm protocol reads ~2.5 s (r8 VERDICT #1 — a 5x swing
+    // in the headline throughput number that was JVM temperature, not
+    // code). JIT/codegen warmth survives in the JVM across contexts.
+    spark.stop()
+    val s2 = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s2.sparkContext.setLogLevel("WARN")
+    // Warm min-of-2 per size (one discarded warm-up run eats the plan /
+    // cogroup codegen for that size, then two timed runs): the steady-state
+    // per-size cost is the quantity that extrapolates to a long-running
+    // 100 TB job, and it is deterministic where a single cold reading
+    // swings with whatever the JVM was doing beforehand. Third decade
+    // (r6 VERDICT #7): series-parallelism is THE 100 TB design
+    // (SURVEY §7.8); 10⁶ independent series through the cogroup kernels
+    // in one shuffle pins the flat-scaling claim.
+    def manyWarm(n: Int): Double =
+      try {
+        manySeriesSec(s2, n) // warm-up, discarded
+        math.min(manySeriesSec(s2, n), manySeriesSec(s2, n))
+      } catch { case _: Throwable => -1.0 }
+    val many = manyWarm(10000)
+    val many100k = manyWarm(100000)
+    val many1m = manyWarm(1000000)
     // EMPIRICAL 10x SCALE POINT: if a 10x-the-bench-dir dataset exists
     // (tools/gen_scaled.py writes one to target/testdata_10x; override via
     // SPARK_GRAFT_SCALE_DIR), re-run the 10 most expensive queries there
@@ -92,20 +116,14 @@ object Bench {
         // contradicted cold-session TimeQ measurements (e≈1.07 in-bench vs
         // 0.35/0.72 isolated): this block ran on a session carrying 128
         // queries' worth of state-store maintenance threads, caches and GC
-        // debt. Isolate on a FRESH SparkContext (JIT warmth survives in
-        // the JVM) and take min-of-2 at 10x, symmetric with the min-of-2
-        // warm base times, so one-off per-dir costs (footer reads, stream
-        // staging) don't masquerade as super-linear growth. A query that
-        // THROWS at 10x records the -1/NaN sentinel instead of its
-        // truncated elapsed time (r5 ADVICE) and is excluded from the
-        // median.
-        spark.stop()
-        val s2 = SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        s2.sparkContext.setLogLevel("WARN")
+        // debt. It shares the many-series block's fresh SparkContext (JIT
+        // warmth survives in the JVM; the many-series runs are plain batch
+        // cogroup jobs that leave no streaming state behind) and takes
+        // min-of-2 at 10x, symmetric with the min-of-2 warm base times, so
+        // one-off per-dir costs (footer reads, stream staging) don't
+        // masquerade as super-linear growth. A query that THROWS at 10x
+        // records the -1/NaN sentinel instead of its truncated elapsed
+        // time (r5 ADVICE) and is excluded from the median.
         results.toSeq.sortBy(-_._2).take(10).map { case (name, base) =>
           def once(): Double = {
             val t0 = System.nanoTime()
@@ -146,6 +164,6 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, detail + "\n" + line + "\n")
     } catch { case _: Throwable => () }
-    spark.stop()
+    s2.stop()
   }
 }

@@ -7467,25 +7467,35 @@ object Queries {
     * exact count plus a `within_5pct` accuracy bound the oracle asserts as
     * TRUE — Spark's HLL is deterministic for fixed input, so the boolean is
     * stable, and a sketch regression past 5% relative error flips the gate
-    * red. The sketch runs at rsd = 0.005, NOT the 0.05 default: the claimed
-    * bound must sit ~10 standard deviations above the estimator's typical
-    * error, because a bound equal to the rsd is a coin flip per input —
-    * the sf0.1 corpus breached it while sf0.01 passed (caught by the r6
-    * sf0.1 oracle replay). ~32 KB of registers, still mergeable/constant
-    * memory. At 100 TB the sketch is the product; the exact count is the
-    * verification harness.
+    * red. The sketch runs at lgConfigK = 16 (65,536 buckets, RSE ≈ 0.4%),
+    * NOT a near-5% configuration: the claimed bound must sit ~10 standard
+    * deviations above the estimator's typical error, because a bound equal
+    * to the rsd is a coin flip per input — the sf0.1 corpus breached a 5%
+    * sketch while sf0.01 passed (caught by the r6 sf0.1 oracle replay).
+    * ~48 KB sketch, still mergeable/constant memory. At 100 TB the sketch
+    * is the product; the exact count is the verification harness.
+    *
+    * DataSketches `hll_sketch_agg`, NOT `approx_count_distinct(_, 0.005)`:
+    * the equal-accuracy HLL++ config materializes its 8,192-word register
+    * file as 8,192 separate Long agg-buffer ATTRIBUTES, and every fresh
+    * plan over that buffer pays ~2.5–5 s of driver-side planning/codegen
+    * plus a 2.9 MiB task binary — measured row-count-INDEPENDENT (5 s over
+    * a 10-row frame; the r8 bench's 3.35 s base reading with a negative
+    * 10× exponent was exactly this fixed cost). The DataSketches agg is a
+    * TypedImperativeAggregate with one opaque binary buffer: same query
+    * shape runs 0.16 s warm, identical estimate (±1) on this corpus.
     */
   private def approxDistinct(s: SparkSession, dir: String): DataFrame =
     // HLL registers are a function of the value SET (duplicate-insensitive),
     // so both aggregates run over ONE pre-distinct frame: mixing
-    // countDistinct with approx_count_distinct in a single agg made the
-    // distinct-rewrite evaluate the rsd=0.005 sketch PER USER GROUP,
-    // materializing its 6,553-word buffer as 6,555 codegen columns per row
+    // countDistinct with a per-group-rewritable sketch agg in a single agg
+    // made the distinct-rewrite evaluate the sketch PER USER GROUP
     // (measured 5.1 s at sf0.1 vs 0.5 s for this form, identical values)
     graft.streaming.StreamingOps.events(s, dir) // nanos-safe events read
       .select(col("user_id")).distinct()
       .agg(count(lit(1)).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.005).as("approx_users"))
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 16))")
+          .as("approx_users"))
       .select(col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
           col("exact_users") <= 0.05).as("within_5pct"))
