@@ -239,6 +239,78 @@ object StreamingOps {
     spark.read.schema(stream.schema).parquet(outDir.toString)
   }
 
+  /** One restartable AvailableNow pass of `stream` into a PERSISTENT
+    * parquet sink: unlike [[runToFileSink]] the checkpoint and sink dir
+    * survive the call, so a later invocation with the same paths resumes
+    * from the engine checkpoint — source offsets, the sink's exactly-once
+    * file log, and (for stateful plans) the state store itself. Test
+    * surface for the kill-and-resume specs on ENGINE-state streams (the
+    * RocksDB-backed members); the driver-fold family has its own
+    * state.bin restart contract.
+    */
+  private[graft] def runRestartablePass(stream: DataFrame,
+      ckpt: java.nio.file.Path, out: java.nio.file.Path): Unit = {
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Restartable run of the [[streamDedupEvents]] plan over a staged chunk
+    * dir (normalized-events schema; one file per micro-batch). The spec
+    * stages more chunks — including re-delivered in-watermark duplicates —
+    * between calls and asserts the resumed RocksDB dedup state still
+    * yields the batch answer.
+    */
+  private[graft] def dedupEventsResumeRun(outer: SparkSession,
+      src: java.nio.file.Path, schema: StructType,
+      ckpt: java.nio.file.Path, out: java.nio.file.Path): Unit =
+    withStreamingPartitions(outer, 8, diskState = true) { spark =>
+      val s = normalizeTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString))
+      runRestartablePass(dedupEventsStream(s), ckpt, out)
+    }
+
+  /** Restartable run of the [[streamClickPurchaseJoin]] plan over a staged
+    * chunk dir: the spec splits the events table at a timestamp chosen so
+    * at least one click/purchase pair STRADDLES the restart boundary —
+    * the click's join state must survive the RocksDB checkpoint restore
+    * for the pair to emit.
+    */
+  private[graft] def clickPurchaseResumeRun(outer: SparkSession,
+      src: java.nio.file.Path, schema: StructType,
+      ckpt: java.nio.file.Path, out: java.nio.file.Path): Unit =
+    withStreamingPartitions(outer, 8, diskState = true) { spark =>
+      def mkSrc(): DataFrame = normalizeTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString))
+      runRestartablePass(clickPurchaseJoined(mkSrc _), ckpt, out)
+    }
+
+  /** Restartable run of the [[streamDedupSimhash]] pair stream over a
+    * staged chunk dir: near-dup pairs whose members arrive on opposite
+    * sides of the restart exercise the resumed per-bucket signature state.
+    * Raw emissions land in the sink; the spec applies the cross-band
+    * dropDuplicates on its final read, exactly like the production query.
+    */
+  private[graft] def dedupSimhashResumeRun(outer: SparkSession,
+      src: java.nio.file.Path, schema: StructType,
+      ckpt: java.nio.file.Path, out: java.nio.file.Path,
+      maxHamming: Int = 3, maxBucket: Int = 8192): Unit =
+    withStreamingPartitions(outer, 8, diskState = true) { spark =>
+      runRestartablePass(
+        simhashPairsStream(spark, src.toString, schema, maxHamming, maxBucket),
+        ckpt, out)
+    }
+
   /** Staged-corpus caches (r5 VERDICT #4): Bench runs every streaming query
     * three times, and each run re-wrote IDENTICAL staged chunk files — 14
     * queries × ~3 coalesce(1) Spark jobs per sweep of pure redundancy. Two
@@ -653,25 +725,30 @@ object StreamingOps {
     // only bounds the dedup state. The day-level distinct count is then an
     // ordinary BATCH aggregation over the lazily-read sink — same value as
     // the previous complete-mode windowed agg, same shared oracle.
-    val stream = normalizeTs(spark.readStream
+    val stream = dedupEventsStream(normalizeTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
-      .select(col("event_id"), col("ts"))
-      // simulate an at-least-once source: every event delivered twice, so
-      // the dedup state actually has duplicates to drop (the raw table's
-      // event_ids are unique)
-      .select(col("event_id"), col("ts"),
-        explode(array(lit(1), lit(2))).as("__copy"))
-      .drop("__copy")
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .parquet(dir)))
     runToFileSink(stream, "dedup_events")
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(count(lit(1)).as("n_distinct"))
       .select(col("w.start").cast("timestamp_ntz").as("day"), col("n_distinct"))
       .orderBy(col("day"))
   }
+
+  /** The stateful dedup plan shared by [[streamDedupEvents]] and the
+    * kill-and-resume spec: at-least-once delivery simulated by emitting
+    * every event twice (the raw table's event_ids are unique, so the dedup
+    * state actually has duplicates to drop), 1-hour watermark bounding the
+    * id state, dropDuplicates emitting each id on first sight.
+    */
+  private def dedupEventsStream(src: DataFrame): DataFrame =
+    src.select(col("event_id"), col("ts"))
+      .select(col("event_id"), col("ts"),
+        explode(array(lit(1), lit(2))).as("__copy"))
+      .drop("__copy")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
 
   val streamDedupEventsSql: String =
     """SELECT date_trunc('day', ts) AS day,
@@ -696,24 +773,31 @@ object StreamingOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir))
-    val clicks = src().where(col("event_type") === "click")
+    runToFileSink(clickPurchaseJoined(src _), "click_join")
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  /** The interval-join plan shared by [[streamClickPurchaseJoin]] and the
+    * kill-and-resume spec (`mkSrc` builds one streaming read of the events
+    * source; it is invoked once per join side). Joined pairs are
+    * corpus-scale output → parquet file sink, never the driver-heap memory
+    * sink (r7 VERDICT #1); projected to the final shape BEFORE the sink so
+    * only the five output columns hit disk.
+    */
+  private def clickPurchaseJoined(mkSrc: () => DataFrame): DataFrame = {
+    val clicks = mkSrc().where(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"),
         col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
-    val purchases = src().where(col("event_type") === "purchase")
+    val purchases = mkSrc().where(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
         col("ts").as("pts"))
       .withWatermark("pts", "1 hour")
-    // joined pairs are corpus-scale output → parquet file sink, never the
-    // driver-heap memory sink (r7 VERDICT #1); project to the final shape
-    // BEFORE the sink so only the five output columns hit disk
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
       expr("cu = pu AND pts >= cts AND pts <= cts + interval 30 minutes"))
       .select(col("cu").as("user_id"), col("click_id"), col("purchase_id"),
         unix_micros(col("cts")).as("click_ts_us"),
         unix_micros(col("pts")).as("purchase_ts_us"))
-    runToFileSink(joined, "click_join")
-      .orderBy(col("click_id"), col("purchase_id"))
   }
 
   val streamClickPurchaseJoinSql: String =
@@ -1382,7 +1466,6 @@ object StreamingOps {
     // diskState: per-bucket state holds every seen (simhash, doc_id) in
     // the band's bucket — Σ over buckets is corpus-scale
     withStreamingPartitions(outer, 8, diskState = true) { spark =>
-      import spark.implicits._
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val nChunks = 3
@@ -1390,11 +1473,27 @@ object StreamingOps {
         (0 until nChunks).foreach(i =>
           stageOne(docs.where(pmod(col("doc_id"), lit(nChunks)) === i), t, s"chunk$i"))
       }
+      val pairs = simhashPairsStream(spark, tmp.toString, docs.schema,
+        maxHamming, maxBucket)
+      runToFileSink(pairs, "simhash_pairs")
+        .dropDuplicates("doc_a", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
 
-      val stream = spark.readStream.schema(docs.schema)
+  /** The streaming near-dup PAIR plan shared by [[streamDedupSimhash]] and
+    * the kill-and-resume spec: banded simhash arrivals through the
+    * per-bucket flatMapGroupsWithState detector. Cross-band duplicate
+    * emissions are NOT collapsed here — the caller dedupes on its sink
+    * read (a restartable sink must keep raw emissions so the restart's
+    * exactly-once file log stays append-only).
+    */
+  private def simhashPairsStream(spark: SparkSession, srcDir: String,
+      schema: StructType, maxHamming: Int, maxBucket: Int): DataFrame = {
+      import spark.implicits._
+      val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
-        .parquet(tmp.toString)
+        .parquet(srcDir)
       val arrivals = stream
         .select(col("doc_id"),
           graft.ops.Dedup.simhash64(col("text")).as("sig"))
@@ -1444,14 +1543,11 @@ object StreamingOps {
       // assumed. A qualifying pair can collide in several bands (and so
       // emit from several buckets): the cross-band dropDuplicates on the
       // lazily-read sink dedupes exactly like the batch path's.
-      val pairs = arrivals
+      arrivals
         .groupByKey(a => (a.band, a.key))
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
         .toDF()
-      runToFileSink(pairs, "simhash_pairs")
-        .dropDuplicates("doc_a", "doc_b")
-        .orderBy(col("doc_a"), col("doc_b"))
-    }
+  }
 
   /** STREAMING INGEST PIPELINE — the "at-least-once source → exactly-once
     * training corpus" shape, as ONE streaming query: quality filter

@@ -1743,6 +1743,168 @@ class OpsSpec extends AnyFunSuite {
       "additive sketch must not depend on micro-batch chunking")
   }
 
+  // --- engine-state kill-and-resume (r8 VERDICT #2): the three RocksDB-
+  // backed streams are exactly the queries that get RESTARTED at the
+  // 100 TB target. Each test runs phase 1 over a staged prefix, stops the
+  // query (the "kill"), stages the remainder — arranged so the resumed
+  // plan can only be right if the RocksDB state store restored from the
+  // engine checkpoint — and asserts the final sink equals the batch
+  // answer. The driver-fold family's state.bin restart contract is pinned
+  // separately below.
+
+  /** Stage `df` into `src` as `name.parquet` with an explicit, strictly
+    * increasing modification time: within one resume phase two staged
+    * chunks must be consumed in staging order (watermark choreography),
+    * and sub-millisecond stageOne moves can otherwise tie on modTime.
+    */
+  private def stageOrdered(df: DataFrame, src: java.nio.file.Path,
+      name: String, seq: Int): Unit = {
+    graft.streaming.StreamingOps.stageOne(df, src, name)
+    java.nio.file.Files.setLastModifiedTime(src.resolve(s"$name.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + seq * 10000L))
+    ()
+  }
+
+  test("RocksDB kill-and-resume: exact-dedup stream restart drops re-delivered in-watermark ids (==batch)") {
+    import graft.streaming.StreamingOps
+    val ev = StreamingOps.events(spark, dir).select(col("event_id"), col("ts"))
+    val nEvents = ev.count()
+    // ascending-time chunks (monotone arrival, the ingest-pipeline
+    // pattern — id-based chunks would make later chunks LATE against the
+    // advanced watermark and diverge from batch by design)
+    val times = ev.select(unix_micros(col("ts")).as("us")).orderBy(col("us"))
+      .collect().map(_.getLong(0))
+    val (t1, t2) = (times(times.length / 3), times(2 * times.length / 3))
+    val usCol = unix_micros(col("ts"))
+    val chunk0 = ev.where(usCol < t1)
+    val chunk0Max = times.takeWhile(_ < t1).last
+    // re-delivered duplicates for phase 2: rows STRICTLY inside the 1-hour
+    // watermark window (59 min for margin; always non-empty — the max-ts
+    // row of chunk0 is inside any window). If the restart loses the dedup
+    // state these re-emit into the sink and the id-uniqueness assert dies.
+    val redeliver = chunk0.where(usCol > chunk0Max - 3540000000L)
+    val nRedeliver = redeliver.count()
+    assert(nRedeliver >= 1, "re-delivery set must be non-empty")
+    val src = java.nio.file.Files.createTempDirectory("rdb_dedup_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("rdb_dedup_ck")
+    val out = java.nio.file.Files.createTempDirectory("rdb_dedup_out")
+    try {
+      stageOrdered(chunk0, src, "chunk0", 0)
+      StreamingOps.dedupEventsResumeRun(spark, src, chunk0.schema, ckpt, out)
+      val phase1 = spark.read.schema(chunk0.schema).parquet(out.toString)
+      assert(phase1.count() == chunk0.count(),
+        "phase 1 must emit each chunk0 id exactly once")
+      // the kill: the query above is stopped; phase 2 resumes from the
+      // engine checkpoint with the remainder + the re-delivered tail
+      stageOrdered(ev.where(usCol >= t1 && usCol < t2).unionAll(redeliver),
+        src, "chunk1", 1)
+      stageOrdered(ev.where(usCol >= t2), src, "chunk2", 2)
+      StreamingOps.dedupEventsResumeRun(spark, src, chunk0.schema, ckpt, out)
+      val sink = spark.read.schema(chunk0.schema).parquet(out.toString)
+      assert(sink.count() == nEvents,
+        s"resumed dedup emitted ${sink.count()} rows for $nEvents distinct ids " +
+          s"($nRedeliver re-delivered in-watermark ids must hit restored state)")
+      assert(sink.select(col("event_id")).distinct().count() == nEvents,
+        "resumed dedup re-emitted an id (state lost across restart)")
+      // idle restart: nothing new staged, nothing may change
+      StreamingOps.dedupEventsResumeRun(spark, src, chunk0.schema, ckpt, out)
+      assert(spark.read.schema(chunk0.schema).parquet(out.toString).count() == nEvents,
+        "idle restart changed the sink")
+      // the production query's output shape: day-level distinct == batch
+      val streamedDays = spark.read.schema(chunk0.schema).parquet(out.toString)
+        .groupBy(window(col("ts"), "1 day")("start").as("day"))
+        .agg(count(lit(1)).as("n")).orderBy(col("day"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+      val batchDays = ev
+        .groupBy(window(col("ts"), "1 day")("start").as("day"))
+        .agg(count(lit(1)).as("n")).orderBy(col("day"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+      assert(streamedDays == batchDays)
+    } finally Seq(src, ckpt, out).foreach(rmTree)
+  }
+
+  test("RocksDB kill-and-resume: interval-join state survives restart (straddling pair, ==batch)") {
+    import graft.streaming.StreamingOps
+    val ev = StreamingOps.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val usCol = unix_micros(col("ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("event_id").as("click_id"), usCol.as("cts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("event_id").as("purchase_id"), usCol.as("pts"))
+    val batchPairs = c.join(p, Seq("u"))
+      .where(col("pts") >= col("cts") && col("pts") <= col("cts") + 1800000000L)
+      .select(col("click_id"), col("purchase_id"), col("cts"), col("pts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batchPairs.nonEmpty, "corpus must contain click->purchase pairs")
+    // split at a purchase ts of a strictly-ordered pair: the click lands in
+    // chunk0 (pre-kill), its purchase in chunk1 (post-resume) — the pair
+    // only emits if the click's join state survived the restart
+    val strict = batchPairs.filter(q => q._4 > q._3)
+    assert(strict.nonEmpty, "need a pair with purchase strictly after click")
+    val t1 = strict.maxBy(q => q._4 - q._3)._4
+    val straddling = batchPairs.count(q => q._3 < t1 && q._4 >= t1)
+    assert(straddling >= 1, "split must leave at least one straddling pair")
+    val src = java.nio.file.Files.createTempDirectory("rdb_join_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("rdb_join_ck")
+    val out = java.nio.file.Files.createTempDirectory("rdb_join_out")
+    try {
+      stageOrdered(ev.where(usCol < t1), src, "chunk0", 0)
+      StreamingOps.clickPurchaseResumeRun(spark, src, ev.schema, ckpt, out)
+      stageOrdered(ev.where(usCol >= t1), src, "chunk1", 1)
+      StreamingOps.clickPurchaseResumeRun(spark, src, ev.schema, ckpt, out)
+      val sinkSchema = org.apache.spark.sql.types.StructType(
+        Seq("user_id", "click_id", "purchase_id", "click_ts_us", "purchase_ts_us")
+          .map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType)))
+      val got = spark.read.schema(sinkSchema).parquet(out.toString)
+        .select(col("click_id"), col("purchase_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = batchPairs.map(q => (q._1, q._2)).sorted.toSeq
+      assert(got == want,
+        s"resumed interval join diverged from batch (straddling=$straddling): " +
+          s"only-stream=${(got.toSet -- want.toSet).take(5)} " +
+          s"only-batch=${(want.toSet -- got.toSet).take(5)}")
+    } finally Seq(src, ckpt, out).foreach(rmTree)
+  }
+
+  test("RocksDB kill-and-resume: simhash bucket state survives restart (cross-restart pairs, ==batch)") {
+    import graft.streaming.StreamingOps
+    val d = docs.select(col("doc_id"), col("text"))
+    val batch = Dedup.simhashPairs(d.sparkSession.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty, "corpus must contain simhash near-dups")
+    // phase 1 = pmod class 0; the resumed phases deliver classes 1 and 2.
+    // Non-vacuity: at least one near-dup pair must straddle the restart
+    // (one member each side) for the resumed bucket state to matter.
+    assert(batch.exists(q => (q._1 % 3 == 0) != (q._2 % 3 == 0)),
+      "no near-dup pair straddles the pmod-3 restart boundary: chunking vacuous")
+    val src = java.nio.file.Files.createTempDirectory("rdb_sim_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("rdb_sim_ck")
+    val out = java.nio.file.Files.createTempDirectory("rdb_sim_out")
+    try {
+      stageOrdered(d.where(pmod(col("doc_id"), lit(3)) === 0), src, "chunk0", 0)
+      StreamingOps.dedupSimhashResumeRun(spark, src, d.schema, ckpt, out)
+      stageOrdered(d.where(pmod(col("doc_id"), lit(3)) === 1), src, "chunk1", 1)
+      stageOrdered(d.where(pmod(col("doc_id"), lit(3)) === 2), src, "chunk2", 2)
+      StreamingOps.dedupSimhashResumeRun(spark, src, d.schema, ckpt, out)
+      val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hamming",
+          org.apache.spark.sql.types.IntegerType)))
+      val got = spark.read.schema(sinkSchema).parquet(out.toString)
+        .dropDuplicates("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == batch,
+        s"resumed simhash diverged: only-stream=${(got -- batch).take(5)} " +
+          s"only-batch=${(batch -- got).take(5)}")
+    } finally Seq(src, ckpt, out).foreach(rmTree)
+  }
+
   test("driver-sketch kill-and-resume: checkpointed count-min and bottom-k recover bit-equal") {
     import graft.streaming.StreamingOps
     // --- count-min: phase 1 sees one chunk, then the driver "dies" ---
