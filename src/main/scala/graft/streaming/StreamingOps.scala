@@ -1306,6 +1306,43 @@ object StreamingOps {
       out
     }
 
+  /** Micro-batch delta graphs at or under this edge count run their CC as
+    * a driver union-find (~16 B/edge transient: 5M edges ≈ 80 MB, well
+    * inside any driver); larger batches fall back to the distributed
+    * large-star/small-star loop. Both produce the identical component-min
+    * labels, so the ==batch contract is path-independent.
+    */
+  private val ccDriverEdgeCap = 5000000L
+
+  /** Component-min labels of an edge list via union-find with the smaller
+    * root winning every union (so each tree's root IS the component min)
+    * and full path compression on find. Returns every endpoint exactly
+    * once — the same (node, min-of-component) surface the distributed
+    * [[graft.ops.Dedup.connectedComponents]] emits.
+    */
+  private[graft] def driverMinLabels(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while ({ val p = parent.getOrDefault(r, r); p != r }) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+      ()
+    }
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      out.update(a, find(a)); out.update(b, find(b))
+    }
+    out.toMap
+  }
+
   /** The incremental-CC engine shared by the corpus wrapper and the test
     * surface: streams staged pair chunks (one micro-batch per file) and
     * maintains the bucketed label table. Returns (doc_id, cluster_id).
@@ -1326,6 +1363,14 @@ object StreamingOps {
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // per-phase wall trace, enabled by GRAFT_CC_TRACE=1 (how the r9
+        // relabel attribution was measured); zero cost when unset
+        var lapAt = System.nanoTime()
+        def lap(s: String): Unit = if (sys.env.contains("GRAFT_CC_TRACE")) {
+          val now = System.nanoTime()
+          println(f"CCTRACE $s%-12s ${(now - lapAt) / 1e9}%.3f")
+          lapAt = now
+        }
         val sp = batch.sparkSession
         val state =
           if (hasState.get())
@@ -1335,6 +1380,7 @@ object StreamingOps {
             sp.range(0).select(col("id").as("doc_id"), col("id").as("label"),
               col("id").as("bucket"))
         val edges = batch.select(col("doc_a"), col("doc_b")).localCheckpoint()
+        lap("edges")
         val ends = edges.select(col("doc_a").as("doc_id"))
           .unionAll(edges.select(col("doc_b").as("doc_id"))).distinct()
         // endpoint label lookup — batch-sized; bucketed layout makes this a
@@ -1342,6 +1388,7 @@ object StreamingOps {
         val lookup = ends
           .join(state.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
           .localCheckpoint()
+        lap("lookup")
         val la = lookup.select(col("doc_id").as("doc_a"), col("label").as("la"))
         val lb = lookup.select(col("doc_id").as("doc_b"), col("label").as("lb"))
         val contracted = edges
@@ -1349,9 +1396,26 @@ object StreamingOps {
           .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
             coalesce(col("lb"), col("doc_b")).as("doc_b"))
         // CC on the contracted DELTA graph only (old representatives +
-        // fresh docs): node -> new component min
-        val relabel = graft.ops.Dedup.connectedComponents(contracted)
-          .toDF("node", "new_label").localCheckpoint()
+        // fresh docs): node -> new component min. The delta graph is
+        // BATCH-bounded, never corpus-bounded, so below the cap it runs
+        // as a driver union-find — the distributed large-star/small-star
+        // loop's per-round joins + fixpoint actions cost 1–3 s per
+        // micro-batch on a graph of a few thousand edges (measured: it
+        // was 60% of this query's whole bench time), pure fixed overhead
+        // at that size. Past the cap (a giant micro-batch) it falls back
+        // to the distributed loop rather than collecting — the
+        // guardBlockLoad discipline, degrade-don't-die.
+        val nDelta = edges.count()
+        val relabel =
+          if (nDelta <= ccDriverEdgeCap) {
+            import sp.implicits._
+            driverMinLabels(contracted.collect().map(r =>
+              (r.getLong(0), r.getLong(1))))
+              .toSeq.sortBy(_._1).toDF("node", "new_label")
+          } else
+            graft.ops.Dedup.connectedComponents(contracted)
+              .toDF("node", "new_label").localCheckpoint()
+        lap("relabel")
         // members of components whose representative lost the min...
         val changedOld = state
           .join(broadcast(relabel.where(col("node") =!= col("new_label"))),
@@ -1364,8 +1428,10 @@ object StreamingOps {
         val updated = changedOld.unionByName(fresh)
           .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
           .localCheckpoint()
+        lap("updated")
         val touched = updated.select(col("bucket")).distinct()
           .collect().map(_.getLong(0)).toSeq // ≤ nBuckets rows
+        lap("touched")
         if (touched.nonEmpty) {
           // whole-bucket rewrite content: untouched survivors of the
           // touched buckets + every updated row (localCheckpoint
@@ -1374,11 +1440,13 @@ object StreamingOps {
             .join(updated.select(col("doc_id")), Seq("doc_id"), "left_anti")
             .select(col("doc_id"), col("label"), col("bucket"))
             .localCheckpoint()
+          lap("keepers")
           keepers
             .unionByName(updated.select(col("doc_id"), col("label"), col("bucket")))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket").parquet(stateDir.toString)
+          lap("overwrite")
           hasState.set(true)
         }
         ()

@@ -93,6 +93,12 @@ class OpsSpec extends AnyFunSuite {
       val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
+      // the incremental-CC fast path (driver union-find on batch-bounded
+      // delta graphs) must agree with both: the three label routes are
+      // interchangeable, which is what keeps streamCcRun's under-cap and
+      // over-cap branches ==batch
+      val fast = graft.streaming.StreamingOps.driverMinLabels(edges.toArray)
+      assert(fast == want, s"trial $trial driverMinLabels diverged")
     }
   }
 
