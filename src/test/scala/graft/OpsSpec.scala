@@ -102,6 +102,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard prefix spill guard refuses an over-budget corpus, naming the alternative") {
+    // synthetic over-budget estimate: any real corpus at a 1 KiB budget
+    val ex = intercept[IllegalStateException] {
+      Dedup.jaccardPrefixPairs(docs, maxSpillBytes = 1024L)
+    }
+    assert(ex.getMessage.contains("dedup_jaccard_prefix_subset"),
+      s"guard must name the scale sibling: ${ex.getMessage}")
+    assert(ex.getMessage.contains("maxSpillBytes"),
+      "guard must name the deliberate override")
+    // the guard estimates from n_chars when present and length(text) when
+    // not — both routes must agree on this corpus (n_chars IS the length)
+    val ex2 = intercept[IllegalStateException] {
+      Dedup.jaccardPrefixPairs(docs.drop("n_chars"), maxSpillBytes = 1024L)
+    }
+    assert(ex2.getMessage.contains("refusing up front"))
+    // the auto (free-scratch) budget admits the test corpus and the
+    // operator still computes: guard wired in, not replacing the result
+    assert(Dedup.jaccardPrefixPairs(docs).count() > 0)
+  }
+
   test("connected components never mutate the session shuffle-partition conf") {
     import spark.implicits._
     // the loop used to shrink spark.sql.shuffle.partitions session-wide and
