@@ -3558,7 +3558,8 @@ class OpsSpec extends AnyFunSuite {
     // the values are identical to the lazy path's
     val persisted1 = spark.sparkContext.getPersistentRDDs.size
     val prEdges = edges.selectExpr("u AS src", "v AS dst")
-    val prLazy = graft.ops.Graph.pageRank(prEdges, maxIter = 3, parts = 4)
+    val prLazyDf = graft.ops.Graph.pageRank(prEdges, maxIter = 3, parts = 4)
+    val prLazy = prLazyDf
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     val prFin = graft.ops.Graph.pageRank(prEdges, maxIter = 3, parts = 4,
       finalizeAndFree = true)
@@ -3566,9 +3567,16 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(prFinRows == prLazy)
     assert(Fs.deferredCount == before)
-    // lazy call pins e + nd; finalize call nets exactly one extra frame
-    // (its materialized final ranks)
-    assert(spark.sparkContext.getPersistentRDDs.size <= persisted1 + 3)
+    // free the lazy run's e/nd checkpoint blocks after the comparison
+    // (the Materialized.free route) so this test leaves the shared-JVM
+    // suite's pinned-RDD accounting clean (r8 ADVICE)
+    prLazyDf.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+    // only the finalize call's materialized final ranks frame remains
+    assert(spark.sparkContext.getPersistentRDDs.size <= persisted1 + 1)
   }
 
   test("schema evolution read: null-filled v1, populated v2, partition col discovered") {

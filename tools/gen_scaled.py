@@ -158,6 +158,39 @@ def scale_embeddings(table, copies):
 SUFFIX_SUB = re.compile(r"(\S+)")
 
 
+class GroupedStreamWriter:
+    """One ParquetWriter fed in EXACT flush_at-row groups: pending batches
+    are concatenated and sliced at flush_at with the tail CARRIED into the
+    next flush, so a streamed dir reproduces the batch writer's uniform
+    rows//64 geometry instead of the old flush-all shape (one big group +
+    a small remainder per flush -- ~2x the groups, uneven scan tasks; r8
+    measured 125 vs 64 groups and a -4% scan effect on label-prop decade
+    rows). Memory held is < flush_at + one input batch of rows."""
+
+    def __init__(self, path, schema, flush_at):
+        self.writer = pq.ParquetWriter(path, schema)
+        self.flush_at = flush_at
+        self.pending = []
+        self.pending_rows = 0
+
+    def add(self, t):
+        self.pending.append(t)
+        self.pending_rows += t.num_rows
+        while self.pending_rows >= self.flush_at:
+            buf = pa.concat_tables(self.pending)
+            self.writer.write_table(buf.slice(0, self.flush_at),
+                                    row_group_size=self.flush_at)
+            tail = buf.slice(self.flush_at)
+            self.pending = [tail]
+            self.pending_rows = tail.num_rows
+
+    def close(self):
+        if self.pending_rows > 0:
+            self.writer.write_table(pa.concat_tables(self.pending),
+                                    row_group_size=self.flush_at)
+        self.writer.close()
+
+
 def scale_documents_stream(src, dst, copies):
     """Streaming variant for very large copy counts (the docs-only decade-5
     dir): per-copy tables are written through one ParquetWriter in ~250k-row
@@ -170,31 +203,25 @@ def scale_documents_stream(src, dst, copies):
     langs = table.column("lang")
     sources = table.column("source")
     doc_stride = max(ids) + 1
-    writer = pq.ParquetWriter(os.path.join(dst, "documents.parquet"), table.schema)
-    pending = [table]
-    pending_rows = table.num_rows
-    total = table.num_rows
     # row-group parity with the full-dir path (see scale_rel_stream),
     # capped so a flush of python-built string tables stays in memory
     flush_at = min(2000000, max(8192, table.num_rows * copies // 64))
+    writer = GroupedStreamWriter(
+        os.path.join(dst, "documents.parquet"), table.schema, flush_at)
+    writer.add(table)
+    total = table.num_rows
     for c in range(1, copies):
         tag = str(c)
         rep = r"\g<1>" + tag
         new_texts = [SUFFIX_SUB.sub(rep, t) for t in texts]
-        pending.append(pa.table({
+        writer.add(pa.table({
             "doc_id": pa.array([i + c * doc_stride for i in ids], pa.int64()),
             "text": pa.array(new_texts, pa.string()),
             "lang": langs,
             "source": sources,
             "n_chars": pa.array([len(t) for t in new_texts], pa.int64()),
         }, schema=table.schema))
-        pending_rows += table.num_rows
         total += table.num_rows
-        if pending_rows >= flush_at:
-            writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
-            pending, pending_rows = [], 0
-    if pending:
-        writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
     writer.close()
     print(f"  documents: {total} rows (streamed, row_group_size={flush_at})")
 
@@ -210,9 +237,14 @@ def scale_rel_stream(src, dst, name, copies, offsets):
     batch-built one measures a DIFFERENT problem (the r8-s2 label-prop
     decade rows were 600-group vs 64-group dirs)."""
     table = read(src, name)
-    flush_at = max(8192, table.num_rows * copies // 64)
-    writer = pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"), table.schema)
-    pending, pending_rows, total = [], 0, 0
+    # the 2M cap bounds ParquetWriter's in-memory group (a 1000-copy
+    # lineitem would otherwise buffer ~9.4M wide rows per group); past the
+    # cap the dir carries more, uniform, groups than the batch writer's 64
+    # -- the accepted memory/parity trade (the documents writer's rule)
+    flush_at = min(2000000, max(8192, table.num_rows * copies // 64))
+    writer = GroupedStreamWriter(
+        os.path.join(dst, f"{name}.parquet"), table.schema, flush_at)
+    total = 0
     for c in range(copies):
         t = table
         if c > 0:
@@ -221,14 +253,8 @@ def scale_rel_stream(src, dst, name, copies, offsets):
                 shifted = pc.add(t.column(col),
                                  pa.scalar(c * s, t.schema.field(col).type))
                 t = t.set_column(idx, t.schema.field(col), shifted)
-        pending.append(t)
-        pending_rows += t.num_rows
+        writer.add(t)
         total += t.num_rows
-        if pending_rows >= flush_at:
-            writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
-            pending, pending_rows = [], 0
-    if pending:
-        writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
     writer.close()
     print(f"  {name}: {total} rows (streamed, row_group_size={flush_at})")
 
@@ -241,10 +267,12 @@ def scale_events_stream(src, dst, copies):
     table = read(src, "events")
     ev_stride = stride(table, "event_id")
     us_stride = stride(table, "user_id")
-    writer = pq.ParquetWriter(os.path.join(dst, "events.parquet"), table.schema)
-    pending, pending_rows, total = [], 0, 0
-    # row-group parity with the full-dir path (see scale_rel_stream)
-    flush_at = max(8192, table.num_rows * copies // 64)
+    # row-group parity with the full-dir path, memory-capped like
+    # scale_rel_stream
+    flush_at = min(2000000, max(8192, table.num_rows * copies // 64))
+    writer = GroupedStreamWriter(
+        os.path.join(dst, "events.parquet"), table.schema, flush_at)
+    total = 0
     for c in range(copies):
         t = table
         if c > 0:
@@ -253,14 +281,8 @@ def scale_events_stream(src, dst, copies):
                 shifted = pc.add(t.column(col),
                                  pa.scalar(c * s, t.schema.field(col).type))
                 t = t.set_column(idx, t.schema.field(col), shifted)
-        pending.append(t)
-        pending_rows += t.num_rows
+        writer.add(t)
         total += t.num_rows
-        if pending_rows >= flush_at:
-            writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
-            pending, pending_rows = [], 0
-    if pending:
-        writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
     writer.close()
     print(f"  events: {total} rows (streamed, row_group_size={flush_at})")
 
@@ -273,30 +295,24 @@ def scale_embeddings_stream(src, dst, copies):
     vecs = np.asarray(table.column("embedding").to_pylist(), dtype=np.float32)
     dim = vecs.shape[1]
     vec_stride = int(ids.max()) + 1
-    writer = pq.ParquetWriter(os.path.join(dst, "embeddings.parquet"), table.schema)
-    pending = [table]
-    pending_rows = table.num_rows
-    total = table.num_rows
     # row-group parity with the full-dir path (see scale_rel_stream)
     flush_at = min(2000000, max(8192, table.num_rows * copies // 64))
+    writer = GroupedStreamWriter(
+        os.path.join(dst, "embeddings.parquet"), table.schema, flush_at)
+    writer.add(table)
+    total = table.num_rows
     for c in range(1, copies):
         h = (np.uint64(c) * np.uint64(1315423911)
              + np.arange(dim, dtype=np.uint64)) * np.uint64(2654435761)
         h ^= h >> np.uint64(16)
         signs = np.where(h & np.uint64(1) == 0, np.float32(1.0), np.float32(-1.0))
         flipped = vecs * signs
-        pending.append(pa.table({
+        writer.add(pa.table({
             "vec_id": pa.array(ids + c * vec_stride),
             "embedding": pa.array(list(flipped), pa.list_(pa.float32())),
             "label": labels,
         }, schema=table.schema))
-        pending_rows += table.num_rows
         total += table.num_rows
-        if pending_rows >= flush_at:
-            writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
-            pending, pending_rows = [], 0
-    if pending:
-        writer.write_table(pa.concat_tables(pending), row_group_size=flush_at)
     writer.close()
     print(f"  embeddings: {total} rows (streamed, row_group_size={flush_at})")
 
@@ -317,6 +333,12 @@ def main():
     os.makedirs(args.dst, exist_ok=True)
     n = args.copies
     subset = set(t for t in args.tables.split(",") if t)
+    known = {"region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events", "documents", "embeddings"}
+    unknown = subset - known
+    if unknown:
+        ap.error(f"unknown --tables entries {sorted(unknown)}; "
+                 f"known tables: {sorted(known)}")
     print(f"scaling {args.src} x{n} -> {args.dst}"
           + (f" (tables: {sorted(subset)})" if subset else "")
           + (" [widen-range]" if args.widen_range else ""))
@@ -345,6 +367,10 @@ def main():
             supplier = read(args.src, "supplier")
             write(args.dst, "supplier",
                   offset_copy(supplier, n, supp_offsets(supplier)))
+        if "part" in subset:
+            part = read(args.src, "part")
+            write(args.dst, "part",
+                  offset_copy(part, n, {"p_partkey": stride(part, "p_partkey")}))
         if "orders" in subset or "lineitem" in subset:
             # strides from the BASE tables so orders/lineitem stay
             # referentially consistent with each other (and with any
