@@ -2119,6 +2119,39 @@ object StreamingOps {
       graft.Queries.cdcApply(o, graft.Queries.cdcCompact(runs))
     }
 
+  /** Restartable run of the [[streamCdcMerge]] delta-run sink over a
+    * staged chunk dir: one AvailableNow pass writing per-batch compacted
+    * runs into PERSISTENT `runsDir` under engine checkpoint `ckpt`. Test
+    * surface for the kill-and-resume contract of the IDEMPOTENT-SINK
+    * foreachBatch family (cdc merge, entity resolution, ivfpq upsert):
+    * a batch replayed after a crash-between-write-and-commit gets the
+    * SAME batchId, so its mode("overwrite") `bid=` dir write replaces the
+    * uncommitted attempt — the spec plants a poisoned stale bid dir to
+    * prove the overwrite actually fires.
+    */
+  private[graft] def cdcMergeResumeRun(outer: SparkSession,
+      src: java.nio.file.Path, schema: StructType,
+      ckpt: java.nio.file.Path, runsDir: java.nio.file.Path): Unit =
+    withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.toString)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.Queries.cdcCompact(batch.toDF())
+            .write.mode("overwrite")
+            .parquet(runsDir.resolve(s"bid=$batchId").toString)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
   /** The ONE daily fixed-point frame behind window_ewma AND stream_ewma —
     * they share a DuckDB oracle verbatim, so the derivation (day formula,
     * DECIMAL(18,4)·10⁴ route, exact decimal total) must be a single

@@ -1931,6 +1931,55 @@ class OpsSpec extends AnyFunSuite {
     } finally Seq(src, ckpt, out).foreach(rmTree)
   }
 
+  test("idempotent-sink kill-and-resume: CDC delta runs survive restart + uncommitted-batch replay (==batch)") {
+    import graft.streaming.StreamingOps
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val log = Queries.cdcLog(o)
+    // three chunks hashed on (k, seq), the production chunking: at least
+    // one key's ops must SPLIT across the restart so the arg-max fold
+    // crosses the boundary (non-vacuity)
+    val withB = log.withColumn("b", pmod(xxhash64(col("k"), col("seq")), lit(3L)))
+    val crossing = withB.groupBy(col("k"))
+      .agg(countDistinct(col("b")).as("nb")).where(col("nb") > 1).count()
+    assert(crossing > 0, "no key's ops straddle the restart: chunking vacuous")
+    val src = java.nio.file.Files.createTempDirectory("cdc_resume_src")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_resume_ck")
+    val runs = java.nio.file.Files.createTempDirectory("cdc_resume_runs")
+    try {
+      stageOrdered(withB.where(col("b") === 0).drop("b"), src, "chunk0", 0)
+      StreamingOps.cdcMergeResumeRun(spark, src, log.schema, ckpt, runs)
+      // crash simulation: the previous incarnation wrote batch 1's run dir
+      // but died BEFORE the offset commit. Plant a POISONED stale bid=1 —
+      // a seq=99 tombstone for an untouched base key — that the restarted
+      // batch 1 must overwrite; if the stale run survived, arg-max would
+      // pick seq=99 and the key would vanish from the snapshot.
+      val poison = o.where(pmod(col("o_orderkey"), lit(10)) === 9).limit(1)
+        .select(col("o_orderkey").as("k"), lit(99L).as("seq"),
+          lit("D").as("op"), lit(-1L).as("custkey"), lit("").as("status"),
+          lit(-1.0).as("price"),
+          lit("1970-01-01 00:00:00")
+            .cast(o.schema("o_orderdate").dataType).as("odate"))
+      val poisonKey = poison.head().getLong(0)
+      poison.write.mode("overwrite").parquet(runs.resolve("bid=1").toString)
+      stageOrdered(withB.where(col("b") === 1).drop("b"), src, "chunk1", 1)
+      stageOrdered(withB.where(col("b") === 2).drop("b"), src, "chunk2", 2)
+      StreamingOps.cdcMergeResumeRun(spark, src, log.schema, ckpt, runs)
+      def snapshot(): Seq[String] =
+        Queries.cdcApply(o,
+          Queries.cdcCompact(spark.read.parquet(runs.toString)))
+          .collect().map(_.toString).toSeq
+      val got = snapshot()
+      val want = Queries.cdcApply(o, Queries.cdcCompact(log))
+        .collect().map(_.toString).toSeq
+      assert(got == want, "resumed merge-on-read snapshot diverged from batch")
+      assert(got.exists(_.contains(s"[$poisonKey,")),
+        s"poisoned stale bid=1 run survived the replay: key $poisonKey deleted")
+      // idle restart: no new files, snapshot unchanged
+      StreamingOps.cdcMergeResumeRun(spark, src, log.schema, ckpt, runs)
+      assert(snapshot() == want, "idle restart changed the snapshot")
+    } finally Seq(src, ckpt, runs).foreach(rmTree)
+  }
+
   test("driver-sketch kill-and-resume: checkpointed count-min and bottom-k recover bit-equal") {
     import graft.streaming.StreamingOps
     // --- count-min: phase 1 sees one chunk, then the driver "dies" ---
