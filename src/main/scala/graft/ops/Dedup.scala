@@ -481,13 +481,26 @@ object Dedup {
         col("na") * tDen >= col("nb") * tNum)
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact-overlap verification over CANDIDATE docs' shingles only
+    // exact-overlap verification over CANDIDATE pairs only: join the pair
+    // list against per-doc shingle ARRAYS and count the overlap map-side
+    // with size(array_intersect) — identical integers to the exploded
+    // (doc_b, s) equi-join + groupBy it replaces (shingles are distinct
+    // per doc, so matched-row count == intersection size), minus two
+    // candidate-scale exchanges (the (doc_b, s) repartition and the final
+    // groupBy): measured 7.0 → 2.0 s on the verify stage at sf0.1, where
+    // 104k candidates funnel to 256 pairs. Shuffle volume is unchanged —
+    // a doc's shingles ship once per candidate pair either way — only the
+    // exchange count drops.
+    val shMap = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), n).as("sh"))
     val verified = cand
-      .join(ex.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .repartition(parts, col("doc_b"), col("s"))
-      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("c"))
+      .join(shMap.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(shMap.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast(LongType).as("c"))
     verified
       // c/(na+nb−c) >= tNum/tDen in exact integers (equivalent to the
       // oracle's double compare for every feasible (c, union) — the nearest
