@@ -576,12 +576,51 @@ object Dedup {
     * Returns (doc_id, cluster_id) for every node that appears in `pairs`,
     * where cluster_id = min doc_id of the component.
     */
+  /** Edge sets at or under this count label via a driver union-find
+    * (~16 B/edge transient: 5M edges ≈ 80 MB, well inside any driver);
+    * larger graphs run the distributed large-star/small-star loop. Both
+    * produce identical component-min labels, so results are
+    * path-independent — the guard-with-fallback discipline, applied to
+    * iteration overhead instead of memory.
+    */
+  private[graft] val ccDriverEdgeCap = 5000000L
+
+  /** Component-min labels of an edge list via union-find with the smaller
+    * root winning every union (so each tree's root IS the component min)
+    * and full path compression on find. Returns every endpoint exactly
+    * once — the same (node, min-of-component) surface the distributed
+    * [[connectedComponents]] loop emits.
+    */
+  private[graft] def driverMinLabels(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while ({ val p = parent.getOrDefault(r, r); p != r }) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+      ()
+    }
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (a, b) =>
+      out.update(a, find(a)); out.update(b, find(b))
+    }
+    out.toMap
+  }
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIter: Int = 25,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverEdgeCap: Long = ccDriverEdgeCap): DataFrame = {
     val spark = pairs.sparkSession
     // iterative-truncation primitive: localCheckpoint (zero-IO, executor
     // blocks — right for local[] and short loops) by default; passing
@@ -616,6 +655,25 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1))
     }
     var (nEdges, fp) = stats(edges)
+    // Capped driver fast path (the r9 streamCcRun relabel discipline,
+    // generalized): a dup-pair graph is typically orders of magnitude
+    // smaller than its corpus, and the distributed loop pays 4+ jobs of
+    // per-round overhead regardless of edge count — 1–3 s per round on a
+    // few thousand edges. At or under the cap, collect the canonical edge
+    // set (already deduped/materialized above) and union-find it on the
+    // driver; identical labels are pinned against the distributed loop in
+    // OpsSpec. Over the cap — or whenever the caller asked for RELIABLE
+    // checkpoints, the run-as-a-cluster-would mode — the distributed loop
+    // below stays the path. `driverEdgeCap = 0` forces it (the specs'
+    // distributed-coverage switch).
+    if (nEdges > 0 && nEdges <= driverEdgeCap && checkpointDir.isEmpty) {
+      val labels = driverMinLabels(
+        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      import spark.implicits._
+      return spark.sparkContext
+        .parallelize(labels.toSeq, math.max(1, labels.size / 1000000 + 1))
+        .toDF("doc_id", "cluster_id")
+    }
     var converged = nEdges == 0L
     // size the iteration's shuffles to the EDGE set, not the corpus: the
     // dup-pair graph is typically orders of magnitude smaller than the

@@ -1307,41 +1307,13 @@ object StreamingOps {
     }
 
   /** Micro-batch delta graphs at or under this edge count run their CC as
-    * a driver union-find (~16 B/edge transient: 5M edges ≈ 80 MB, well
-    * inside any driver); larger batches fall back to the distributed
-    * large-star/small-star loop. Both produce the identical component-min
-    * labels, so the ==batch contract is path-independent.
+    * a driver union-find (see [[graft.ops.Dedup.driverMinLabels]] /
+    * [[graft.ops.Dedup.ccDriverEdgeCap]]); larger batches fall back to
+    * the distributed large-star/small-star loop. Both produce the
+    * identical component-min labels, so the ==batch contract is
+    * path-independent.
     */
-  private val ccDriverEdgeCap = 5000000L
-
-  /** Component-min labels of an edge list via union-find with the smaller
-    * root winning every union (so each tree's root IS the component min)
-    * and full path compression on find. Returns every endpoint exactly
-    * once — the same (node, min-of-component) surface the distributed
-    * [[graft.ops.Dedup.connectedComponents]] emits.
-    */
-  private[graft] def driverMinLabels(
-      edges: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while ({ val p = parent.getOrDefault(r, r); p != r }) r = parent.get(r)
-      var c = x
-      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
-      r
-    }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
-      ()
-    }
-    val out = scala.collection.mutable.Map.empty[Long, Long]
-    edges.foreach { case (a, b) =>
-      out.update(a, find(a)); out.update(b, find(b))
-    }
-    out.toMap
-  }
+  private val ccDriverEdgeCap = graft.ops.Dedup.ccDriverEdgeCap
 
   /** The incremental-CC engine shared by the corpus wrapper and the test
     * surface: streams staged pair chunks (one micro-batch per file) and
@@ -1409,7 +1381,7 @@ object StreamingOps {
         val relabel =
           if (nDelta <= ccDriverEdgeCap) {
             import sp.implicits._
-            driverMinLabels(contracted.collect().map(r =>
+            graft.ops.Dedup.driverMinLabels(contracted.collect().map(r =>
               (r.getLong(0), r.getLong(1))))
               .toSeq.sortBy(_._1).toDF("node", "new_label")
           } else

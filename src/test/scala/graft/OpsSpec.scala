@@ -63,7 +63,10 @@ class OpsSpec extends AnyFunSuite {
     val clique = Seq((100L, 101L), (101L, 102L), (100L, 102L))
     val pair = Seq((201L, 200L)) // reversed orientation on purpose
     val edges = (chain ++ clique ++ pair).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(edges)
+    // distributed loop forced (cap=0): the path case is ITS adversarial
+    // diameter case; the default fast path is covered by the random-graph
+    // property test
+    val got = Dedup.connectedComponents(edges, driverEdgeCap = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.size == 16 + 3 + 2)
     (0L to 15L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
@@ -90,14 +93,21 @@ class OpsSpec extends AnyFunSuite {
       }
       val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(x => x -> find(x)).toMap
+      // default path (<= cap: driver union-find inside connectedComponents)
       val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == want, s"trial $trial: ${got.toSeq.sorted} vs ${want.toSeq.sorted}")
-      // the incremental-CC fast path (driver union-find on batch-bounded
-      // delta graphs) must agree with both: the three label routes are
-      // interchangeable, which is what keeps streamCcRun's under-cap and
-      // over-cap branches ==batch
-      val fast = graft.streaming.StreamingOps.driverMinLabels(edges.toArray)
+      // driverEdgeCap = 0 forces the DISTRIBUTED large-star/small-star
+      // loop — this assert is what keeps the over-cap branch covered now
+      // that small graphs take the fast path
+      val dist = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+          driverEdgeCap = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist == want, s"trial $trial distributed loop diverged")
+      // the raw union-find primitive shared with streamCcRun's relabel:
+      // the three label routes are interchangeable, which is what keeps
+      // every under-cap and over-cap branch ==batch
+      val fast = Dedup.driverMinLabels(edges.toArray)
       assert(fast == want, s"trial $trial driverMinLabels diverged")
     }
   }
@@ -143,7 +153,9 @@ class OpsSpec extends AnyFunSuite {
     sampler.start()
     try {
       val edges = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-      val got = Dedup.connectedComponents(edges)
+      // cap=0: the sampler watches the DISTRIBUTED loop's conf behavior —
+      // the driver fast path runs no loop at all
+      val got = Dedup.connectedComponents(edges, driverEdgeCap = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got.size == 31 && got.values.forall(_ == 0L))
     } finally { sampling = false; sampler.join() }
