@@ -576,12 +576,15 @@ object Dedup {
     * Returns (doc_id, cluster_id) for every node that appears in `pairs`,
     * where cluster_id = min doc_id of the component.
     */
-  /** Edge sets at or under this count label via a driver union-find
-    * (~16 B/edge transient: 5M edges ≈ 80 MB, well inside any driver);
+  /** Edge sets at or under this count label via a driver union-find;
     * larger graphs run the distributed large-star/small-star loop. Both
     * produce identical component-min labels, so results are
     * path-independent — the guard-with-fallback discipline, applied to
-    * iteration overhead instead of memory.
+    * iteration overhead instead of memory. Driver footprint at the cap:
+    * the union-find map is ~16 B/edge, but the collect's boxed rows peak
+    * at ~100 B/edge transient — 5M edges ≈ 0.5 GB, fine for any
+    * production driver (Spark defaults 1 GB+); size the cap down on a
+    * smaller one.
     */
   private[graft] val ccDriverEdgeCap = 5000000L
 
