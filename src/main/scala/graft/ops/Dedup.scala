@@ -412,7 +412,13 @@ object Dedup {
           val dirs = spark.conf.getOption("spark.local.dir")
             .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
             .split(",").map(_.trim).filter(_.nonEmpty)
-          dirs.map(d => new java.io.File(d).getUsableSpace).min
+          // a configured-but-not-yet-created local dir reports 0 usable
+          // bytes — that's "unknown", not "full"; only existing dirs vote,
+          // and with none measurable the guard abstains (Long.MaxValue)
+          // rather than vetoing every corpus
+          val measurable = dirs.map(new java.io.File(_))
+            .filter(_.exists()).map(_.getUsableSpace).filter(_ > 0L)
+          if (measurable.isEmpty) Long.MaxValue else measurable.min
         }
       if (est > budget) throw new IllegalStateException(
         s"$op: exploded shingle index would spill ~${est >> 20} MiB " +
