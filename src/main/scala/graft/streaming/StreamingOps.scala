@@ -1380,10 +1380,13 @@ object StreamingOps {
         val nDelta = edges.count()
         val relabel =
           if (nDelta <= ccDriverEdgeCap) {
-            import sp.implicits._
-            graft.ops.Dedup.driverMinLabels(contracted.collect().map(r =>
-              (r.getLong(0), r.getLong(1))))
-              .toSeq.sortBy(_._1).toDF("node", "new_label")
+            import scala.jdk.CollectionConverters._
+            val (ids, labels) = graft.ops.Dedup.driverMinLabels(
+              contracted.toLocalIterator().asScala.map(r =>
+                (r.getLong(0), r.getLong(1))),
+              sizeHint = nDelta.toInt)
+            graft.ops.Dedup.labelsFrame(sp, ids, labels)
+              .toDF("node", "new_label")
           } else
             graft.ops.Dedup.connectedComponents(contracted)
               .toDF("node", "new_label").localCheckpoint()
@@ -2656,6 +2659,21 @@ object StreamingOps {
       val customer = spark.read.parquet(s"$dir/customer.parquet")
       val base = EntityResolution.cleanBase(customer).persist()
       val dirty = EntityResolution.dirtyFeed(base)
+      // The static blocking index (12 exploded rows per customer) is the
+      // BUILD side of every micro-batch's candidate join: materialize it
+      // ONCE, hash-partitioned on the join key, instead of re-exploding
+      // and re-shuffling 12×|customer| rows per batch (r9 VERDICT #4 —
+      // the Fs.materializeKeyed discipline). Small corpora localCheckpoint
+      // a pre-partitioned frame; past the threshold it becomes a bucketed
+      // external table whose scan reports HashPartitioning, so per-batch
+      // joins read buckets in place and only the batch side moves.
+      val nCust = customer.count() // footer-only
+      val keyedParts = math.max(fullParallelism(outer).toLong,
+        math.min(512L, nCust * 12L / 2000000L)).toInt
+      val blockedTracked = graft.util.Fs.materializeTrackedKeyed(
+        EntityResolution.blockedBase(base),
+        keyedParts, Seq("kid", "bkey"), rowsHint = nCust * 12L)
+      val blocked = blockedTracked.df
       // verdicts are chunking-independent, so staging parallelism is free
       // (the stageParts discipline): ~250k dirty rows per file
       val (nChunks, _) = rowChunks(dirty.count())
@@ -2671,7 +2689,7 @@ object StreamingOps {
       val q = stream.writeStream
         .outputMode("append")
         .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          EntityResolution.resolveFeed(batch.toDF(), base)
+          EntityResolution.resolveFeedBlocked(batch.toDF(), blocked)
             .write.mode("overwrite")
             .parquet(work.resolve(s"bid=$batchId").toString)
           seenIds.add(batchId)
@@ -2688,6 +2706,7 @@ object StreamingOps {
         .orderBy(col("dirty_id"))
         .localCheckpoint() // materialize before the work dir goes away
       base.unpersist()
+      blockedTracked.free()
       deleteRecursively(work)
       out
     }

@@ -107,9 +107,26 @@ class OpsSpec extends AnyFunSuite {
       // the raw union-find primitive shared with streamCcRun's relabel:
       // the three label routes are interchangeable, which is what keeps
       // every under-cap and over-cap branch ==batch
-      val fast = Dedup.driverMinLabels(edges.toArray)
+      val (fIds, fLabels) = Dedup.driverMinLabels(edges.iterator, edges.size)
+      val fast = fIds.zip(fLabels).toMap
+      assert(fIds.length == fast.size, s"trial $trial duplicate node emitted")
       assert(fast == want, s"trial $trial driverMinLabels diverged")
     }
+  }
+
+  test("driverMinLabels primitive map survives rehash growth, negative ids, undersized hint") {
+    // 5000-node single chain over scattered ids (negatives included) with a
+    // deliberately tiny sizeHint: the open-addressed table starts at 128
+    // slots and must double ~6 times, and the id/parent arrays must grow —
+    // the code paths a well-sized hint never touches
+    val ids = new scala.util.Random(11).shuffle(
+      (-2500 until 2500).map(_.toLong * 104729L).toVector)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val (outIds, labels) = Dedup.driverMinLabels(chain.iterator, sizeHint = 4)
+    assert(outIds.length == 5000)
+    assert(outIds.toSet == ids.toSet)
+    val want = ids.min
+    assert(labels.forall(_ == want), "single chain must collapse to the min id")
   }
 
   test("jaccard prefix spill guard refuses an over-budget corpus, naming the alternative") {
@@ -130,6 +147,35 @@ class OpsSpec extends AnyFunSuite {
     // the auto (free-scratch) budget admits the test corpus and the
     // operator still computes: guard wired in, not replacing the result
     assert(Dedup.jaccardPrefixPairs(docs).count() > 0)
+  }
+
+  test("spill guard covers every exploded-index operator (r9 VERDICT #3)") {
+    // same corpus×expansion shuffle shape as jaccard-prefix — each of the
+    // four refuses an over-budget corpus up front, naming its alternative,
+    // and still computes under the auto budget
+    val exNovelty = intercept[IllegalStateException] {
+      TextOps.noveltySignals(docs, maxSpillBytes = 1024L)
+    }
+    assert(exNovelty.getMessage.contains("noveltySignals") &&
+      exNovelty.getMessage.contains("subsetDocs"))
+    val exQuote = intercept[IllegalStateException] {
+      TextOps.quoteAttribution(docs, maxSpillBytes = 1024L)
+    }
+    assert(exQuote.getMessage.contains("quoteAttribution") &&
+      exQuote.getMessage.contains("subsetDocs"))
+    val exNgram = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(docs, maxSpillBytes = 1024L)
+    }
+    assert(exNgram.getMessage.contains("ngramJaccardPairs") &&
+      exNgram.getMessage.contains("minhashLshPairs"))
+    val exLrs = intercept[IllegalStateException] {
+      Queries.dedupLrsLadder(spark, dir, maxSpillBytes = 1024L)
+    }
+    assert(exLrs.getMessage.contains("dedup_lrs_ladder") &&
+      exLrs.getMessage.contains("subsetDocs"))
+    // under the auto budget all four still produce their results
+    assert(TextOps.noveltySignals(docs).count() > 0)
+    assert(Queries.dedupLrsLadder(spark, dir).count() == 4)
   }
 
   test("connected components never mutate the session shuffle-partition conf") {
