@@ -622,9 +622,15 @@ object Dedup {
     * transient and the in-flight partition) bounds the peak at
     * ≤ maxMemory/2 even on a 1 GB default driver, and 5M edges stays the
     * ceiling — past that the distributed loop wins on elapsed anyway.
+    *
+    * The GRAFT_CC_DRIVER_CAP env var overrides the derived cap — the
+    * measurement hook for sweeping the DISTRIBUTED valve at scale
+    * (`GRAFT_CC_DRIVER_CAP=0 runMain graft.TimeQ dedup_clusters`) without
+    * threading a parameter through every registered query.
     */
   private[graft] val ccDriverEdgeCap: Long =
-    math.min(5000000L, Runtime.getRuntime.maxMemory() / 256L)
+    sys.env.get("GRAFT_CC_DRIVER_CAP").flatMap(_.toLongOption).getOrElse(
+      math.min(5000000L, Runtime.getRuntime.maxMemory() / 256L))
 
   /** Component-min labels of an edge stream via primitive union-find:
     * node ids are index-compressed through an open-addressed long→int

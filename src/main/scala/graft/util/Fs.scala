@@ -142,10 +142,19 @@ object Fs {
       deferDelete(tmp)
       val name = s"graft_mat_${tableSeq.incrementAndGet()}_${
         java.lang.Long.toHexString(System.nanoTime())}"
+      // bucketBy + sortBy + one file per bucket (the repartition above):
+      // the bucketed scan then reports BOTH HashPartitioning(keys, parts)
+      // and a per-bucket sort order, so downstream sort-merge joins on the
+      // keys skip not just the Exchange but the per-consumer SORT of this
+      // frame — one sort paid at write time instead of one per join (per
+      // ROUND, for the iterative loops; per MICRO-BATCH for the streaming
+      // stream-static joins, where the r10 decade-4 attribution found the
+      // repeated big-side sort to be the dominant constant).
       df.repartition(parts, keyCols: _*)
         .write
         .option("path", tmp.resolve("t").toString)
         .bucketBy(parts, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
         .saveAsTable(name)
       Materialized(spark.table(name), Some(tmp), Some((spark, name)))
     }
