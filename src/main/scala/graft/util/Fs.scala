@@ -138,6 +138,20 @@ object Fs {
       Materialized(df.repartition(parts, keyCols: _*).localCheckpoint(), None)
     else {
       val spark = df.sparkSession
+      // Spark ≥3.0 reports a bucketed scan's per-bucket SORT order only
+      // behind this flag (SPARK-28542 lineage), and only after re-checking
+      // that every bucket is a single file — which the repartition below
+      // guarantees for our scratch tables. Without it the sortBy'd write
+      // still helps (near-sorted runs sort cheaply, keys compress better)
+      // but every sort-merge-join consumer re-sorts this side; with it the
+      // scan carries the ordering and the SMJ sort disappears
+      // (PlanInvariantsSpec pins the no-Sort plan). Sticky set-once on the
+      // session, deliberately NOT the conf-scoped-child pattern: the conf
+      // must be live wherever the returned frame is consumed, it only
+      // changes plans over single-file-per-bucket SORTED bucketed tables
+      // (exactly these scratch tables), and in that case only by removing
+      // a provably redundant sort.
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val tmp = java.nio.file.Files.createTempDirectory("graft_mat")
       deferDelete(tmp)
       val name = s"graft_mat_${tableSeq.incrementAndGet()}_${

@@ -492,4 +492,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
   }
+
+  test("keyed big-branch materialization: merge joins read buckets in place, pre-sorted (r10)") {
+    import graft.util.Fs
+    // the r10 sortBy addition: the bucketed scratch table reports BOTH
+    // HashPartitioning(keys, parts) and per-bucket sort order, so a
+    // sort-merge join on the keys pays neither an Exchange nor a Sort on
+    // the materialized side — the property the decade-4 stream-static ER
+    // join (324 -> 262 s) and the iterative big-branch loops depend on
+    val df = spark.range(1000).selectExpr("id AS k", "id * 3 AS v")
+    val keyed = Fs.materializeTrackedKeyed(df, parts = 4, keys = Seq("k"),
+      rowsHint = 1000, bigRows = 1)
+    try {
+      val probe = spark.range(100).selectExpr("id AS k", "id AS w")
+      val joined = keyed.df.hint("merge").join(probe, "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1200))
+      assert(countExchanges(p) == 1,
+        s"bucketed side must not re-exchange (probe side pays the one):\n${p.take(1500)}")
+      val sorts = p.linesIterator
+        .count(l => l.contains(" Sort [") && !l.contains("SortMergeJoin"))
+      assert(sorts == 1,
+        s"bucketed side must come back pre-sorted (probe side pays the one):\n${p.take(1500)}")
+      assert(joined.count() == 100)
+    } finally keyed.free()
+  }
 }
