@@ -2670,10 +2670,19 @@ object StreamingOps {
       val nCust = customer.count() // footer-only
       val keyedParts = math.max(fullParallelism(outer).toLong,
         math.min(512L, nCust * 12L / 2000000L)).toInt
-      val blockedTracked = graft.util.Fs.materializeTrackedKeyed(
-        EntityResolution.blockedBase(base),
-        keyedParts, Seq("kid", "bkey"), rowsHint = nCust * 12L)
-      val blocked = blockedTracked.df
+      // Only worth staging past the bucketed-table threshold: at base
+      // scale the per-batch re-explode of a persisted 1.5e5-row base is
+      // cheaper than any up-front materialization (+0.5 s measured at
+      // sf0.1), while at decade 4 the sorted bucketed table is −20%
+      // (324 → 260 s — see SCALESWEEP_1000x_r10).
+      val blockedTracked =
+        if (nCust * 12L >= 20000000L)
+          Some(graft.util.Fs.materializeTrackedKeyed(
+            EntityResolution.blockedBase(base),
+            keyedParts, Seq("kid", "bkey"), rowsHint = nCust * 12L))
+        else None
+      val blocked = blockedTracked.map(_.df)
+        .getOrElse(EntityResolution.blockedBase(base))
       // verdicts are chunking-independent, so staging parallelism is free
       // (the stageParts discipline): ~250k dirty rows per file
       val (nChunks, _) = rowChunks(dirty.count())
@@ -2706,7 +2715,7 @@ object StreamingOps {
         .orderBy(col("dirty_id"))
         .localCheckpoint() // materialize before the work dir goes away
       base.unpersist()
-      blockedTracked.free()
+      blockedTracked.foreach(_.free())
       deleteRecursively(work)
       out
     }
