@@ -149,6 +149,27 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.jaccardPrefixPairs(docs).count() > 0)
   }
 
+  test("bench host-drift index: geomean of current/pinned kernel medians") {
+    // the drift-normalization math the round-over-round bench comparison
+    // now rests on (r9 VERDICT #1): identical medians → exactly 1.0, a
+    // uniformly 2x-slower host → 2.0, missing/failed kernels → -1 (unknown
+    // host, never silently nominal), partial overlap uses only shared keys
+    val pinned = Map(
+      "denton_a2q_n144_ms" -> 1.088,
+      "chowlin_objective_eval_n158_ms" -> 0.573)
+    assert(math.abs(Bench.hostIndex(Map(
+      "denton_a2q_n144_ms" -> 1.088,
+      "chowlin_objective_eval_n158_ms" -> 0.573)) - 1.0) < 1e-12)
+    assert(math.abs(Bench.hostIndex(pinned.map { case (k, v) =>
+      k -> v * 2.0 }) - 2.0) < 1e-12)
+    assert(Bench.hostIndex(Map.empty) == -1.0)
+    assert(Bench.hostIndex(Map("unknown_kernel_ms" -> 5.0)) == -1.0)
+    // geomean, not mean: one 4x + one 1x reads 2x
+    assert(math.abs(Bench.hostIndex(Map(
+      "denton_a2q_n144_ms" -> 1.088 * 4.0,
+      "chowlin_objective_eval_n158_ms" -> 0.573)) - 2.0) < 1e-12)
+  }
+
   test("spill guard covers every exploded-index operator (r9 VERDICT #3)") {
     // same corpus×expansion shuffle shape as jaccard-prefix — each of the
     // four refuses an over-budget corpus up front, naming its alternative,
