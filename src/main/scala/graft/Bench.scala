@@ -42,13 +42,26 @@ object Bench {
     "litterman_objective_eval_n4800_ms" -> 49.180,
     "denton_cholette_y2m_n4800_ms" -> 164.882)
 
-  /** Geomean of current/pinned over the kernels both sides measured;
-    * 1.0 = the r8 host, >1 = this container is slower today. -1 when the
-    * kernel block failed (host_index is then unknown, not 1.0).
+  /** Geomean of current/pinned over the kernels both sides measured —
+    * RESTRICTED to kernels whose pinned median is ≥ [[HostIndexMinMs]]:
+    * the sub-millisecond rows swing ±50% with JIT tier timing alone (the
+    * r10 bracketing runs read chowlin-n158 at 0.323 and 0.702 ms on the
+    * same tree), while the ≥5 ms rows are stable single-threaded FLOP
+    * measurements. 1.0 = the r8 host, >1 = this container is slower
+    * today. −1 when the kernel block failed or no big kernels overlap
+    * (host unknown, never silently nominal).
+    *
+    * Honest limits (documented for the round-over-round reader): the
+    * block runs ONCE, single-threaded, at sweep start — it calibrates
+    * CPU/JVM speed at t=0 and cannot see mid-sweep drift or parallel/IO
+    * contention, so the normalized total tightens the band rather than
+    * eliminating it; same-day bracketing runs remain the ground truth.
     */
+  private[graft] val HostIndexMinMs = 5.0
   private[graft] def hostIndex(current: Map[String, Double]): Double = {
     val ratios = kernelsMsR8.toSeq.flatMap { case (k, pinned) =>
-      current.get(k).filter(v => v > 0 && pinned > 0).map(_ / pinned)
+      if (pinned < HostIndexMinMs) None
+      else current.get(k).filter(_ > 0).map(_ / pinned)
     }
     if (ratios.isEmpty) -1.0
     else math.exp(ratios.map(math.log).sum / ratios.size)

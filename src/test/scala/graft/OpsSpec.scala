@@ -155,19 +155,25 @@ class OpsSpec extends AnyFunSuite {
     // uniformly 2x-slower host → 2.0, missing/failed kernels → -1 (unknown
     // host, never silently nominal), partial overlap uses only shared keys
     val pinned = Map(
-      "denton_a2q_n144_ms" -> 1.088,
-      "chowlin_objective_eval_n158_ms" -> 0.573)
-    assert(math.abs(Bench.hostIndex(Map(
-      "denton_a2q_n144_ms" -> 1.088,
-      "chowlin_objective_eval_n158_ms" -> 0.573)) - 1.0) < 1e-12)
+      "chowlin_objective_eval_n4800_ms" -> 106.943,
+      "denton_cholette_y2m_n4800_ms" -> 164.882)
+    assert(math.abs(Bench.hostIndex(pinned) - 1.0) < 1e-12)
     assert(math.abs(Bench.hostIndex(pinned.map { case (k, v) =>
       k -> v * 2.0 }) - 2.0) < 1e-12)
     assert(Bench.hostIndex(Map.empty) == -1.0)
     assert(Bench.hostIndex(Map("unknown_kernel_ms" -> 5.0)) == -1.0)
     // geomean, not mean: one 4x + one 1x reads 2x
     assert(math.abs(Bench.hostIndex(Map(
-      "denton_a2q_n144_ms" -> 1.088 * 4.0,
-      "chowlin_objective_eval_n158_ms" -> 0.573)) - 2.0) < 1e-12)
+      "chowlin_objective_eval_n4800_ms" -> 106.943 * 4.0,
+      "denton_cholette_y2m_n4800_ms" -> 164.882)) - 2.0) < 1e-12)
+    // sub-ms kernels are EXCLUDED (±50% JIT swing on identical code — the
+    // r10 bracketing runs): a wildly-off small kernel must not move the
+    // index, and small kernels alone leave the host unknown
+    assert(math.abs(Bench.hostIndex(pinned +
+      ("chowlin_objective_eval_n158_ms" -> 0.573 * 10.0)) - 1.0) < 1e-12)
+    assert(Bench.hostIndex(Map(
+      "denton_a2q_n144_ms" -> 1.088,
+      "chowlin_objective_eval_n158_ms" -> 0.573)) == -1.0)
   }
 
   test("spill guard covers every exploded-index operator (r9 VERDICT #3)") {
