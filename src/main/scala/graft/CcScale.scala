@@ -44,6 +44,16 @@ object CcScale {
     val chainE = spark.range(chain).select(
       (-col("id") - 1).as("doc_a"), (-col("id") - 2).as("doc_b"))
     val edges = stars.unionAll(chainE)
+    // the graph is deterministic, so its census is too — a timing row from
+    // a run that got the labels WRONG is worse than no row (the
+    // self-enforcing-diagnostic discipline): stars form ceil(E/4) clusters
+    // (a trailing partial group is still one component), the chain adds 1
+    val expComponents = (nEdges - chain + 3) / 4 + 1
+    val expNodes = {
+      val full = (nEdges - chain) / 4
+      val rem = (nEdges - chain) % 4
+      full * 5 + (if (rem > 0) rem + 1 else 0) + chain + 1
+    }
     val runs = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
       val labels = graft.ops.Dedup.connectedComponents(
@@ -53,6 +63,10 @@ object CcScale {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"CCSCALE edges=$nEdges cap=$cap nodes=${r.getLong(0)} " +
         f"components=${r.getLong(1)} sec=$sec%.3f")
+      require(r.getLong(0) == expNodes && r.getLong(1) == expComponents,
+        s"census mismatch: got (${r.getLong(0)}, ${r.getLong(1)}), " +
+          s"expected ($expNodes, $expComponents) — labels are wrong, " +
+          "do not record this timing")
       sec
     }
     println(f"CCSCALE MIN edges=$nEdges cap=$cap sec=${runs.min}%.3f")
