@@ -792,6 +792,16 @@ object Dedup {
         sizeHint = nEdges.toInt)
       return labelsFrame(spark, ids, labels)
     }
+    // Per-partition LOCAL CONTRACTION before the loop was tried and
+    // MEASURED OUT (r10): mapPartitions union-find emitting star edges is
+    // label-preserving and cuts clique-shaped pair lists to ~nodes-1
+    // edges per fragment — but the A/B at 20M clique edges read 63.3 s
+    // WITH vs 53.6 s WITHOUT (CcScale, shape=clique, cap=0), because
+    // LARGE-STAR's first round already performs exactly that min-
+    // contraction globally at the same shuffle cost, so the pre-pass is
+    // one extra full-edge repartition + distinct for nothing. Kept as a
+    // note so it isn't re-tried; CcScale's `clique` shape is the harness
+    // that would re-measure it.
     var converged = nEdges == 0L
     // size the iteration's shuffles to the EDGE set, not the corpus: the
     // dup-pair graph is typically orders of magnitude smaller than the
