@@ -114,6 +114,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components with non-Long ids keep the type-generic distributed loop") {
+    // the r10 driver fast path is gated on LongType endpoints (r9 ADVICE:
+    // collecting a non-Long id column would ClassCastException and
+    // silently change the output type): an int-typed graph under the
+    // default cap must still resolve — via the distributed loop — and
+    // keep its integer label type
+    val edges = spark.range(10).selectExpr(
+      "cast(id AS int) AS doc_a", "cast(id + 1 AS int) AS doc_b")
+    val got = Dedup.connectedComponents(edges)
+    assert(got.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.IntegerType),
+      got.schema.treeString)
+    val labels = got.collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(labels.size == 11 && labels.values.forall(_ == 0))
+  }
+
   test("driverMinLabels primitive map survives rehash growth, negative ids, undersized hint") {
     // 5000-node single chain over scattered ids (negatives included) with a
     // deliberately tiny sizeHint: the open-addressed table starts at 128
