@@ -403,9 +403,12 @@ object Dedup {
     * (a narrow column-pruned scan, never the text); a frame without it
     * pays one length() pass — still cheaper than dying at 80% progress.
     *
-    * `maxSpillBytes`: −1 = audit against the usable space of the Spark
-    * scratch dirs; 0 = disabled (the caller has provisioned disk
-    * deliberately); >0 = explicit budget (the unit-test surface).
+    * `maxSpillBytes`: −1 (the default at every call site) = audit
+    * against the usable space of the Spark scratch dirs; 0 = disabled
+    * (the caller has provisioned disk deliberately); >0 = explicit
+    * budget (the unit-test surface). r10 ADVICE: the gate used to be
+    * `>= 0`, silently disabling the default auto-audit — the production
+    * path now measured by the huge-n_chars refusal test in OpsSpec.
     *
     * `bytesPerChar` is the OPERATOR's own live-spill expansion factor —
     * the jaccard-prefix retrodiction (×8) holds for indexes that ship the
@@ -416,7 +419,7 @@ object Dedup {
   private[graft] def guardIndexSpill(docs: DataFrame, textCol: String,
       op: String, alternative: String, maxSpillBytes: Long,
       bytesPerChar: Long = 8L): Unit =
-    if (maxSpillBytes >= 0L) {
+    if (maxSpillBytes != 0L) {
       val charsCol =
         if (docs.columns.contains("n_chars")) col("n_chars").cast(LongType)
         else length(col(textCol)).cast(LongType)

@@ -221,6 +221,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Queries.dedupLrsLadder(spark, dir).count() == 4)
   }
 
+  test("spill guard default (-1) audits against measured scratch dirs (r10 ADVICE)") {
+    // the gate used to read `maxSpillBytes >= 0`, which silently DISABLED
+    // the default auto-audit (-1) and ran it for the documented-disabled 0.
+    // Prove -1 measures: a corpus claiming 2^50 chars/doc (n_chars is the
+    // guard's column-pruned estimate source) must exceed any real scratch
+    // disk and refuse up front under the DEFAULT argument...
+    val huge = docs.withColumn("n_chars", lit(1L << 50))
+    val ex = intercept[IllegalStateException] {
+      Dedup.jaccardPrefixPairs(huge)
+    }
+    assert(ex.getMessage.contains("refusing up front") &&
+      ex.getMessage.contains("scratch"), ex.getMessage)
+    // ...while 0 means deliberately disabled: the same absurd claim goes
+    // un-audited and the operator computes on the (actually small) text
+    assert(Dedup.jaccardPrefixPairs(huge, maxSpillBytes = 0L).count() > 0)
+  }
+
   test("connected components never mutate the session shuffle-partition conf") {
     import spark.implicits._
     // the loop used to shrink spark.sql.shuffle.partitions session-wide and
