@@ -42,6 +42,14 @@ object Fs {
     * full-frame disk copies until JVM exit (r6 ADVICE). Exit-time deletion
     * stays as the fallback for handles never freed.
     */
+  /** CONTRACT NOTE (r10 ADVICE): a big-branch handle implies the owning
+    * session now carries `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering=true` for its remaining lifetime (and for sessions
+    * cloned afterward) — see the rationale at the set site below; the
+    * fence (only `graft_`-prefixed scratch tables are ever bucketed, so
+    * the flag never touches a user table's planning) is pinned by
+    * PlanInvariantsSpec's sticky-flag test.
+    */
   final case class Materialized(
       df: org.apache.spark.sql.DataFrame,
       scratch: Option[java.nio.file.Path],

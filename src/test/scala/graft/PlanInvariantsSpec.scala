@@ -517,4 +517,37 @@ class PlanInvariantsSpec extends AnyFunSuite {
       assert(joined.count() == 100)
     } finally keyed.free()
   }
+
+  test("sticky bucketed-scan ordering flag is fenced: only graft scratch tables are bucketed (r10 VERDICT #3)") {
+    import graft.util.Fs
+    // materializeTrackedKeyed's big branch sets
+    // spark.sql.legacy.bucketedTableScan.outputOrdering sticky on the
+    // session — the sanctioned exception to the conf-scoped-child rule
+    // (the conf must be live wherever the returned frame is consumed).
+    // That is safe exactly while every bucketed table the session can
+    // plan over is a graft-written scratch table: repartition-first, one
+    // sorted file per bucket (Spark re-verifies the one-file condition,
+    // so even a violation is correctness-safe — but it would silently add
+    // planning-time file listing to a user's own bucketed tables). This
+    // pins the fence: exercise BOTH registrars of bucketed tables in
+    // main (Fs big branch, TableLayout.bucketedPair), then assert every
+    // bucketed table in the catalog carries the graft_ scratch prefix.
+    val df = spark.range(100).selectExpr("id AS k", "id AS v")
+    val keyed = Fs.materializeTrackedKeyed(df, parts = 2, keys = Seq("k"),
+      rowsHint = 100, bigRows = 1)
+    try {
+      graft.ops.TableLayout.bucketedPair(spark, dir)
+      assert(spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering") == "true")
+      val catalog = spark.sessionState.catalog
+      val bucketed = catalog.listTables("default").filter { ident =>
+        try catalog.getTableMetadata(ident).bucketSpec.isDefined
+        catch { case _: Throwable => false }
+      }
+      assert(bucketed.nonEmpty, "the two registrars above must be visible")
+      val offenders = bucketed.map(_.table).filterNot(_.startsWith("graft_"))
+      assert(offenders.isEmpty,
+        s"non-scratch bucketed tables under the sticky ordering flag: $offenders")
+    } finally keyed.free()
+  }
 }
