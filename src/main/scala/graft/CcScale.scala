@@ -79,21 +79,23 @@ object CcScale {
           full * 5 + (if (rem > 0) rem + 1 else 0) + chain + 1)
       }
     val runs = (1 to 2).map { _ =>
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
       val t0 = System.nanoTime()
       val labels = graft.ops.Dedup.connectedComponents(
-        edges, driverEdgeCap = cap)
+        edges, driverEdgeCap = cap, roundsOut = Some(rounds))
       val r = labels.agg(count(lit(1)), countDistinct(col("cluster_id")))
         .head()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"CCSCALE shape=$shape edges=$nEdges cap=$cap " +
-        f"nodes=${r.getLong(0)} components=${r.getLong(1)} sec=$sec%.3f")
+      println(f"CCSCALE shape=$shape edges=$nEdges cap=$cap chain=$chain " +
+        f"nodes=${r.getLong(0)} components=${r.getLong(1)} " +
+        f"rounds=${rounds.get()} sec=$sec%.3f")
       require(r.getLong(0) == expNodes && r.getLong(1) == expComponents,
         s"census mismatch: got (${r.getLong(0)}, ${r.getLong(1)}), " +
           s"expected ($expNodes, $expComponents) — labels are wrong, " +
           "do not record this timing")
       sec
     }
-    println(f"CCSCALE MIN shape=$shape edges=$nEdges cap=$cap sec=${runs.min}%.3f")
+    println(f"CCSCALE MIN shape=$shape edges=$nEdges cap=$cap chain=$chain sec=${runs.min}%.3f")
     spark.stop()
   }
 }

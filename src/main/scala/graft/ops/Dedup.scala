@@ -731,13 +731,21 @@ object Dedup {
       .toDF("doc_id", "cluster_id")
   }
 
+  /** `roundsOut`, when supplied, receives the number of distributed
+    * large-star/small-star rounds the loop ran (0 on the driver fast
+    * path) — the CcScale diameter sweep's measured round-count law
+    * (SCALESWEEP_1000x_r11: rounds grow ~log2(diameter) at fixed edges,
+    * the Kiveris et al. O(log² d) bound's observed shape).
+    */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIter: Int = 25,
       checkpointDir: Option[String] = None,
-      driverEdgeCap: Long = ccDriverEdgeCap): DataFrame = {
+      driverEdgeCap: Long = ccDriverEdgeCap,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     val spark = pairs.sparkSession
     // iterative-truncation primitive: localCheckpoint (zero-IO, executor
     // blocks — right for local[] and short loops) by default; passing
@@ -860,6 +868,7 @@ object Dedup {
       edges = small
       it += 1
     }
+    roundsOut.foreach(_.set(it))
     // at the fixpoint the graph is a union of stars: (member -> root),
     // materialized so the caller's consumption never replays the loop.
     mat(edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
