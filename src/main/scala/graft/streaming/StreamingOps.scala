@@ -2399,8 +2399,15 @@ object StreamingOps {
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       import graft.ops.Sketches
       val ev = events(spark, dir)
-      val el = Sketches.windowQuantileElements(ev).persist()
-      val (nChunks, perTrigger) = rowChunks(el.count())
+      // elements are a 1:1 projection of events, so the chunk sizing can
+      // come from a zero-column count on the raw scan (row-group metadata
+      // speed — the join_fuzzy_quote footer discipline) instead of
+      // persist()+count() on the projected frame, which materialized one
+      // full extra copy of the corpus before the fold even started (r10
+      // VERDICT #3: staging, not math, dominated this member's constant).
+      // el is then evaluated exactly once, inside the staging write.
+      val el = Sketches.windowQuantileElements(ev)
+      val (nChunks, perTrigger) = rowChunks(ev.count())
       val tmp = stagedCorpus(dir, "winquant") { t =>
         stageParts(el, t, "chunk", nChunks, col("event_id"))
       }
@@ -2408,11 +2415,9 @@ object StreamingOps {
         perTrigger)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
-      val out = Sketches.windowQuantileWith(ev,
+      Sketches.windowQuantileWith(ev,
         acc.map { case (d, arr) => d.toLong -> arr })
-        .localCheckpoint() // materialize before releasing the cached input
-      el.unpersist()
-      out
+        .localCheckpoint() // stable result frame once staging is released
     }
 
   /** STREAMING shard-manifest maintenance: documents arrive as a file
