@@ -153,10 +153,21 @@ object Bench {
       val p = java.nio.file.Paths.get(d, "documents.parquet")
       s"${java.nio.file.Files.size(p)}@${java.nio.file.Files.getLastModifiedTime(p)}"
     }.getOrElse("none")
+    // FIXED PROBE SET ∪ top-10-by-base: top-10 alone churns membership as
+    // queries speed up (stream_window_quantile dropped out of its own
+    // anomaly ladder the round its staging fix landed), which breaks
+    // round-over-round exponent comparability — these five stay measured
+    // every round regardless of rank: the three r10-anomaly queries plus
+    // the two highest stable exponents (semdedup e≈0.65, triangles ~0.35).
+    val scaleProbes = Seq("graph_pagerank", "dedup_jaccard_prefix",
+      "stream_window_quantile", "sim_semdedup_bucketed", "graph_triangles")
     val scaling: Map[String, (Double, Double, Double)] = scaleDir match {
       case None => Map.empty
       case Some(d) =>
-        results.toSeq.sortBy(-_._2).take(10).map { case (name, base) =>
+        val picked = (results.toSeq.sortBy(-_._2).take(10).map(_._1) ++
+          scaleProbes.filter(results.contains)).distinct
+        picked.map { name =>
+          val base = results(name)
           def once(): Double = {
             val t0 = System.nanoTime()
             SparkEntry.queries(name)(s2, d)
@@ -168,7 +179,7 @@ object Bench {
           val expn =
             if (sec <= 0) Double.NaN
             else math.log10(math.max(sec, 1e-3) / math.max(base, 1e-3))
-          name -> (base, sec, expn)
+          name -> ((base, sec, expn))
         }.toMap
     }
     // Warm min-of-2 per size (one discarded warm-up run eats the plan /

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *   nEdges default 20e6 (4× the 5M cap), cap default 0 (forces the
   *   distributed loop); pass a cap ≥ nEdges to time the driver fast path
   *   on the same graph where it fits. chainLen (default 1000) sets the
-  *   diameter component: rounds grow ~log2(chainLen) — the per-ROUND cost
+  *   diameter component: rounds grow ~log2(chainLen) — MEASURED at
+  *   11/15/18/21 rounds for d=10^3..10^6 at fixed 1M edges, and exactly
+  *   2 rounds on the pure clique shape (SCALESWEEP_1000x_r11.jsonl) —
+  *   the per-ROUND cost
   *   scales with edges, the round COUNT with diameter, and a real dup
   *   graph sits at diameter 2-3 (near-cliques), so the default keeps the
   *   measurement representative while still exercising multi-round
