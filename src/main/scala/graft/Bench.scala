@@ -238,7 +238,18 @@ object Bench {
     // comparable number: a +10% raw total on a 1.15× slower host reads as
     // the improvement it actually is (r9 VERDICT #1).
     val totalNorm = if (hostIdx > 0) total / hostIdx else -1.0
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"host_index":${f3(hostIdx)},"host_index_end":${f3(hostIdxEnd)},"total_normalized":${f3(totalNorm)},"queries":$top,"kernels_ms":$kernels,"scale":$scaleJson,"sf":"$sfDir"}"""
+    // total_normalized_mid divides by the GEOMEAN of the start/end host
+    // indexes: when the host drifts DURING the run (run 3 of r11 read
+    // 0.932 at t=0 but 1.148 at the end — a ~23% mid-run slowdown), the
+    // t=0-only normalization mis-states the total by up to the full drift;
+    // the geomean is the unbiased point estimate if the drift was roughly
+    // monotone. total_normalized keeps its t=0-only definition for
+    // comparability with the r9/r10 tables; read _mid when the two
+    // indexes disagree by more than the ±1% drift-free band.
+    val totalNormMid =
+      if (hostIdx > 0 && hostIdxEnd > 0) total / math.sqrt(hostIdx * hostIdxEnd)
+      else totalNorm
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"host_index":${f3(hostIdx)},"host_index_end":${f3(hostIdxEnd)},"total_normalized":${f3(totalNorm)},"total_normalized_mid":${f3(totalNormMid)},"queries":$top,"kernels_ms":$kernels,"scale":$scaleJson,"sf":"$sfDir"}"""
     println(line)
     // The harness keeps only ~2000 chars of stdout, which truncates the
     // full per-query detail line (r10 VERDICT #2: round-over-round diffs

@@ -2587,6 +2587,14 @@ object StreamingOps {
     withStreamingPartitions(outer, fullParallelism(outer)) { spark =>
       import graft.ops.Sketches
       val ev = events(spark, dir)
+      // persist() is NOT just count+staging sharing here (the
+      // stream_window_quantile finding does not transfer): the exact-audit
+      // assembly below re-derives setElements(ev) with the IDENTICAL
+      // logical plan, and Spark's cache plan-matching serves that distinct
+      // scan from this persisted frame — dropping it re-evaluated the
+      // element projection from parquet and read +55% warm (measured r11;
+      // windowDistinctWith's audit uses a different projection, so THAT
+      // member safely lost its persist).
       val el = Sketches.setElements(ev).persist()
       val (nChunks, perTrigger) = rowChunks(el.count())
       val tmp = stagedCorpus(dir, "setalg") { t =>
@@ -2629,8 +2637,14 @@ object StreamingOps {
       import graft.ops.Sketches
       val ev0 = events(spark, dir)
       val ev = if (subset) Sketches.windowDistinctSubsetOf(ev0) else ev0
-      val el = Sketches.activityElements(ev).persist()
-      val (nChunks, perTrigger) = rowChunks(el.count())
+      // activityElements is a 1:1 projection of ev, so the chunk-sizing
+      // count prunes to zero columns (footer speed; the subset variant
+      // reads only the user_id hash filter) and the staging write is the
+      // ONLY full evaluation of el — the stream_window_quantile staging
+      // discipline (r10 VERDICT #3); windowDistinctWith audits from `ev`
+      // directly, so el has no third consumer.
+      val el = Sketches.activityElements(ev)
+      val (nChunks, perTrigger) = rowChunks(ev.count())
       val tmp = stagedCorpus(dir, if (subset) "windist_sub" else "windist") { t =>
         stageParts(el, t, "chunk", nChunks, col("e"))
       }
@@ -2638,11 +2652,9 @@ object StreamingOps {
         perTrigger, "d", 256)
       require(nSeen >= 2,
         s"chunked staging must yield multiple micro-batches, got $nSeen")
-      val out = Sketches.windowDistinctWith(ev,
+      Sketches.windowDistinctWith(ev,
         acc.map { case (d, arr) => d.toLong -> arr })
-        .localCheckpoint() // materialize before releasing the cached input
-      el.unpersist()
-      out
+        .localCheckpoint() // stable result frame once staging is released
     }
 
   /** STREAMING entity resolution: the dirty feed arrives as a file stream
