@@ -215,6 +215,163 @@ case class SignRandomProjection(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Packed adaptive-SRP bucket bits for one vector against a FIXED ±1 sign
+  * matrix (the md5-derived `rp|j|i` hyperplanes of
+  * graft.ops.Similarity.srpSigns, shipped as a constructor literal).
+  *
+  * Replaces the former per-bit `aggregate(zip_with(v, signs_j, _*_))`
+  * column stack: bit j is set iff the left-to-right fold of v(i)·sg_j(i)
+  * is STRICTLY positive (`> 0`, matching the `when(p_j > 0, …)` column it
+  * replaces — note SignRandomProjection above uses `>= 0` over different
+  * hyperplanes), and the packed value is masked to the adaptive width.
+  * Identical fold order ⇒ identical projections ⇒ identical bits, so the
+  * DuckDB CTEs that re-derive the buckets replay unchanged. The HOF stack
+  * was 16 interpreted lambda folds per row and ~10³ expression-tree nodes
+  * re-planned per query execution — a row-count-INDEPENDENT constant on
+  * every operator that references the bucketed frame more than once
+  * (the approx_count_distinct planning lesson).
+  *
+  * One eval per row with a tight primitive loop (the SignRandomProjection
+  * rationale); a vector whose length differs from the sign rows yields
+  * null (the zip_with null-pad would have zeroed the bits — such rows
+  * don't exist, and null is the louder outcome).
+  */
+case class SrpPackedBits(child: Expression, signs: Array[Array[Double]],
+    mask: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(signs.nonEmpty && signs.forall(_.length == signs(0).length),
+    "rectangular sign matrix required")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_srp_bits requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = signs(0).length
+    if (v.numElements() != dim) return null
+    var bits = 0
+    var j = 0
+    while (j < signs.length) {
+      val sg = signs(j)
+      var acc = 0.0
+      var i = 0
+      while (i < dim) { acc += v.getDouble(i) * sg(i); i += 1 }
+      if (acc > 0.0) bits |= (1 << j)
+      j += 1
+    }
+    bits & mask
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** struct(sim, nb, bucket) argmax of one vector over a FIXED centroid
+  * table (the driver-small k-means table every IVF consumer ships as a
+  * plan literal).
+  *
+  * Replaces `array_max(transform(typedLit(cents), c => struct(cosine(v,
+  * c), −bucket, bucket)))` — the interpreted per-centroid lambda plus a
+  * ~10³-node literal tree — with one primitive loop. Semantics are
+  * replicated exactly: cosine is the left-fold dot / (√ssq_a·√ssq_b) with
+  * the den==0→null guard; candidates replace the running max only when
+  * STRICTLY greater under Spark's struct ordering (sim first with nulls
+  * smallest and SQLOrderingUtil double compare — `== first` so
+  * −0.0 == 0.0, NaN greatest — then nb = −bucket, so ties go to the
+  * lowest bucket). Output field names match the former struct, so
+  * `.getField("bucket")` / `best.sim` consumers are untouched, and the
+  * DuckDB arg-max CTEs replay unchanged.
+  */
+case class ArgmaxCosine(child: Expression, buckets: Array[Long],
+    cents: Array[Array[Double]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(buckets.length == cents.length && buckets.nonEmpty,
+    "one bucket id per centroid required")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sim", DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("nb",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_argmax_cosine requires array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var vs = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); vs += x * x; i += 1 }
+    val vNorm = math.sqrt(vs)
+    var bestHas = false
+    var bestNull = true
+    var bestSim = 0.0
+    var bestNb = 0L
+    var bestB = 0L
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      // cosine with VectorOps.cosine's exact op order and null guard;
+      // length mismatch ⇒ null sim (the DotProduct null contract)
+      var simNull = true
+      var sim = 0.0
+      if (cv.length == n) {
+        var cs = 0.0
+        var d = 0
+        while (d < n) { val x = cv(d); cs += x * x; d += 1 }
+        val den = vNorm * math.sqrt(cs)
+        if (den != 0.0) {
+          var acc = 0.0
+          d = 0
+          while (d < n) { acc += v.getDouble(d) * cv(d); d += 1 }
+          sim = acc / den
+          simNull = false
+        }
+      }
+      val nb = -buckets(ci)
+      val greater = !bestHas || {
+        // struct ordering: sim (nulls smallest, == first, then
+        // Double.compare so NaN is greatest), then nb
+        val c1 =
+          if (simNull && bestNull) 0
+          else if (simNull) -1
+          else if (bestNull) 1
+          else if (sim == bestSim) 0
+          else java.lang.Double.compare(sim, bestSim)
+        c1 > 0 || (c1 == 0 && nb > bestNb)
+      }
+      if (greater) {
+        bestHas = true; bestNull = simNull; bestSim = sim
+        bestNb = nb; bestB = buckets(ci)
+      }
+      ci += 1
+    }
+    InternalRow(if (bestNull) null else java.lang.Double.valueOf(bestSim),
+      bestNb, bestB)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -223,6 +380,15 @@ object VectorOps {
   /** LSH band keys: array<long> of length `bands` (see SignRandomProjection). */
   def signProjectionBands(v: Column, bands: Int, bitsPerBand: Int): Column =
     Bridge.column(SignRandomProjection(Bridge.expression(v), bands, bitsPerBand))
+  /** Packed adaptive-SRP bits against a fixed sign matrix (see SrpPackedBits). */
+  def srpPackedBits(v: Column, signs: IndexedSeq[Seq[Double]], mask: Int): Column =
+    Bridge.column(SrpPackedBits(Bridge.expression(v),
+      signs.map(_.toArray).toArray, mask))
+  /** struct(sim, nb, bucket) cosine argmax over a fixed centroid table
+    * (see ArgmaxCosine). */
+  def argmaxCosine(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    Bridge.column(ArgmaxCosine(Bridge.expression(v),
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
   def cosine(a: Column, b: Column): Column = {
     val den = ssqrt(squaredNorm(a)) * ssqrt(squaredNorm(b))
     // zero-norm vectors: cosine is undefined -> null (ANSI mode would

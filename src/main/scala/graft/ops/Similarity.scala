@@ -56,13 +56,14 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic Lloyd's k-means over the embedding column, Spark-first:
-    * each iteration is one broadcast nested-loop assignment (map-side, no
-    * shuffle of vectors) + one grouped centroid update whose shuffle carries
-    * (bucket, dim, vec_id, x) rows of the BOUNDED sample only, never the
-    * corpus. Initialization is the lowest `k` vec_ids (deterministic, no RNG
-    * at runtime); empty clusters keep their previous centroid. Returns
-    * (bucket, cv).
+  /** Deterministic Lloyd's k-means over the embedding column: ONE
+    * distributed TakeOrdered picks the bounded hash-ordered sample, the
+    * Lloyd loop itself runs driver-side over the collected sample
+    * ([[lloydDriver]] — O(sampleCap·k·dim) flops on ~8 MB, where the
+    * former per-iteration Spark jobs were pure scheduling constant).
+    * Initialization is the lowest `k` sample vec_ids (deterministic, no
+    * RNG at runtime); empty clusters keep their previous centroid.
+    * Returns (bucket, cv).
     *
     * Every floating-point step is CROSS-ENGINE deterministic, so the whole
     * training run replays bit-exactly in ANSI SQL (the sim_cosine_ivf
@@ -74,8 +75,9 @@ object Similarity {
     * order-dependent distributed avg().
     *
     * At 100 TB this is the standard scale shape: centroids stay a broadcast
-    * table, training touches a TakeOrdered sample, and the update shuffle is
-    * O(sampleCap * dim) regardless of corpus size.
+    * table, training touches ONE TakeOrdered over a narrow (id, vector)
+    * scan, and everything after that is O(sampleCap · k · dim) driver work
+    * regardless of corpus size.
     */
   def trainCentroids(
       embeddings: DataFrame, nBuckets: Int = 16, iterations: Int = 3,
@@ -85,55 +87,111 @@ object Similarity {
     // per-partition TakeOrdered heap over a narrow (id, vector) scan, so
     // training cost is O(sampleCap) regardless of corpus size (training on
     // the full 100 TB corpus every query would be the anti-pattern; k-means
-    // on a uniform sample is the standard scale recipe)
-    // persist the BOUNDED sample (sampleCap rows, not the corpus): without
-    // it every iteration's action re-runs the TakeOrdered over the full
-    // corpus — iterations+2 scans of 100 TB instead of one
-    val e = prepared(embeddings)
+    // on a uniform sample is the standard scale recipe). ONE collect of the
+    // sample (≤ sampleCap·dim doubles, ~8 MB at the caps — the sanctioned
+    // bounded-collect class), then the Lloyd loop runs DRIVER-SIDE in
+    // [[lloydDriver]] with bit-identical op order: the former distributed
+    // iteration spent its time on per-iteration job scheduling + two
+    // shuffles of the SAMPLE (init collect + 3×(argmax, posexplode,
+    // groupBy², collect) ≈ 8 driver round-trips), a pure constant that
+    // dominated every trainCentroids consumer at small-corpus scale while
+    // buying nothing at 100 TB — the sample is bounded either way.
+    val sample: Array[(Long, Array[Double])] = prepared(embeddings)
       .orderBy(graft.functions.HashOps.md5Low64(col("vec_id").cast(StringType)),
         col("vec_id"))
       .limit(sampleCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // centroids live as a DRIVER-side array between iterations (k x dim
-    // doubles — O(kB), the one collect an iterative algorithm genuinely
-    // needs): rebuilding a literal frame each round keeps every iteration's
-    // plan flat, where chaining DataFrames would nest the previous
-    // iteration's crossJoin multiple times and blow the lineage up
-    // exponentially (the MLlib k-means structure)
-    var centRows: Array[(Long, Seq[Double])] = e
-      .orderBy(col("vec_id")).limit(nBuckets)
-      .select(col("vec_id"), col("v"))
-      .collect().zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    centFrame(spark, lloydDriver(sample, nBuckets, iterations))
+  }
+
+  /** Driver-side Lloyd over the collected bounded sample — every
+    * floating-point step replicates the former distributed iteration (and
+    * the DuckDB oracle CTEs) BIT-EXACTLY:
+    *
+    *  - init: the `k` lowest sample vec_ids, bucket = vec_id rank;
+    *  - assignment: per row, argmax over the centroid array of
+    *    struct(cosine, −bucket) under Spark's struct ordering — cosine is
+    *    the left-to-right fold dot / (sqrt(ssq_a)·sqrt(ssq_b)) with the
+    *    den==0→null guard (null smallest, ties to the lowest bucket), and
+    *    double compare is SQLOrderingUtil's (-0.0 == 0.0, NaN greatest);
+    *  - update: per (bucket, dim), fold members' values in vec_id order
+    *    (left-to-right double sum) then ONE division by the member count;
+    *    empty clusters keep their previous centroid.
+    *
+    * Cross-engine witness: all ivf/pq/semdedup oracle rows stay hash-exact
+    * (CORRECTNESS gate) and the ivf specs pin the trained values.
+    */
+  private def lloydDriver(
+      sample: Array[(Long, Array[Double])], k: Int,
+      iterations: Int): Array[(Long, Seq[Double])] = {
+    def ssq(a: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val x = a(i); acc += x * x; i += 1 }
+      acc
+    }
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // VectorOps.cosine verbatim: null (not NaN/∞) when either norm is zero
+    def cos(a: Array[Double], b: Array[Double]): java.lang.Double = {
+      val den = math.sqrt(ssq(a)) * math.sqrt(ssq(b))
+      if (den == 0.0) null else java.lang.Double.valueOf(dotp(a, b) / den)
+    }
+    // SQLOrderingUtil.compareDoubles: == first (so -0.0 == 0.0), then
+    // java.lang.Double.compare (NaN greatest) — Spark's DoubleType ordering
+    def cmpD(x: Double, y: Double): Int =
+      if (x == y) 0 else java.lang.Double.compare(x, y)
+    val byId = sample.sortBy(_._1) // vec_id order: init + fold means
+    var cents: Array[(Long, Array[Double])] =
+      byId.take(k).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     var it = 0
     while (it < iterations) {
-      // same zero-shuffle map-side argmax as assignBucketsWith: score all
-      // k centroids per sample row in one projection, no crossJoin
-      val updated = e
-        .withColumn("best", bestBucket(centRows.toSeq))
-        .select(col("vec_id"), col("best.bucket").as("bucket"),
-          posexplode(col("v")))
-        .toDF("vec_id", "bucket", "dim", "x")
-        .groupBy(col("bucket"), col("dim"))
-        // deterministic mean: fold the group's values in vec_id order
-        // (left-to-right double sum, bit-replayable by DuckDB's
-        // list_sum(list(x ORDER BY vec_id))), then ONE division — never a
-        // distributed avg(), whose partial-merge order is nondeterministic
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
-        .select(col("bucket"), col("dim"),
-          (aggregate(col("xs"), lit(0.0),
-            (acc, e2) => acc + e2.getField("x")) / size(col("xs"))).as("m"))
-        .groupBy(col("bucket"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("bucket"), transform(col("dm"), p => p.getField("m")).as("cv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      // empty clusters keep their previous centroid (stable bucket count)
+      // argmax in centroid-array order, strictly-greater replacement —
+      // ArrayMax semantics (order-invariant here: −bucket is unique)
+      val assigned: Array[(Long, Array[Double])] = byId.map { case (_, v) =>
+        var bestSim: java.lang.Double = null
+        var bestNb = 0L
+        var bestB = -1L
+        var first = true
+        var ci = 0
+        while (ci < cents.length) {
+          val (b, cv) = cents(ci)
+          val sim = cos(v, cv)
+          val nb = -b
+          val greater = first || {
+            val c1 =
+              if (sim == null && bestSim == null) 0
+              else if (sim == null) -1
+              else if (bestSim == null) 1
+              else cmpD(sim.doubleValue, bestSim.doubleValue)
+            c1 > 0 || (c1 == 0 && nb > bestNb)
+          }
+          if (greater) { bestSim = sim; bestNb = nb; bestB = b; first = false }
+          ci += 1
+        }
+        (bestB, v)
+      }
+      // groupBy on the vec_id-ordered array keeps members in vec_id order,
+      // so the per-dim left fold matches sort_array(collect_list(...))
+      val updated = assigned.groupBy(_._1).toArray.map { case (b, members) =>
+        val dim = members(0)._2.length
+        val cv = new Array[Double](dim)
+        var d = 0
+        while (d < dim) {
+          var acc = 0.0; var m = 0
+          while (m < members.length) { acc += members(m)._2(d); m += 1 }
+          cv(d) = acc / members.length
+          d += 1
+        }
+        (b, cv)
+      }
       val updatedIds = updated.map(_._1).toSet
-      centRows = updated ++ centRows.filterNot(c => updatedIds(c._1))
+      cents = updated ++ cents.filterNot(c => updatedIds(c._1))
       it += 1
     }
-    e.unpersist(blocking = false)
-    centFrame(spark, centRows)
+    cents.sortBy(_._1).map { case (b, v) => (b, v.toSeq) }
   }
 
   private def centFrame(
@@ -163,16 +221,14 @@ object Similarity {
   }
 
   /** (sim, −bucket, bucket) argmax over a driver-local centroid array as a
-    * single per-row projection: array_max's lexicographic struct order ≡
-    * highest cosine, ties to the lowest bucket. Expects a `v` column.
+    * single per-row projection: highest cosine, ties to the lowest bucket.
+    * Expects a `v` column. Native [[graft.functions.ArgmaxCosine]] — value-
+    * identical to the former `array_max(transform(typedLit(...), …))`
+    * struct argmax, without the interpreted per-centroid lambda and the
+    * ~10³-node literal tree that was re-planned on every execution.
     */
-  private def bestBucket(centArr: Seq[(Long, Seq[Double])]): Column = {
-    val scored = transform(typedLit(centArr), c => struct(
-      cosine(col("v"), c.getField("_2")).as("sim"),
-      (-c.getField("_1")).as("nb"),
-      c.getField("_1").as("bucket")))
-    array_max(scored)
-  }
+  private def bestBucket(centArr: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.VectorOps.argmaxCosine(col("v"), centArr)
 
   /** Deterministic IVF bucket assignment: nearest of the `nBuckets`
     * k-means centroids ([[trainCentroids]]). Returns (vec_id, v, bucket).
@@ -400,17 +456,12 @@ object Similarity {
       outCol: String): DataFrame = {
     var b = 0
     while (b < nBits && targetBlock.toLong * (1L << b) < n) b += 1
-    val signs = srpSigns(nBits, dim)
-    val projCols = (0 until nBits).map { j =>
-      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
-        lit(0.0), (acc, x) => acc + x).as(s"__p$j")
-    }
+    // native SrpPackedBits: the identical left-fold projections, `> 0`
+    // sign rule and low-b mask the former 16-column HOF stack computed —
+    // one expression node per row instead of ~10³ re-planned per execution
     val in = e.columns.map(col).toSeq
-    val projected = e.select(in ++ projCols: _*)
-    val bits = (0 until nBits)
-      .map(j => when(col(s"__p$j") > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _).cast(IntegerType)
-    projected.select(in :+ bits.bitwiseAND(lit((1 << b) - 1)).as(outCol): _*)
+    e.select(in :+ graft.functions.VectorOps.srpPackedBits(
+      col("v"), srpSigns(nBits, dim), (1 << b) - 1).as(outCol): _*)
   }
 
   /** The md5-derived ±1 hyperplane matrix every SRP consumer shares
@@ -585,57 +636,25 @@ object Similarity {
       e: DataFrame, nSub: Int, k: Int,
       iterations: Int, sampleCap: Int): Array[Array[(Long, Seq[Double])]] = {
     val subDim = 16 // embeddings table carries 64 dims = nSub * subDim
-    // ONE hash-ordered corpus TakeOrdered feeds all subspaces, and each
-    // Lloyd iteration is ONE job covering all nSub trainings (subspace id
-    // rides as a column; groupBy (j, bucket, dim) keeps the trainings
-    // independent) — bit-identical to nSub separate trainCentroids runs,
-    // at 1/nSub the driver actions and corpus scans
-    val sample = e.select(col("vec_id"), col("v"))
+    // ONE hash-ordered corpus TakeOrdered + collect feeds all subspaces
+    // (≤ sampleCap·dim doubles — the trainCentroids bounded-collect class),
+    // then each subspace's Lloyd runs driver-side in [[lloydDriver]]:
+    // per-subspace slicing + init (k lowest sample vec_ids, bucket =
+    // vec_id rank) + assignment argmax + vec_id-ordered fold means are all
+    // the identical ops the former distributed iteration ran, so the books
+    // are bit-equal — without the per-iteration job scheduling and sample
+    // shuffles that dominated every PQ consumer's constant.
+    val sample: Array[(Long, Array[Double])] = e.select(col("vec_id"), col("v"))
       .orderBy(graft.functions.HashOps.md5Low64(col("vec_id").cast(StringType)),
         col("vec_id"))
       .limit(sampleCap)
-      .select(col("vec_id"), posexplode(array((0 until nSub).map(j =>
-        slice(col("v"), lit(j * subDim + 1), lit(subDim))): _*)))
-      .toDF("vec_id", "j", "subv")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // init: the k lowest sample vec_ids (every vec_id carries all nSub rows,
-    // so one ordered limit covers every subspace), bucket = vec_id rank
-    var books: Array[Array[(Long, Seq[Double])]] = {
-      val init = sample.orderBy(col("vec_id"), col("j")).limit(k * nSub)
-        .collect().map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2)))
-      (0 until nSub).map { j =>
-        init.filter(_._1 == j).sortBy(_._2).zipWithIndex
-          .map { case ((_, _, v), b) => (b.toLong, v) }
-      }.toArray
-    }
-    var it = 0
-    while (it < iterations) {
-      val scored = transform(
-        element_at(typedLit(books.map(_.toSeq).toSeq), col("j") + 1),
-        c => struct(cosine(col("subv"), c.getField("_2")).as("sim"),
-          (-c.getField("_1")).as("nb"), c.getField("_1").as("bucket")))
-      val updated = sample
-        .withColumn("bucket", array_max(scored).getField("bucket"))
-        .select(col("vec_id"), col("j"), col("bucket"), posexplode(col("subv")))
-        .toDF("vec_id", "j", "bucket", "dim", "x")
-        .groupBy(col("j"), col("bucket"), col("dim"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("xs"))
-        .select(col("j"), col("bucket"), col("dim"),
-          (aggregate(col("xs"), lit(0.0),
-            (acc, e2) => acc + e2.getField("x")) / size(col("xs"))).as("m"))
-        .groupBy(col("j"), col("bucket"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("j"), col("bucket"), transform(col("dm"), p => p.getField("m")).as("cv"))
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-      books = (0 until nSub).map { j =>
-        val upd = updated.filter(_._1 == j).map(t => (t._2, t._3))
-        val updIds = upd.map(_._1).toSet
-        (upd ++ books(j).filterNot(c => updIds(c._1))).sortBy(_._1)
-      }.toArray
-      it += 1
-    }
-    sample.unpersist(blocking = false)
-    books
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    (0 until nSub).map { j =>
+      val sub = sample.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      }
+      lloydDriver(sub, k, iterations)
+    }.toArray
   }
 
   /** The encoding half of [[pqModelPrepared]]: argmax each subspace of `e`
@@ -658,11 +677,9 @@ object Similarity {
     val coded = sliced.select(
       (passThru ++
         (0 until nSub).map { j =>
-          val scored = transform(typedLit(books(j).toSeq), c => struct(
-            cosine(col(s"v$j"), c.getField("_2")).as("sim"),
-            (-c.getField("_1")).as("nb"),
-            c.getField("_1").as("bucket")))
-          array_max(scored).getField("bucket").as(s"c$j")
+          // native argmax (ArgmaxCosine): same struct order, same ties
+          graft.functions.VectorOps.argmaxCosine(col(s"v$j"), books(j).toSeq)
+            .getField("bucket").as(s"c$j")
         }): _*)
     coded
   }

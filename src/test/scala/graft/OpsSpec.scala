@@ -3761,4 +3761,68 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("native SrpPackedBits / ArgmaxCosine are value-equal to the HOF forms") {
+    import spark.implicits._
+    // deterministic vectors incl. a zero vector (null-cosine path) and a
+    // vector equal to a centroid (exact sim 1.0); signs are an arbitrary
+    // rectangular +-1 matrix -- the equivalence under test is the
+    // expression semantics, not a particular hyperplane family
+    val dim = 8
+    val vecs: Seq[(Long, Array[Double])] =
+      (0L until 12L).map { i =>
+        (i, Array.tabulate(dim)(d =>
+          if (i == 5L) 0.0 else math.sin(i * 31 + d * 7) * (d + 1)))
+      }
+    val nBits = 6
+    val signs: IndexedSeq[Seq[Double]] = IndexedSeq.tabulate(nBits)(j =>
+      Seq.tabulate(dim)(d => if ((j * dim + d) % 3 == 0) 1.0 else -1.0))
+    val mask = (1 << 4) - 1
+    val df = vecs.toDF("vec_id", "v").repartition(2)
+
+    // HOF formulation the native expression replaced (verbatim shape)
+    val projCols = (0 until nBits).map { j =>
+      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
+        lit(0.0), (acc, x) => acc + x).as(s"__p$j")
+    }
+    val bitsHof = (0 until nBits)
+      .map(j => when(col(s"__p$j") > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _).cast(org.apache.spark.sql.types.IntegerType)
+    val hof = df.select((col("vec_id") +: projCols): _*)
+      .select(col("vec_id"), bitsHof.bitwiseAND(lit(mask)).as("srp"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val native = df.select(col("vec_id"),
+        graft.functions.VectorOps.srpPackedBits(col("v"), signs, mask).as("srp"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(native == hof)
+
+    // argmax: centroids include vec 3 itself (sim 1.0) and a zero centroid
+    // (null sim must lose to any non-null)
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      (0L, vecs(3)._2.toSeq),
+      (1L, Seq.fill(dim)(0.0)),
+      (2L, vecs(7)._2.map(-_).toSeq),
+      (3L, vecs(9)._2.toSeq))
+    val scoredHof = transform(typedLit(cents), c => struct(
+      graft.functions.VectorOps.cosine(col("v"), c.getField("_2")).as("sim"),
+      (-c.getField("_1")).as("nb"),
+      c.getField("_1").as("bucket")))
+    val hofMax = df.select(col("vec_id"), array_max(scoredHof).as("best"))
+      .select(col("vec_id"), col("best.sim"), col("best.bucket"))
+      .collect().map(r =>
+        (r.getLong(0), (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getLong(2)))).toMap
+    val nativeMax = df.select(col("vec_id"),
+        graft.functions.VectorOps.argmaxCosine(col("v"), cents).as("best"))
+      .select(col("vec_id"), col("best.sim"), col("best.bucket"))
+      .collect().map(r =>
+        (r.getLong(0), (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getLong(2)))).toMap
+    assert(nativeMax == hofMax)
+    // the zero VECTOR's row: every sim null -> ties break to lowest bucket
+    assert(nativeMax(5L) == ((None, 0L)))
+    // self-match wins its row (sim ~ 1.0 up to sqrt(s)*sqrt(s) rounding)
+    assert(nativeMax(3L)._2 == 0L)
+    assert(math.abs(nativeMax(3L)._1.get - 1.0) < 1e-12)
+  }
 }
