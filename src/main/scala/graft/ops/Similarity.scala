@@ -562,12 +562,14 @@ object Similarity {
     require(nProj >= 4, "output surface hard-codes projection columns p0..p3")
     val signs = srpSigns(nProj, dim)
     val e = prepared(embeddings)
+    // native DotProduct/SquaredNorm against the literal sign rows — the
+    // identical left-to-right folds the former aggregate(zip_with(...))
+    // stack computed interpreted (bench/verify sessions don't load the
+    // GraftExtensions HOF rewrite; nothing should depend on it)
     val projCols = (0 until nProj).map { j =>
-      aggregate(zip_with(col("v"), typedLit(signs(j)), (x, sg) => x * sg),
-        lit(0.0), (acc, x) => acc + x).as(s"p$j")
+      graft.functions.VectorOps.dot(col("v"), typedLit(signs(j))).as(s"p$j")
     }
-    val sqNormV =
-      aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x).as("nv")
+    val sqNormV = graft.functions.VectorOps.squaredNorm(col("v")).as("nv")
     // materialize the projections before reusing them (each p_j is a
     // 64-element fold; bits/norm must reference attributes, not copies)
     val projected = e.select(col("vec_id") +: sqNormV +: projCols: _*)
