@@ -271,6 +271,11 @@ case class SrpPackedBits(child: Expression, signs: Array[Array[Double]],
     bits & mask
   }
 
+  // keep explain output readable: the sign matrix would print as JVM
+  // array identity hashes otherwise
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"signs[${signs.length}x${signs(0).length}]", mask)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -367,6 +372,10 @@ case class ArgmaxCosine(child: Expression, buckets: Array[Long],
     InternalRow(if (bestNull) null else java.lang.Double.valueOf(bestSim),
       bestNb, bestB)
   }
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child,
+      s"cents[${cents.length}x${if (cents.isEmpty) 0 else cents(0).length}]")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -550,4 +550,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"non-scratch bucketed tables under the sticky ordering flag: $offenders")
     } finally keyed.free()
   }
+
+  test("ann family: native SRP/argmax in the plan, zero interpreted HOF folds (r11)") {
+    // the r11 rework replaced the 16-column aggregate(zip_with(...)) SRP
+    // stack and the transform(typedLit(cents)) argmax with one native
+    // expression each; a regression back to the HOF forms re-pays the
+    // interpreted per-element dispatch AND the ~10^3-node tree per
+    // execution (row-count-independent) -- it fails HERE, not in a bench
+    for (name <- Seq("sim_semdedup_bucketed", "sim_knn_graph_bucketed",
+        "embed_pq", "sim_ivfpq", "embed_random_projection")) {
+      val p = plan(name).toLowerCase
+      assert(!p.contains("aggregate(zip_with"),
+        s"$name plan regressed to an interpreted HOF fold")
+    }
+    assert(plan("sim_semdedup_bucketed").toLowerCase.contains("srppackedbits"),
+      "semdedup lost the native SRP-bits expression")
+    assert(plan("embed_pq").toLowerCase.contains("argmaxcosine"),
+      "pq encoding lost the native argmax expression")
+  }
 }
