@@ -1962,9 +1962,17 @@ object Queries {
     val e = es.df
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
+    // deg is NODE-scale (≤ one row per part key) while e is EDGE-scale:
+    // broadcasting deg makes the orientation a narrow map over the
+    // materialized edge frame instead of two edge-scale shuffle joins
+    // (guide §3.1). Gated on the part-table footer count — the 100 TB
+    // shape (billions of parts) keeps the shuffle joins.
+    val degB: DataFrame => DataFrame =
+      if (cachedCount(s, dir, "part") <= 5000000L) df => broadcast(df)
+      else df => df
     val oriented = e
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+      .join(degB(deg.select(col("x").as("u"), col("d").as("du"))), "u")
+      .join(degB(deg.select(col("x").as("v"), col("d").as("dv"))), "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("u"))
@@ -2038,9 +2046,22 @@ object Queries {
       .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
       .agg(count(lit(1)).as("co"))
     val deg = li.groupBy(col("pk")).agg(count(lit(1)).as("d"))
-    co.join(deg.select(col("pk").as("u"), col("d").as("du")), "u")
-      .repartition(parts, col("v"))
-      .join(deg.select(col("pk").as("v"), col("d").as("dv")), "v")
+    // deg is NODE-scale (≤ one row per part key) while co is PAIR-scale:
+    // broadcasting deg turns both degree attaches into map-side hash joins
+    // and deletes the pair-frame repartition(v) exchange (guide §3.1/§2.4).
+    // Gated on the part-table footer count so the 100 TB shape (billions of
+    // parts — too big to broadcast) keeps the shuffle plan; ≤5M keys is
+    // ~80 MB built, well inside the broadcast envelope through decade 4.
+    val degSmall = cachedCount(s, dir, "part") <= 5000000L
+    val attach =
+      if (degSmall)
+        co.join(broadcast(deg.select(col("pk").as("u"), col("d").as("du"))), "u")
+          .join(broadcast(deg.select(col("pk").as("v"), col("d").as("dv"))), "v")
+      else
+        co.join(deg.select(col("pk").as("u"), col("d").as("du")), "u")
+          .repartition(parts, col("v"))
+          .join(deg.select(col("pk").as("v"), col("d").as("dv")), "v")
+    attach
       .select(col("u"), col("v"), col("co"), col("du"), col("dv"),
         (col("co").cast(DoubleType) /
           (col("du") + col("dv") - col("co")).cast(DoubleType)).as("jaccard"))
@@ -2141,10 +2162,14 @@ object Queries {
     */
   private def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
     val nSalt = 4
+    // the salt only ROUTES rows (both sides agree by construction: the
+    // small side explodes every salt value), so the cheap native
+    // xxhash64-of-long replaces the md5-of-string route — md5 here was an
+    // oracle-replay habit, but no oracle ever sees the salt (§2.5: the
+    // synthetic key just has to be deterministic)
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .withColumn("salt", pmod(graft.functions.HashOps.md5Low64(
-        col("l_orderkey").cast(StringType)), lit(nSalt.toLong)))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(nSalt.toLong)))
     val ord = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"),
         date_trunc("month", col("o_orderdate")).as("month"))
@@ -3314,19 +3339,26 @@ object Queries {
         .as(Seq("pos", "seg")))
     val dfc = seg.groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val kept = seg.join(dfc, "seg").where(col("n_docs") < 3)
-    val re = kept.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos").as("p"), col("seg").as("s")))),
-        x => x.getField("s")), " ").as("clean_text"))
-    toksed.select(col("doc_id"), col("nseg"))
-      .join(re, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("nseg").as("n_segments"),
-        (col("nseg") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
-        length(coalesce(col("clean_text"), lit("")))
-          .cast(LongType).as("clean_len"),
-        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+    // ONE doc-keyed aggregation over ALL segments with conditional aggs:
+    // the old kept-only regroup + LEFT JOIN back to a third tokenize pass
+    // of the corpus (for the doc universe) re-evaluated the tokenizer once
+    // more per doc — every doc has ≥1 segment, so the universe is already
+    // in `seg`, and count/collect_list skip the nulls of un-kept rows
+    // (guide §1.2: don't compute things you throw away). nseg rides along
+    // (constant per doc).
+    val keepIf = col("n_docs") < 3
+    seg.join(dfc, "seg")
+      .groupBy(col("doc_id")).agg(
+        max(col("nseg")).as("n_segments"),
+        count(when(keepIf, lit(1))).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(keepIf,
+            struct(col("pos").as("p"), col("seg").as("s"))))),
+          x => x.getField("s")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_segments"),
+        (col("n_segments") - col("n_kept")).as("n_dropped"),
+        length(col("clean_text")).cast(LongType).as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -3372,7 +3404,6 @@ object Queries {
     */
   private[graft] def dedupLrsLadder(s: SparkSession, dir: String,
       maxSpillBytes: Long = -1L): DataFrame = {
-    import graft.functions.HashOps
     // spill contract (r9 VERDICT #3): each rung explodes len/(L/2) window
     // substrings of L chars = 2×chars of raw window text, ×4 rungs live in
     // ONE unioned plan, plus the candidate re-shuffle through the hot-hash
@@ -3391,24 +3422,36 @@ object Queries {
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0L, cast((length(txt) - $l) div $st as bigint)), " +
             s"i -> substring(txt, cast(i*$st+1 as int), $l))")).as("s"))
+      // prefilter hash is INTERNAL ONLY (never surfaces in the output and
+      // the oracle groups on the raw window text, not h), so the cheap
+      // xxhash64 replaces the cross-engine md5 route; collisions are safe —
+      // candidates are re-verified by the full-text groupBy below
       val cand = w.select(col("doc_id"), col("s"),
-        HashOps.md5Low64(col("s")).as("h"))
+        xxhash64(col("s")).as("h"))
       val hot = cand.groupBy(col("h")).agg(count(lit(1)).as("c"))
         .where(col("c") >= 2).select(col("h"))
       val dup = cand.join(hot, "h")
         .groupBy(col("s"))
         .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("nd"))
         .where(col("cnt") >= 2)
-      val nw = w.agg(count(lit(1)).as("n_windows"))
+      // n_windows arithmetically from doc lengths — count(explode(...)) is
+      // ((len-l) div st)+1 summed over qualifying docs, and the closed form
+      // skips a whole evaluation of the exploded-window subtree
+      val nw = docs.where(length(col("txt")) >= l)
+        .agg(coalesce(sum(
+          expr(s"cast((length(txt) - $l) div $st as bigint) + 1")),
+          lit(0L)).as("n_windows"))
+      // stats AND witness from ONE aggregation over dup (min / min_by give
+      // the ORDER BY s LIMIT 1 row): the old separate TakeOrdered witness
+      // re-evaluated the explode+join subtree a second time per rung
       val stats = dup.agg(
         count(lit(1)).as("n_dup_substrings"),
         coalesce(sum(col("cnt")), lit(0L)).cast(LongType)
           .as("n_dup_positions"),
-        coalesce(max(col("nd")), lit(0L)).as("max_docs"))
-      val wit = dup.orderBy(col("s")).limit(1)
-        .select(col("s").as("witness"), col("cnt").as("witness_count"))
-      nw.crossJoin(stats) // 1×1 scalar attach
-        .join(wit, lit(true), "left") // ≤1 row; empty rung keeps its NULLs
+        coalesce(max(col("nd")), lit(0L)).as("max_docs"),
+        min(col("s")).as("witness"),
+        min_by(col("cnt"), col("s")).as("witness_count"))
+      nw.crossJoin(stats) // 1×1 scalar attach; empty rung keeps its NULLs
         .select(lit(l.toLong).as("window_len"), lit(st.toLong).as("stride"),
           col("n_windows"), col("n_dup_substrings"), col("n_dup_positions"),
           col("max_docs"), col("witness"), col("witness_count"))
@@ -7284,13 +7327,23 @@ object Queries {
   private def pipelineFullE2E(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(trim(col("text")), "\\s+")
-    val feat = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"),
-        md5(lower(trim(col("text")))).as("fp"),
-        size(toks).as("n_tokens"),
-        (length(regexp_replace(col("text"), "[a-z ]", "")).cast(DoubleType) /
-          length(col("text"))).as("nonalpha"))
-      .where(col("n_tokens") >= 5 && col("nonalpha") < 0.3)
+    // feat is the expensive per-doc projection (full-text md5 + regexp +
+    // tokenize). The DAG below consumes it through chained anti-joins whose
+    // build sides re-derive it — left lazy, the subtree re-evaluates up to
+    // ~18× (each anti-join's build side re-expands the probe's plan; guide
+    // §7.2 "duplicated subtrees"). Materialize it ONCE per run through the
+    // repo's scratch discipline (localCheckpoint below 2e7 rows, pruned
+    // parquet above) — this is the "checkpoint the post-filter stage"
+    // deployment shape the scaladoc above already prescribes at 100 TB.
+    val feat = graft.util.Fs.materialize(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          md5(lower(trim(col("text")))).as("fp"),
+          size(toks).as("n_tokens"),
+          (length(regexp_replace(col("text"), "[a-z ]", "")).cast(DoubleType) /
+            length(col("text"))).as("nonalpha"))
+        .where(col("n_tokens") >= 5 && col("nonalpha") < 0.3),
+      cachedCount(s, dir, "documents"))
     // exact dedup, apply form: narrow (fp, doc_id) shuffle finds the
     // non-canonical members; they broadcast back as an anti-join so text
     // never crosses a shuffle
@@ -7312,10 +7365,15 @@ object Queries {
     // contaminated TRAIN docs drop
     val evalSh = withSplit.where(col("bucket") >= 95)
       .select(explode(Dedup.shingles(col("text"), 8)).as("sh")).distinct()
+    // contaminated is a SMALL doc_id set but its derivation explodes the
+    // train split's 8-gram shingles — pin it so the two downstream
+    // consumers of `clean` (final agg + packCounts) don't re-run the
+    // explosion twice each
     val contaminated = withSplit.where(col("split") === "train")
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), 8)).as("sh"))
       .join(broadcast(evalSh), Seq("sh"))
       .select(col("doc_id")).distinct()
+      .localCheckpoint()
     val clean = withSplit.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // pack the surviving training stream per lang (same shape as
     // pipeline_pack_docs), then summarize
