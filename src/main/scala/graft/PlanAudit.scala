@@ -14,7 +14,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    // sf0.001 keeps the audit fast, but auto-broadcast fires everywhere at
+    // that size — for a bench-faithful plan pass SPARK_GRAFT_SF_DIR=sf0.1
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("dedup_embedding_cosine", "cube_revenue", "window_topk_per_group")
     names.foreach { n =>

@@ -416,10 +416,15 @@ object Dedup {
     * 8-byte hashes, or exploding window substrings at other densities,
     * pass their own factor (each call site documents its arithmetic).
     */
+  /** @return the measured corpus character count (reusable by the caller
+    *          for self-sizing decisions — one agg scan, not two), or −1
+    *          when the guard is disabled (`maxSpillBytes == 0`).
+    */
   private[graft] def guardIndexSpill(docs: DataFrame, textCol: String,
       op: String, alternative: String, maxSpillBytes: Long,
-      bytesPerChar: Long = 8L): Unit =
-    if (maxSpillBytes != 0L) {
+      bytesPerChar: Long = 8L): Long =
+    if (maxSpillBytes == 0L) -1L
+    else {
       val charsCol =
         if (docs.columns.contains("n_chars")) col("n_chars").cast(LongType)
         else length(col(textCol)).cast(LongType)
@@ -453,6 +458,7 @@ object Dedup {
           s"${budget >> 20} MiB of scratch — refusing up front instead of " +
           s"dying ENOSPC mid-query. Use $alternative, provision scratch, " +
           "or pass maxSpillBytes deliberately.")
+      totalChars
     }
 
   /** Global exact-Jaccard pairs by PREFIX FILTERING (Chaudhuri et al.
@@ -491,7 +497,7 @@ object Dedup {
       parts: Int = 32,
       maxSpillBytes: Long = -1L): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
-    guardIndexSpill(docs, textCol, "jaccardPrefixPairs",
+    val totalChars = guardIndexSpill(docs, textCol, "jaccardPrefixPairs",
       "Dedup.subsetDocs (dedup_jaccard_prefix_subset)", maxSpillBytes)
     val ex = docs
       .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
@@ -507,7 +513,13 @@ object Dedup {
         col("nsh") - expr(s"(nsh * $tNum + ${tDen - 1}) div $tDen") + lit(1L))
       .select(col("s"), col("doc_id"), col("nsh"))
       .repartition(parts, col("s"))
-    val cand = pref.toDF("s", "doc_a", "na")
+    // merge-hint the self-join: both sides are the IDENTICAL pref exchange,
+    // so a sort-merge join reads it ONCE (ReusedExchange) — the planner's
+    // own choice at scale. Left to statistics, a base-scale corpus (~2 MB
+    // prefix frame) auto-broadcasts one side instead, which RE-DERIVES the
+    // whole prefix chain (scan → explode → df join → window) for the
+    // broadcast build: a duplicated subtree, not a cheaper join.
+    val cand = pref.toDF("s", "doc_a", "na").hint("merge")
       .join(pref.toDF("s", "doc_b", "nb"), Seq("s"))
       .where(col("doc_a") < col("doc_b") &&
         col("nb") * tDen >= col("na") * tNum &&
@@ -526,7 +538,23 @@ object Dedup {
     // exchange count drops.
     val shMap = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), n).as("sh"))
-    val verified = cand
+    // explicit width for the verify chain: AQE coalesces these exchanges by
+    // COMPRESSED byte size (the candidate frame is ~2 MB of highly
+    // repetitive pairs at sf0.1), but the stage's cost is the per-pair
+    // array_intersect over full shingle arrays — measured as 2 near-single-
+    // threaded ~0.9 s stages (StageProfile) while the rest of the query ran
+    // 32-wide. Self-sized from the corpus chars the spill guard already
+    // measured (~1 task per 50k chars — the verify stage's work is
+    // candidates × per-doc shingle intersects, an order denser per corpus
+    // char than the scan stages — capped at `parts`). A small corpus (the
+    // _subset sibling) stays near AQE's own coalescing, where a forced
+    // 32-way exchange measured +0.5 s of pure stage overhead.
+    val vParts = math.min(parts.toLong, totalChars / 50000L).toInt
+    // below ~8 tasks the forced exchange costs about what it saves
+    // (measured +0.1-0.5 s on the quarter-corpus _subset) — leave tiny
+    // corpora to AQE's coalescing
+    val widened = if (vParts >= 8) cand.repartition(vParts, col("doc_a")) else cand
+    val verified = widened
       .join(shMap.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(shMap.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
