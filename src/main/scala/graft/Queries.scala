@@ -3409,12 +3409,27 @@ object Queries {
     // ONE unioned plan, plus the candidate re-shuffle through the hot-hash
     // join — ×8 with shuffle lz4 on highly self-similar window text (the
     // jaccardPrefixPairs retrodiction discipline)
-    graft.ops.Dedup.guardIndexSpill(t(s, dir, "documents"), "text",
-      "dedup_lrs_ladder", "fewer/longer rungs (stride = L) or a " +
+    val totalChars = graft.ops.Dedup.guardIndexSpill(t(s, dir, "documents"),
+      "text", "dedup_lrs_ladder", "fewer/longer rungs (stride = L) or a " +
         "deterministic corpus subset (Dedup.subsetDocs)",
       maxSpillBytes, bytesPerChar = 8L)
-    val docs = t(s, dir, "documents")
+    val docs0 = t(s, dir, "documents")
       .select(col("doc_id"), trim(lower(col("text"))).as("txt"))
+    // each rung re-scanned the corpus, and a sub-128MB single-file scan is
+    // ONE task (single row group — unsplittable), so the 4 explode+hash
+    // passes ran serially on one core (StageProfile: 33 stages, ALL n=1,
+    // 4.7 s of single-core task time). Materialize the trimmed corpus ONCE
+    // at a chars-derived width (~200k chars/task): 1 scan instead of 4,
+    // every rung's explode runs `width`-wide from the materialized frame.
+    // rowsHint treats 64 chars as a row so a decade-scale text corpus takes
+    // the scratch-parquet branch (localCheckpoint of GB-scale text blocks
+    // would pin the storage pool); guard disabled (totalChars<0) keeps the
+    // raw scan.
+    val width = math.max(2L, math.min(32L, totalChars / 200000L)).toInt
+    val docs =
+      if (totalChars < 0L) docs0
+      else graft.util.Fs.materialize(
+        docs0.repartition(width), totalChars / 64L)
     val rungs = Seq(16, 32, 64, 128)
     val perRung = rungs.map { l =>
       val st = l / 2

@@ -15,8 +15,8 @@ import org.apache.spark.sql.SparkSession
   */
 object StageProfile {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("dedup_jaccard_prefix")
-    val warm = if (args.length > 1) args(1).toInt else 1
+    val warm = args.headOption.map(_.toInt).getOrElse(1)
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("dedup_jaccard_prefix")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -28,39 +28,41 @@ object StageProfile {
 
     final case class St(wallMs: Long, taskMs: Long, nTasks: Int,
       shRead: Long, shWrite: Long, site: String)
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val i = sc.stageInfo
-        val wall = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
-        val m = i.taskMetrics
-        stages.add(St(wall, m.executorRunTime, i.numTasks,
-          m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-          i.details.linesIterator.toSeq.headOption.getOrElse("").take(90)))
-        ()
+    names.foreach { name =>
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
+          val m = i.taskMetrics
+          stages.add(St(wall, m.executorRunTime, i.numTasks,
+            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
+            i.details.linesIterator.toSeq.headOption.getOrElse("").take(90)))
+          ()
+        }
       }
-    }
-    def run(): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    (1 to warm).foreach(_ => run())   // eat JIT + staging caches
-    spark.sparkContext.addSparkListener(listener)
-    val sec = run()
-    spark.sparkContext.removeSparkListener(listener)
-    // listener bus is async; give the final stage events a moment to land
-    Thread.sleep(500)
-    import scala.jdk.CollectionConverters._
-    val all = stages.asScala.toVector
-    println(f"STAGEPROF $name wall=$sec%.3f s jobs=${jobs.get()} stages=${all.size} " +
-      f"sumStageWall=${all.map(_.wallMs).sum / 1000.0}%.3f sumTask=${all.map(_.taskMs).sum / 1000.0}%.3f")
-    all.sortBy(-_.wallMs).take(30).foreach { s =>
-      println(f"  wall=${s.wallMs}%6d ms task=${s.taskMs}%7d ms n=${s.nTasks}%3d " +
-        f"shR=${s.shRead / 1024}%8d KiB shW=${s.shWrite / 1024}%8d KiB  ${s.site}")
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to warm).foreach(_ => run())   // eat JIT + staging caches
+      spark.sparkContext.addSparkListener(listener)
+      val sec = run()
+      spark.sparkContext.removeSparkListener(listener)
+      // listener bus is async; give the final stage events a moment to land
+      Thread.sleep(500)
+      import scala.jdk.CollectionConverters._
+      val all = stages.asScala.toVector
+      println(f"STAGEPROF $name wall=$sec%.3f s jobs=${jobs.get()} stages=${all.size} " +
+        f"sumStageWall=${all.map(_.wallMs).sum / 1000.0}%.3f sumTask=${all.map(_.taskMs).sum / 1000.0}%.3f")
+      all.sortBy(-_.wallMs).take(12).foreach { s =>
+        println(f"  wall=${s.wallMs}%6d ms task=${s.taskMs}%7d ms n=${s.nTasks}%3d " +
+          f"shR=${s.shRead / 1024}%8d KiB shW=${s.shWrite / 1024}%8d KiB  ${s.site}")
+      }
     }
     spark.stop()
   }

@@ -147,9 +147,21 @@ object Graph {
     var done = false
     while (it < maxIter && !done) {
       // contrib joins only rank rows that ARE sources (e.src ⊆ outdeg ≥ 1),
-      // so `r div outdeg` can never divide by zero under ANSI
+      // so `r div outdeg` can never divide by zero under ANSI.
+      // The explicit repartition pins the aggregation exchange at `parts`
+      // (REPARTITION_BY_NUM — AQE may not coalesce it): left to
+      // ENSURE_REQUIREMENTS, AQE coalesced this exchange by its compressed
+      // bytes (~2 MB → 8-10 tasks at sf0.1), and the SHRUNK partitioning
+      // then mismatched the 32-way materialized e/nd frames, so every
+      // round RE-SHUFFLED the edge frame to match (StageProfile: per-round
+      // n=8-10 stages re-reading ~10 MB of shuffle that the keyed
+      // materialization exists to avoid). groupBy adds no further exchange
+      // (HashPartitioning(dst) satisfies its clustering), and downstream
+      // joins stay co-partitioned with nd — the CLAUDE.md iterative-loop
+      // shuffle rule, now applied at EVERY scale, not only when widening.
       val contrib = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
+        .repartition(parts, col("dst"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
       val inflow = nd.join(contrib, nd("node") === contrib("dst"), "left")
         .select(nd("node"), nd("outdeg"), coalesce(col("s"), lit(0L)).as("s"))
@@ -270,7 +282,15 @@ object Graph {
       // the previous frame is referenced ONCE: the self-loop in S carries
       // the node's own label into the min, so no unionAll(labels, ...)
       val prev = labels.select(col("node").as("n"), col("lab"))
+      // pin the min-agg exchange at `parts` (the pageRank contrib note:
+      // AQE coalesced it to ~5 tasks by compressed bytes, which then
+      // forced a per-round RE-SHUFFLE of the 32-way materialized S to
+      // match — 5.5 MB of shuffle per round that the keyed materialize
+      // exists to avoid); the groupBy reuses this partitioning, and the
+      // next round's join is co-partitioned with S again
       val next = s.join(prev, col("v") === col("n"))
+        .select(col("u"), col("lab"))
+        .repartition(parts, col("u"))
         .groupBy(col("u")).agg(min(col("lab")).as("lab"))
         .select(col("u").as("node"), col("lab"))
       if (r % LineageEvery == 0 && r < rounds) {

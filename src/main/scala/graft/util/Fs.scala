@@ -122,9 +122,14 @@ object Fs {
   /** [[materializeTrackedKeyed]] needs COLUMN NAMES for the big branch's
     * bucketBy; keyed callers pass names and we build the columns.
     *
-    * Small branch: `repartition(parts, keys).localCheckpoint()` —
-    * localCheckpoint preserves its child's partitioning, so downstream
-    * joins/aggs on the keys reuse it (the CLAUDE.md loop-shuffle rule).
+    * Small branch: `repartition(parts, keys).localCheckpoint()`, with the
+    * layout RE-DECLARED on the checkpointed leaf
+    * (Bridge.declareHashPartitioning) — on Spark 4.1 + AQE the checkpoint
+    * itself reports UnknownPartitioning, which silently re-introduced one
+    * full-frame exchange per consumer (r11 finding; the partitioning-
+    * preserved fence in PlanInvariantsSpec pins the repaired behavior).
+    * Downstream joins/aggs on the keys then reuse the layout (the
+    * CLAUDE.md loop-shuffle rule).
     *
     * Big branch: a plain parquet round-trip LOSES partitioning, so every
     * loop round would re-shuffle the full frame — at the 1000× decade that
@@ -143,7 +148,14 @@ object Fs {
       bigRows: Long = 20000000L): Materialized = {
     val keyCols = keys.map(df.col)
     if (rowsHint < bigRows)
-      Materialized(df.repartition(parts, keyCols: _*).localCheckpoint(), None)
+      // r11: on Spark 4.1 + AQE the checkpointed leaf reports
+      // UnknownPartitioning — the repartition's layout must be re-declared
+      // on the LogicalRDD or every downstream join/agg re-shuffles the
+      // frame (graph_pagerank measured a full edge-frame exchange per
+      // round; the whole point of this branch is to not pay that). See
+      // Bridge.declareHashPartitioning's contract note.
+      Materialized(org.apache.spark.sql.graftbridge.Bridge.declareHashPartitioning(
+        df.repartition(parts, keyCols: _*).localCheckpoint(), keys, parts), None)
     else {
       val spark = df.sparkSession
       // Spark ≥3.0 reports a bucketed scan's per-bucket SORT order only

@@ -12,4 +12,39 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-declare the physical layout of a just-`localCheckpoint`ed frame.
+    *
+    * On Spark 4.1 with AQE, `repartition(parts, keys).localCheckpoint()`
+    * yields a LogicalRDD leaf reporting `UnknownPartitioning(0)` — the
+    * checkpoint captures the RDD before the adaptive plan exposes its
+    * final partitioning — so every downstream join/agg on the keys
+    * re-shuffles a frame that is ALREADY hash-distributed exactly as
+    * required (measured: graph_pagerank re-exchanged its materialized
+    * edge frame every round). The rows' physical placement IS
+    * `HashPartitioning(keys, parts)` by construction (REPARTITION_BY_NUM
+    * is exempt from AQE coalescing), so declaring it on the leaf is a
+    * statement of fact, not an optimization hint; Catalyst then plans
+    * around the checkpoint exactly as it does around a bucketed scan.
+    * Only valid when the checkpointed plan really ended in that
+    * repartition — the one call site (Fs.materializeTrackedKeyed's small
+    * branch) constructs it that way. Frames whose analyzed plan is not a
+    * bare LogicalRDD leaf are returned unchanged.
+    */
+  def declareHashPartitioning(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], parts: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"declareHashPartitioning: no column '$k' in ${lr.output.map(_.name)}")))
+        val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.classic.Dataset.ofRows(spark,
+          LogicalRDD(lr.output, lr.rdd, HashPartitioning(attrs, parts),
+            lr.outputOrdering, lr.isStreaming, lr.stream)(spark))
+      case _ => df
+    }
+  }
 }

@@ -135,6 +135,30 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"zone maps not broadcast:\n${z.take(1200)}")
   }
 
+  test("keyed localCheckpoint materialization carries its hash partitioning") {
+    // r11: on Spark 4.1 + AQE, repartition(n, k).localCheckpoint() comes
+    // back as UnknownPartitioning — every loop consumer then re-shuffles
+    // the frame the keyed materialize exists to co-locate (graph_pagerank
+    // measured a full edge-frame exchange per round). The Bridge
+    // re-declares the layout on the LogicalRDD leaf; this fence pins both
+    // the declaration and that Catalyst actually plans around it.
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val m = graft.util.Fs.materializeTrackedKeyed(df, 4, Seq("k"), rowsHint = 10L)
+    try {
+      // toString omits the scan's partitioning — read it off the leaf node
+      val scan = m.df.queryExecution.executedPlan.collectLeaves().head
+      assert(scan.outputPartitioning.toString.contains("hashpartitioning(k"),
+        s"checkpointed scan lost its declared partitioning: ${scan.outputPartitioning}")
+      val agg = m.df.groupBy("k").count()
+      assert(countExchanges(agg.queryExecution.executedPlan.toString) == 0,
+        "groupBy on the materialization key must add no exchange")
+      val j = m.df.join(m.df.select(col("k"), col("v").as("v2")), "k")
+      assert(countExchanges(j.queryExecution.executedPlan.toString) == 0,
+        "self-equi-join on the key must be exchange-free")
+    } finally m.free()
+  }
+
   test("compaction planner: manifest-sized window, single lineitem scan") {
     val p = plan("layout_compaction_plan")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
