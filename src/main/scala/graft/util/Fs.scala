@@ -154,8 +154,14 @@ object Fs {
       // frame (graph_pagerank measured a full edge-frame exchange per
       // round; the whole point of this branch is to not pay that). See
       // Bridge.declareHashPartitioning's contract note.
+      // sortWithinPartitions before the checkpoint + a sorted declaration:
+      // SMJ consumers then read this side in place with NO per-consumer
+      // sort — one sort paid at write time, exactly the big branch's
+      // bucketBy+sortBy shape (r10's stream-ER lesson), now on the cheap
+      // branch too
       Materialized(org.apache.spark.sql.graftbridge.Bridge.declareHashPartitioning(
-        df.repartition(parts, keyCols: _*).localCheckpoint(), keys, parts), None)
+        df.repartition(parts, keyCols: _*).sortWithinPartitions(keyCols: _*)
+          .localCheckpoint(), keys, parts, sorted = true), None)
     else {
       val spark = df.sparkSession
       // Spark ≥3.0 reports a bucketed scan's per-bucket SORT order only

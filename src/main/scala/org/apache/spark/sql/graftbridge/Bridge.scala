@@ -31,19 +31,31 @@ object Bridge {
     * branch) constructs it that way. Frames whose analyzed plan is not a
     * bare LogicalRDD leaf are returned unchanged.
     */
+  /** @param sorted also declare a per-partition ascending sort on `keys` —
+    *        ONLY when the checkpointed plan ended in
+    *        `sortWithinPartitions(keys)` (ascending, nulls first — the
+    *        SortOrder declared here). Sort-merge-join consumers then skip
+    *        their per-consumer sort of this side as well: the
+    *        localCheckpoint analogue of the big branch's bucketBy+sortBy
+    *        (one sort paid at write time, not one per round).
+    */
   def declareHashPartitioning(df: org.apache.spark.sql.DataFrame,
-      keys: Seq[String], parts: Int): org.apache.spark.sql.DataFrame = {
+      keys: Seq[String], parts: Int,
+      sorted: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
           throw new IllegalArgumentException(
             s"declareHashPartitioning: no column '$k' in ${lr.output.map(_.name)}")))
+        val ordering =
+          if (sorted) attrs.map(a => SortOrder(a, Ascending)) else lr.outputOrdering
         val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         org.apache.spark.sql.classic.Dataset.ofRows(spark,
           LogicalRDD(lr.output, lr.rdd, HashPartitioning(attrs, parts),
-            lr.outputOrdering, lr.isStreaming, lr.stream)(spark))
+            ordering, lr.isStreaming, lr.stream)(spark))
       case _ => df
     }
   }

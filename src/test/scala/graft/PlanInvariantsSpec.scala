@@ -154,8 +154,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
       assert(countExchanges(agg.queryExecution.executedPlan.toString) == 0,
         "groupBy on the materialization key must add no exchange")
       val j = m.df.join(m.df.select(col("k"), col("v").as("v2")), "k")
-      assert(countExchanges(j.queryExecution.executedPlan.toString) == 0,
+      val jp = j.queryExecution.executedPlan.toString
+      assert(countExchanges(jp) == 0,
         "self-equi-join on the key must be exchange-free")
+      // the sorted declaration (sortWithinPartitions at write time) must
+      // also absorb the SMJ's per-consumer sort of this side
+      assert(!jp.contains("Sort "),
+        s"key join must be sort-free over the sorted checkpoint:\n$jp")
     } finally m.free()
   }
 
