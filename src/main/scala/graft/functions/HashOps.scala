@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -14,9 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * 64 `size(filter(...))` bit votes — pays interpreted-lambda dispatch per
   * ELEMENT per permutation/bit (~38M boxed calls on a 5k-doc corpus). These
   * expressions make one eval call per ROW and run tight JVM loops inside:
-  * the per-element work is primitive long arithmetic. CodegenFallback is
-  * deliberate — the win is loop locality, and one boxed call per row is
-  * noise next to k*|array| per row.
+  * the per-element work is primitive long arithmetic. Each also generates
+  * code (one call into its compiled compute method): a CodegenFallback
+  * marker anywhere in a Project's expressions drops the WHOLE stage out of
+  * WholeStageCodegen, so the fused single-scan queries that mix these with
+  * dozens of built-in expressions were silently running interpreted
+  * projections (r11 VERDICT #5 headroom, generalized from the ANN pair).
   */
 
 /** k-permutation MinHash signature: sig[p] = min over h in child of
@@ -24,7 +27,7 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * array<long> of length k.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -37,8 +40,10 @@ case class MinHashSig(child: Expression, k: Int)
           s"graft_minhash_sig requires array<bigint> of element hashes, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  def compute(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -55,6 +60,11 @@ case class MinHashSig(child: Expression, k: Int)
     new GenericArrayData(sig)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -63,7 +73,7 @@ case class MinHashSig(child: Expression, k: Int)
   * array<long>, output long.
   */
 case class SimHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -76,8 +86,10 @@ case class SimHash(child: Expression)
           s"graft_simhash requires array<bigint> of token hashes, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Long.valueOf(compute(a.asInstanceOf[ArrayData]))
+
+  def compute(xs: ArrayData): Long = {
     val n = xs.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -96,7 +108,12 @@ case class SimHash(child: Expression)
       if (counts(b) * 2 > n) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -110,7 +127,7 @@ case class SimHash(child: Expression)
   * one reused MessageDigest per thread.
   */
 case class Md5TokensLow64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -127,8 +144,10 @@ case class Md5TokensLow64(child: Expression)
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  override def nullSafeEval(a: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  def compute(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
     val out = new Array[Long](n)
     val d = md5.get()
@@ -145,6 +164,11 @@ case class Md5TokensLow64(child: Expression)
     new GenericArrayData(out.map(java.lang.Long.valueOf(_): Any))
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5Toks", this, classOf[Md5TokensLow64].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -156,7 +180,7 @@ case class Md5TokensLow64(child: Expression)
   * run-order-dependent and xxhash64 has no oracle-side equivalent.
   */
 case class Md5Low64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -173,14 +197,23 @@ case class Md5Low64(child: Expression)
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  override def nullSafeEval(a: Any): Any = {
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Long.valueOf(
+      compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val d = md5.get()
     d.reset()
-    val dig = d.digest(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    val dig = d.digest(s.getBytes)
     var h = 0L
     var b = 15
     while (b >= 8) { h = (h << 8) | (dig(b) & 0xFFL); b -= 1 }
-    java.lang.Long.valueOf(h)
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5Low", this, classOf[Md5Low64].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -194,7 +227,7 @@ case class Md5Low64(child: Expression)
   * lower-casing matches Spark's `lower` on this corpus.
   */
 case class NgramShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -208,9 +241,11 @@ case class NgramShingles(child: Expression, n: Int)
           s"graft_shingles requires a string column, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(a: Any): Any = {
-    val text = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.trim.toLowerCase(java.util.Locale.ROOT)
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val text = s.toString.trim.toLowerCase(java.util.Locale.ROOT)
     val toks = text.split("\\s+")
     val out = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {
@@ -240,6 +275,11 @@ case class NgramShingles(child: Expression, n: Int)
     new GenericArrayData(arr)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingles", this, classOf[NgramShingles].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -253,7 +293,7 @@ case class NgramShingles(child: Expression, n: Int)
   * corpus; a multibyte corpus would hash UTF-8 bytes.
   */
 case class RollingPolyHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -266,15 +306,24 @@ case class RollingPolyHash(child: Expression)
           s"graft_rolling_hash requires a string column, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(a: Any): Any = {
-    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+  override def nullSafeEval(a: Any): Any =
+    java.lang.Long.valueOf(
+      compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
     var acc = 0L
     var i = 0
     while (i < bytes.length) {
       acc = (acc * 31L + (bytes(i) & 0xFFL)) % RollingPolyHash.M
       i += 1
     }
-    java.lang.Long.valueOf(acc)
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rollHash", this, classOf[RollingPolyHash].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -302,7 +351,7 @@ object RollingPolyHash {
   * profile order).
   */
 case class LangIdFeatures(child: Expression, profiles: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
@@ -326,9 +375,11 @@ case class LangIdFeatures(child: Expression, profiles: Seq[(String, Seq[String])
     n
   }
 
-  override def nullSafeEval(a: Any): Any = {
-    val padded = " " + a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase(java.util.Locale.ROOT) + " "
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val padded = " " + s.toString.toLowerCase(java.util.Locale.ROOT) + " "
     val scores = new Array[Double](profiles.length)
     var best = 0
     var i = 0
@@ -342,6 +393,11 @@ case class LangIdFeatures(child: Expression, profiles: Seq[(String, Seq[String])
     org.apache.spark.sql.catalyst.InternalRow(
       org.apache.spark.unsafe.types.UTF8String.fromString(profiles(best)._1),
       new GenericArrayData(scores.map(java.lang.Double.valueOf(_): Any)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("langId", this, classOf[LangIdFeatures].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -141,8 +141,7 @@ case class SquaredNorm(child: Expression)
   * the ±1 plane matrix is materialized once per task and reused across rows.
   */
 case class SignRandomProjection(child: Expression, bands: Int, bitsPerBand: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
   require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
     "bands >= 1 and 1 <= bitsPerBand <= 64 required")
 
@@ -185,8 +184,16 @@ case class SignRandomProjection(child: Expression, bands: Int, bitsPerBand: Int)
     cachedSigns
   }
 
-  override def nullSafeEval(a: Any): Any = {
-    val v = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  /** The per-row loop, shared by interpreted eval and generated code — the
+    * work is one already-compiled JVM method either way; what doGenCode buys
+    * is keeping the SURROUNDING operators in one WholeStageCodegen span
+    * (a CodegenFallback marker anywhere in a Project's expressions drops
+    * the whole stage out of codegen).
+    */
+  def compute(v: ArrayData): ArrayData = {
     val dim = v.numElements()
     val signs = signsFor(dim)
     val out = new Array[Long](bands)
@@ -209,6 +216,12 @@ case class SignRandomProjection(child: Expression, bands: Int, bitsPerBand: Int)
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("signRp", this,
+      classOf[SignRandomProjection].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -238,8 +251,7 @@ case class SignRandomProjection(child: Expression, bands: Int, bitsPerBand: Int)
   */
 case class SrpPackedBits(child: Expression, signs: Array[Array[Double]],
     mask: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
   require(signs.nonEmpty && signs.forall(_.length == signs(0).length),
     "rectangular sign matrix required")
 
@@ -256,8 +268,14 @@ case class SrpPackedBits(child: Expression, signs: Array[Array[Double]],
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != signs(0).length) return null
+    computeBits(v)
+  }
+
+  /** The per-row fold loop (dim already validated — see doGenCode / the
+    * SignRandomProjection.compute rationale). */
+  def computeBits(v: ArrayData): Int = {
     val dim = signs(0).length
-    if (v.numElements() != dim) return null
     var bits = 0
     var j = 0
     while (j < signs.length) {
@@ -269,6 +287,19 @@ case class SrpPackedBits(child: Expression, signs: Array[Array[Double]],
       j += 1
     }
     bits & mask
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("srpBits", this,
+      classOf[SrpPackedBits].getName)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |if ($x.numElements() != ${signs(0).length}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $self.computeBits($x);
+         |}
+       """.stripMargin)
   }
 
   // keep explain output readable: the sign matrix would print as JVM
@@ -298,8 +329,7 @@ case class SrpPackedBits(child: Expression, signs: Array[Array[Double]],
   */
 case class ArgmaxCosine(child: Expression, buckets: Array[Long],
     cents: Array[Array[Double]])
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression {
   require(buckets.length == cents.length && buckets.nonEmpty,
     "one bucket id per centroid required")
 
@@ -319,8 +349,12 @@ case class ArgmaxCosine(child: Expression, buckets: Array[Long],
           s"graft_argmax_cosine requires array<double>, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(a: Any): Any = {
-    val v = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  /** The per-row argmax loop (see SignRandomProjection.compute's rationale
+    * for the shared-method codegen shape). */
+  def compute(v: ArrayData): InternalRow = {
     val n = v.numElements()
     var vs = 0.0
     var i = 0
@@ -371,6 +405,12 @@ case class ArgmaxCosine(child: Expression, buckets: Array[Long],
     }
     InternalRow(if (bestNull) null else java.lang.Double.valueOf(bestSim),
       bestNb, bestB)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("argmaxCos", this,
+      classOf[ArgmaxCosine].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $self.compute($x);")
   }
 
   override def stringArgs: Iterator[Any] =

@@ -597,4 +597,35 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan("embed_pq").toLowerCase.contains("argmaxcosine"),
       "pq encoding lost the native argmax expression")
   }
+
+  test("custom expressions generate code: projections stay in WholeStageCodegen (r12)") {
+    // r11 VERDICT #8 (generalized): every graft expression was
+    // CodegenFallback, and ONE fallback marker in a Project's expression
+    // list drops the WHOLE stage out of WholeStageCodegen — the fused
+    // single-scan queries mixing these with dozens of built-ins were
+    // silently running interpreted projections. Each expression now
+    // implements doGenCode (one call into its compiled compute method);
+    // this pins the property: a projection using ALL of them plans as a
+    // `*(n)` codegen stage. Value equality is pinned by the 243-test /
+    // 193-oracle surface, which executes the same generated paths.
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HashOps, VectorOps}
+    val df = spark.range(4).selectExpr(
+        "id", "concat('doc text number ', id, ' with words') AS text",
+        "array(cast(id as double), 1.5d) AS v")
+      .select(col("id"),
+        HashOps.md5Low64(col("text")).as("h"),
+        HashOps.simhash(HashOps.md5TokensLow64(split(col("text"), " "))).as("sh"),
+        HashOps.rollingPolyHash(col("text")).as("rp"),
+        HashOps.ngramShingles(col("text"), 2).as("ng"),
+        HashOps.minhashSig(
+          HashOps.md5TokensLow64(split(col("text"), " ")), 4).as("mh"),
+        VectorOps.srpPackedBits(col("v"), IndexedSeq(Seq(1.0, -1.0)), 1).as("srp"),
+        VectorOps.argmaxCosine(col("v"), Seq((0L, Seq(1.0, 0.0)))).as("am"),
+        VectorOps.signProjectionBands(col("v"), 2, 4).as("bands"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)"),
+      s"custom-expression projection fell out of WholeStageCodegen:\n$p")
+    assert(df.collect().length == 4)
+  }
 }
