@@ -417,19 +417,22 @@ object Dedup {
     * pass their own factor (each call site documents its arithmetic).
     */
   /** @return the measured corpus character count (reusable by the caller
-    *          for self-sizing decisions — one agg scan, not two), or −1
-    *          when the guard is disabled (`maxSpillBytes == 0`).
+    *          for self-sizing decisions — one agg scan, not two). Measured
+    *          even when the guard is disabled (`maxSpillBytes == 0`): only
+    *          the budget CHECK is skipped — r11 ADVICE found the −1 return
+    *          silently turned OFF the jaccard verify-stage widening in
+    *          exactly the provisioned-disk/large-corpus scenario where the
+    *          single-threaded intersect stage hurts most.
     */
   private[graft] def guardIndexSpill(docs: DataFrame, textCol: String,
       op: String, alternative: String, maxSpillBytes: Long,
-      bytesPerChar: Long = 8L): Long =
-    if (maxSpillBytes == 0L) -1L
-    else {
+      bytesPerChar: Long = 8L): Long = {
       val charsCol =
         if (docs.columns.contains("n_chars")) col("n_chars").cast(LongType)
         else length(col(textCol)).cast(LongType)
       val totalChars =
         docs.agg(coalesce(sum(charsCol), lit(0L))).head().getLong(0)
+      if (maxSpillBytes == 0L) return totalChars
       val est = totalChars * bytesPerChar
       val budget =
         if (maxSpillBytes > 0L) maxSpillBytes
@@ -459,7 +462,7 @@ object Dedup {
           s"dying ENOSPC mid-query. Use $alternative, provision scratch, " +
           "or pass maxSpillBytes deliberately.")
       totalChars
-    }
+  }
 
   /** Global exact-Jaccard pairs by PREFIX FILTERING (Chaudhuri et al.
     * ICDE'06; Bayardo/Ma/Srikant WWW'07 "all-pairs"; Xiao et al. PPJoin) —
@@ -499,20 +502,38 @@ object Dedup {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0, 1]")
     val totalChars = guardIndexSpill(docs, textCol, "jaccardPrefixPairs",
       "Dedup.subsetDocs (dedup_jaccard_prefix_subset)", maxSpillBytes)
+    // HASHED index keys (r11 VERDICT #9, guide §2.3 narrower types): the
+    // three index-scale exchanges ship h = xxhash64(shingle) longs instead
+    // of ~25-byte shingle strings — index rows are (doc_id, nsh, h), three
+    // longs, roughly halving exchange bytes and replacing string sorts /
+    // string-key SMJs with long compares. Correctness WITHOUT a string
+    // tiebreak: document frequency is counted per h-class and the window
+    // uses rank() over (df, h) — rank is a deterministic function of the
+    // row multiset (no arbitrary tie order), and for ANY total order ≤*
+    // refining the (df, h) preorder, position≤*(x) ≥ rank(x), so the
+    // rank-prefix is a SUPERSET of the theorem prefix under ≤* in every
+    // doc. The guaranteed first-common shingle of a qualifying pair is
+    // therefore in both rank-prefixes (its h likewise), candidates remain
+    // a superset, and the exact array_intersect verification over TRUE
+    // shingles makes the output identical — recall stays a theorem, not a
+    // no-collision assumption. An h-collision can only merge df counts
+    // (reordering the heuristic) or admit an extra candidate (verified
+    // away); it can never drop a qualifying pair.
     val ex = docs
       .select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("nsh"),
         explode(col("sh")).as("s"))
-      .repartition(parts, col("s"))
-    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val pref = ex.join(dfreq, Seq("s"))
+      .select(col("doc_id"), col("nsh"), xxhash64(col("s")).as("h"))
+      .repartition(parts, col("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val pref = ex.join(dfreq, Seq("h"))
       .repartition(parts, col("doc_id"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", rank().over(w))
       .where(col("rn") <=
         col("nsh") - expr(s"(nsh * $tNum + ${tDen - 1}) div $tDen") + lit(1L))
-      .select(col("s"), col("doc_id"), col("nsh"))
-      .repartition(parts, col("s"))
+      .select(col("h"), col("doc_id"), col("nsh"))
+      .repartition(parts, col("h"))
     // merge-hint the self-join: both sides are the IDENTICAL pref exchange,
     // so a sort-merge join reads it ONCE (ReusedExchange) — the planner's
     // own choice at scale. Left to statistics, a base-scale corpus (~2 MB
