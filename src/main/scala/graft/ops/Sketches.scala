@@ -1004,28 +1004,49 @@ object Sketches {
         (w, q, sample((r - 1).toInt)._1)
       }
     }.toDF("day", "q", "est")
-    // exact audit, distributed: explode each event to its ≤7 windows
-    val parts = math.max(32L, events.count() * 7L / 2000000L).toInt
+    // exact audit, distributed — PRE-AGGREGATED (r11 VERDICT #6, guide
+    // §1.2/§2.3 "aggregate before you shuffle"): the former shape exploded
+    // every EVENT to its ≤7 windows and scanned that 7×|events| frame
+    // TWICE (count stage + rank stage), i.e. two full events scans + two
+    // event-scale shuffles. Value cardinality is corpus-bounded (the same
+    // fact the count-based order statistic below already relies on), so
+    // aggregate (day, value) → count FIRST — one map-combined pass over
+    // the events scan — and explode only the ~10³×-smaller count frame.
+    // est/exact_q/rank_err are bit-identical: summing day-counts over the
+    // window is the same integer as counting exploded rows.
     val el = events.select(
-      expr("unix_micros(ts) div 86400000000").as("d0"),
-      col("event_id"), col("value"))
-    val daysDf = el.select(col("d0").as("w")).distinct()
-    val win = el
-      .select(explode(sequence(col("d0"), col("d0") + 6)).as("w"),
-        col("event_id"), col("value"))
-      .join(daysDf, Seq("w"), "left_semi")
-      .repartition(parts, col("w"))
+      expr("unix_micros(ts) div 86400000000").as("d0"), col("value"))
+    // one localCheckpoint/scratch materialization: pre feeds the day spine,
+    // the window explode AND the rank stage (3 consumers — the genuinely-
+    // multi-consumer bar); rowsHint |events|/50 is conservative vs the
+    // measured ~10³× cardinality drop
+    val nEvents = events.count()
+    val preM = graft.util.Fs.materializeTracked(
+      el.groupBy(col("d0"), col("value")).agg(count(lit(1)).as("c0")),
+      nEvents / 50L)
+    val pre = preM.df
+    // audit shuffle width self-sized from the MEASURED pre-agg cardinality
+    // (cheap count on the materialized frame), not the raw event count —
+    // the exploded frame is 7×|pre| rows now, and an events-derived width
+    // would over-partition it ~10³× at the big decades
+    val parts = math.max(32L, pre.count() * 7L / 2000000L).toInt
+    val daysDf = pre.select(col("d0").as("w")).distinct()
     import org.apache.spark.sql.expressions.{Window => W}
     // exact order statistic from per-(window, value) COUNTS, not a row-level
     // sort: the row_number formulation buffers an entire (w, q) partition
     // (the full 7-day exploded stream) in one window sort — ~7×10⁸ rows at
     // the 1000× decade across a handful of partitions, which exhausted the
-    // execution pool (r7). Value cardinality is corpus-bounded, so the
-    // count frame is ~10³× smaller; the value whose cumulative range
+    // execution pool (r7). The value whose cumulative range
     // [cum−c+1, cum] contains rank ceil(q·n) is BY CONSTRUCTION the same
     // value row_number() would have landed on (ties in `value` collapse to
     // one count row), so est/exact_q/rank_err are bit-identical.
-    val cnt = win.groupBy(col("w"), col("value")).agg(count(lit(1)).as("c"))
+    val cnt = pre
+      .select(explode(sequence(col("d0"), col("d0") + 6)).as("w"),
+        col("value"), col("c0"))
+      .join(daysDf, Seq("w"), "left_semi")
+      .repartition(parts, col("w"))
+      .groupBy(col("w"), col("value")).agg(sum(col("c0")).as("c"))
+      .localCheckpoint() // cum/exact AND rank consume cnt — compute once
     val cum = cnt
       .withColumn("cum", sum(col("c")).over(
         W.partitionBy(col("w")).orderBy(col("value"))))
@@ -1034,15 +1055,23 @@ object Sketches {
       .withColumn("r", ceil(col("q") * col("n")).cast(LongType))
       .where(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
       .select(col("w"), col("q"), col("value").as("exact_q"), col("n"))
-    val rank = win.join(broadcast(est), col("w") === col("day"))
+    // est's rank from the SAME count frame: Σ c over values ≤ est is the
+    // identical integer to counting exploded event rows ≤ est (est is a
+    // sampled window value, so ≥1 count row always matches — the coalesce
+    // is belt-and-braces for an empty-frame edge)
+    val rank = cnt.join(broadcast(est), col("w") === col("day"))
       .groupBy(col("day"), col("q"), col("est"))
-      .agg(count(when(col("value") <= col("est"), 1)).as("est_rank"))
-    rank.join(exact, rank("day") === exact("w") && rank("q") === exact("q"))
+      .agg(coalesce(sum(when(col("value") <= col("est"), col("c"))), lit(0L))
+        .as("est_rank"))
+    val out = rank
+      .join(exact, rank("day") === exact("w") && rank("q") === exact("q"))
       .select(col("day"), rank("q"), col("n").as("n_exact"),
         col("est"), col("exact_q"),
         abs(col("est_rank").cast(DoubleType) / col("n").cast(DoubleType)
           - rank("q")).as("rank_err"))
       .withColumn("sketch_ok", col("rank_err") <= 0.1)
       .orderBy(col("day"), rank("q"))
+    preM.free()
+    out
   }
 }
