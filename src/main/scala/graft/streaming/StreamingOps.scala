@@ -1353,6 +1353,25 @@ object StreamingOps {
               col("id").as("bucket"))
         val edges = batch.select(col("doc_a"), col("doc_b")).localCheckpoint()
         lap("edges")
+        // r11 VERDICT #5 (micro-batch driver-job constants): the batch's
+        // row count comes from the staged chunk's parquet FOOTERS (a
+        // driver-side metadata read of the micro-batch's input files —
+        // zero Spark jobs) instead of a count job on the checkpointed
+        // frame; falls back to the count job if the batch plan exposes no
+        // files (e.g. a test feeding a memory source).
+        val nDelta = {
+          val files = batch.inputFiles
+          if (files.nonEmpty)
+            files.map { f =>
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f),
+                sp.sparkContext.hadoopConfiguration)
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try r.getRecordCount finally r.close()
+            }.sum
+          else edges.count()
+        }
+        lap("ndelta")
         val ends = edges.select(col("doc_a").as("doc_id"))
           .unionAll(edges.select(col("doc_b").as("doc_id"))).distinct()
         // endpoint label lookup — batch-sized; bucketed layout makes this a
@@ -1377,12 +1396,19 @@ object StreamingOps {
         // at that size. Past the cap (a giant micro-batch) it falls back
         // to the distributed loop rather than collecting — the
         // guardBlockLoad discipline, degrade-don't-die.
-        val nDelta = edges.count()
         val relabel =
           if (nDelta <= ccDriverEdgeCap) {
             import scala.jdk.CollectionConverters._
+            // toLocalIterator keeps the driver at partition-at-a-time
+            // memory (the r9 cap contract) but runs ONE JOB PER PARTITION
+            // — 8 session-width partitions was 8 driver jobs per batch for
+            // a batch-bounded graph. Coalesce (narrow, no shuffle) to
+            // ~1M-edge partitions first: typical batches iterate in ONE
+            // job, the 5M-edge cap worst case in five, and the per-
+            // partition memory bound is preserved.
+            val nParts = math.max(1L, nDelta / 1000000L).toInt
             val (ids, labels) = graft.ops.Dedup.driverMinLabels(
-              contracted.toLocalIterator().asScala.map(r =>
+              contracted.coalesce(nParts).toLocalIterator().asScala.map(r =>
                 (r.getLong(0), r.getLong(1))),
               sizeHint = nDelta.toInt)
             graft.ops.Dedup.labelsFrame(sp, ids, labels)
@@ -1400,12 +1426,24 @@ object StreamingOps {
         val fresh = lookup.where(col("label").isNull)
           .join(broadcast(relabel), col("doc_id") === col("node"))
           .select(col("doc_id"), col("new_label").as("label"))
+        // fold `touched` into the checkpoint action (r11 VERDICT #5):
+        // observe() computes the distinct-bucket set DURING the
+        // localCheckpoint job, so the separate distinct+collect job
+        // disappears. obs.get blocks until the listener delivers — safe
+        // because localCheckpoint runs through Dataset.withAction (checked
+        // against the 4.1.2 bytecode), which always fires the
+        // QueryExecutionListener; an action failure throws before the get.
+        val obs = org.apache.spark.sql.Observation()
         val updated = changedOld.unionByName(fresh)
           .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(nBuckets.toLong)))
+          .observe(obs, collect_set(col("bucket")).as("tb"))
           .localCheckpoint()
         lap("updated")
-        val touched = updated.select(col("bucket")).distinct()
-          .collect().map(_.getLong(0)).toSeq // ≤ nBuckets rows
+        val touched: Seq[Long] = obs.get("tb") match {
+          case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[Long]).toSeq
+          case other => throw new IllegalStateException(
+            s"observe(collect_set) returned ${other.getClass}")
+        }
         lap("touched")
         if (touched.nonEmpty) {
           // whole-bucket rewrite content: untouched survivors of the
