@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   * whether the time goes to shuffle, compute, or scheduling before touching
   * the plan — local mode has no UI in this harness, so this listener is
   * the Stages tab): `SPARK_GRAFT_SF_DIR=... runMain graft.StageProfile
-  * <query> [warmRuns=1]`. Prints one row per stage of the LAST (warm) run,
+  * [warmRuns] <query> [query...]` — a leading integer is the warm-run
+  * count (default 1), everything else is query names (r11 ADVICE: the
+  * old doc showed the query first, which threw NumberFormatException).
+  * Prints one row per stage of the LAST (warm) run,
   * newest first: wall ms, summed task ms, task count, shuffle read/write
   * bytes, and the callsite, plus the job count — a constant-dominated
   * query shows many short stages (scheduling floor), a data-bound one a
@@ -15,8 +18,12 @@ import org.apache.spark.sql.SparkSession
   */
 object StageProfile {
   def main(args: Array[String]): Unit = {
-    val warm = args.headOption.map(_.toInt).getOrElse(1)
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq("dedup_jaccard_prefix")
+    val (warm, rest) = args.headOption.flatMap(a =>
+      scala.util.Try(a.toInt).toOption) match {
+      case Some(w) => (w, args.drop(1).toSeq)
+      case None => (1, args.toSeq)
+    }
+    val names = if (rest.nonEmpty) rest else Seq("dedup_jaccard_prefix")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -29,9 +29,15 @@ object Bridge {
     * Only valid when the checkpointed plan really ended in that
     * repartition — the one call site (Fs.materializeTrackedKeyed's small
     * branch) constructs it that way. Frames whose analyzed plan is not a
-    * bare LogicalRDD leaf are returned unchanged.
-    */
-  /** @param sorted also declare a per-partition ascending sort on `keys` —
+    * bare LogicalRDD leaf are returned unchanged. Cheap contract checks
+    * (r11 ADVICE): each key must resolve to EXACTLY one output attribute
+    * (first-name-match on a duplicate-named frame could bind the wrong
+    * attribute and silently elide a required Exchange), and the
+    * checkpointed RDD must physically have `parts` partitions — a caller
+    * whose plan did not end in `repartition(parts, keys)` gets an
+    * exception here, not wrong join results downstream.
+    *
+    * @param sorted also declare a per-partition ascending sort on `keys` —
     *        ONLY when the checkpointed plan ended in
     *        `sortWithinPartitions(keys)` (ascending, nulls first — the
     *        SortOrder declared here). Sort-merge-join consumers then skip
@@ -47,9 +53,20 @@ object Bridge {
     import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
     df.queryExecution.analyzed match {
       case lr: LogicalRDD =>
-        val attrs = keys.map(k => lr.output.find(_.name == k).getOrElse(
-          throw new IllegalArgumentException(
-            s"declareHashPartitioning: no column '$k' in ${lr.output.map(_.name)}")))
+        require(lr.rdd.getNumPartitions == parts,
+          s"declareHashPartitioning: checkpointed RDD has " +
+            s"${lr.rdd.getNumPartitions} partitions, caller claims $parts — " +
+            "the plan did not end in repartition(parts, keys)")
+        val attrs = keys.map { k =>
+          lr.output.filter(_.name == k) match {
+            case Seq(one) => one
+            case Seq() => throw new IllegalArgumentException(
+              s"declareHashPartitioning: no column '$k' in ${lr.output.map(_.name)}")
+            case many => throw new IllegalArgumentException(
+              s"declareHashPartitioning: ambiguous column '$k' " +
+                s"(${many.size} matches) in ${lr.output.map(_.name)}")
+          }
+        }
         val ordering =
           if (sorted) attrs.map(a => SortOrder(a, Ascending)) else lr.outputOrdering
         val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
