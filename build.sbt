@@ -24,6 +24,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // r12: never use the bypass-merge shuffle writer. For a ≤200-partition
+  // exchange Spark's default writes ONE FILE PER REDUCE PARTITION PER MAP
+  // TASK (32 map × 32 reduce = 1024 file creates + a concat pass per
+  // exchange); thread-dump sampling showed graph_pagerank tasks spending
+  // most of their runtime in FileOutputStream.open0 — a ~200-400 ms
+  // PER-TASK constant on this container, growing as blockmgr dirs fill
+  // over a 193-query sweep (the r11 in-sweep graph regression). 0 routes
+  // every exchange to the serialized UnsafeShuffleWriter (one data file +
+  // index per map task — the standard path above 200 partitions anyway),
+  // measured 70 → 20 s of task CPU on graph_pagerank. Env-overridable for
+  // A/B (GRAFT_BYPASS_THRESH=200 restores the Spark default).
+  s"-Dspark.shuffle.sort.bypassMergeThreshold=${sys.env.getOrElse("GRAFT_BYPASS_THRESH", "0")}",
   // let dev.ludovic.netlib use the Vector API BLAS (no native libs in
   // this container; the Vector implementation is ~4x the Java fallback)
   "--add-modules=jdk.incubator.vector",

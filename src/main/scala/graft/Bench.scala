@@ -73,6 +73,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r12: serialized shuffle writer for every exchange (see build.sbt
+      // bypassMergeThreshold note: the bypass writer's per-reduce-partition
+      // file creates were a measured 3x task-CPU constant on small exchanges)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESH", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -127,6 +132,11 @@ object Bench {
     val s2 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r12: serialized shuffle writer for every exchange (see build.sbt
+      // bypassMergeThreshold note: the bypass writer's per-reduce-partition
+      // file creates were a measured 3x task-CPU constant on small exchanges)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESH", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s2.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // r12: serialized shuffle writer for every exchange (see build.sbt
+      // bypassMergeThreshold note: the bypass writer's per-reduce-partition
+      // file creates were a measured 3x task-CPU constant on small exchanges)
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESH", "0"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
