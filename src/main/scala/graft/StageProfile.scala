@@ -34,19 +34,34 @@ object StageProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     final case class St(wallMs: Long, taskMs: Long, nTasks: Int,
-      shRead: Long, shWrite: Long, site: String)
+      shRead: Long, shWrite: Long, site: String,
+      gcMs: Long = 0L, deserMs: Long = 0L, cpuNs: Long = 0L)
     names.foreach { name =>
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]
       val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      // stageId -> jobId + job description (set by Spark SQL to the SQL
+      // execution's callsite) so a stage can be attributed to the job that
+      // ran it — "which materialize/finalize job is this 10-second stage
+      // in" was unanswerable from the callsite column alone (r12)
+      val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, String]
       val listener = new SparkListener {
-        override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          j.stageInfos.foreach(si =>
+            stageJob.put(si.stageId, s"job${j.jobId} ${desc.take(60)}"))
+          ()
+        }
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
           val i = sc.stageInfo
           val wall = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
           val m = i.taskMetrics
           stages.add(St(wall, m.executorRunTime, i.numTasks,
             m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-            i.details.linesIterator.toSeq.headOption.getOrElse("").take(90)))
+            s"${i.name.take(40)} ${stageJob.getOrDefault(i.stageId, "")}",
+            m.jvmGCTime, m.executorDeserializeTime, m.executorCpuTime))
           ()
         }
       }
@@ -67,8 +82,9 @@ object StageProfile {
       println(f"STAGEPROF $name wall=$sec%.3f s jobs=${jobs.get()} stages=${all.size} " +
         f"sumStageWall=${all.map(_.wallMs).sum / 1000.0}%.3f sumTask=${all.map(_.taskMs).sum / 1000.0}%.3f")
       all.sortBy(-_.wallMs).take(12).foreach { s =>
-        println(f"  wall=${s.wallMs}%6d ms task=${s.taskMs}%7d ms n=${s.nTasks}%3d " +
-          f"shR=${s.shRead / 1024}%8d KiB shW=${s.shWrite / 1024}%8d KiB  ${s.site}")
+        println(f"  wall=${s.wallMs}%6d ms task=${s.taskMs}%7d ms cpu=${s.cpuNs / 1000000}%7d ms " +
+          f"gc=${s.gcMs}%5d ms deser=${s.deserMs}%6d ms n=${s.nTasks}%3d " +
+          f"shR=${s.shRead / 1024}%7d KiB shW=${s.shWrite / 1024}%7d KiB  ${s.site}")
       }
     }
     spark.stop()
