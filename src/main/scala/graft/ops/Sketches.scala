@@ -911,14 +911,23 @@ object Sketches {
     // the fixed session width at the 100× decade, e₂ 1.21 before sizing);
     // HashPartitioning(w, e) satisfies the distinct-aggregate's first
     // phase, so the countDistinct adds no session-width exchange
-    val parts = math.max(32L, events.count() * 7L / 2000000L).toInt
-    val elD = events.select(
-      expr("unix_micros(ts) div 86400000000").as("day"),
-      concat(col("user_id").cast(StringType), lit("|"),
-        expr("unix_micros(ts) div 3600000000").cast(StringType)).as("e"))
-      // sized dedup: HashPartitioning(e) ⊂ the (day, e) clustering
-      .repartition(parts, col("e"))
-      .distinct()
+    val nEv = events.count()
+    val parts = math.max(32L, nEv * 7L / 2000000L).toInt
+    // distinct (day, element) universe, materialized ONCE (r12): the day
+    // spine AND the exploded exact count both consume it — un-materialized,
+    // the reduce-side distinct aggregation ran once per consumer (the
+    // exchange itself was reused, the agg above it was not). rowsHint nEv
+    // upper-bounds the distinct count, so decade-scale universes take the
+    // scratch-parquet branch instead of GB-scale checkpoint blocks.
+    val elD = graft.util.Fs.materialize(
+      events.select(
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        concat(col("user_id").cast(StringType), lit("|"),
+          expr("unix_micros(ts) div 3600000000").cast(StringType)).as("e"))
+        // sized dedup: HashPartitioning(e) ⊂ the (day, e) clustering
+        .repartition(parts, col("e"))
+        .distinct(),
+      nEv)
     val daysDf = elD.select(col("day")).distinct()
     val exact = elD
       .select(explode(sequence(col("day"), col("day") + 6)).as("w"), col("e"))
